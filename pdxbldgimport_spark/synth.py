@@ -1,0 +1,385 @@
+"""Deterministic synthetic geo-webtext world, derived from the driver's
+``documents`` parquet with pure integer/IEEE arithmetic.
+
+Why SQL templates: the driver's correctness gate runs each engine query
+against a DuckDB oracle over the same parquet, so the *generation* of the
+synthetic world must be expressible identically in Spark SQL and DuckDB
+SQL. Each table below is one template rendered into both dialects; the
+Spark side registers them as temp views (the engine's DataFrame operators
+read the views), the oracle side inlines them as CTEs. Identical IEEE-754
+expression trees → bit-identical doubles in both engines.
+
+World layout (plays the reference's Portland data, SURVEY.md §1.3):
+
+- extent = the reference's osmosis clip bbox (tasks/osm_load.rake:13-17);
+- a 25×10 grid of "parcels" (plays ``state_id`` taxlots,
+  tasks/pdx_shapes.rake:37-40);
+- ``pages``      — REP pages per document, geocoded into parcels; plays
+  ``master_address`` points (tasks/pdx_shapes.rake:33). One parcel is
+  *hot* (~1/7 of all pages) to exercise the salting path (north_rule).
+- ``footprints`` — 4 rectangles per low doc_id, 8 per parcel; plays
+  ``pdx_bldgs_orig`` polygons (tasks/pdx_shapes.rake:112-160). A sprinkle
+  of invalid (bowtie) rings exercises the make-valid/drop rule
+  (tasks/pdx_shapes.rake:115-131).
+- ``caddr``/``cbldg`` — the *conflation* world with controlled per-parcel
+  address/building multiplicities, so every rule branch of
+  tasks/pdx_bldgs.rake / tasks/pdx_multi_addrs.rake has live fixtures.
+- ``osm_ways``/``osm_nodes`` — plays the osmosis pgsnapshot tables
+  (tasks/osm_load.rake:39-47): tag maps, open/closed rings, overlaps with
+  cbldg rectangles driving the dedup path (tasks/metro_bldgs.rake:51-69).
+
+Engine-only columns (ring coordinate arrays, tag maps) are appended in the
+Spark rendering; the oracle never sees them — it reasons about the same
+rectangles through their corner scalars. Engine *operators* must use only
+(lon, lat, rings, tags): the corner scalars are generation bookkeeping.
+"""
+
+from __future__ import annotations
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# --- world constants (geo.cells shares the same extent) ---
+W, S, E, N = -123.3, 44.8, -121.7, 46.0
+NPX, NPY = 25, 10          # parcel grid
+NP = NPX * NPY
+PW = (E - W) / NPX         # 0.064°
+PH = (N - S) / NPY         # 0.12°
+REP = 64                   # pages per document
+FP_DOCS = 500              # docs that spawn footprints (all docs at sf≤0.01)
+HOT_PARCEL = 0             # ~1/7 of pages land here → hot-cell salting path
+
+_CONST = {
+    "W": repr(W), "S": repr(S), "E": repr(E), "N": repr(N),
+    "PW": repr(PW), "PH": repr(PH), "NP": str(NP), "NPX": str(NPX),
+    "REP": str(REP), "FP_DOCS": str(FP_DOCS),
+}
+
+# ----------------------------------------------------------------------
+# pages: REP pages per doc. pid is the parcel (state_id analog); the hot
+# parcel takes every page_id % 7 = 3. unit_no non-null rows are the P4
+# exclusion fixture (tasks/pdx_addrs.rake:17).
+_PAGES = """
+SELECT
+  page_id,
+  doc_id,
+  pid,
+  'https://h' || CAST(pid AS {STR}) || '.example.com/p/' || CAST(page_id AS {STR}) AS url,
+  {TS_PAGE} AS warc_ts,
+  {W} + ((pid % {NPX}) + 0.02 + 0.96 * (((page_id * 7919) % 10000) / 10000.0)) * {PW} AS lon,
+  {S} + (CAST(FLOOR(pid / {NPX}.0) AS BIGINT) + 0.02 + 0.96 * (((page_id * 104729) % 10000) / 10000.0)) * {PH} AS lat,
+  CASE WHEN page_id % 101 = 13 THEN 'A' ELSE NULL END AS unit_no,
+  text,
+  lang,
+  CAST('<html><head><title>p' || CAST(page_id AS {STR}) || '</title></head><body>' || text || '</body></html>' AS {BIN}) AS html
+FROM (
+  SELECT d.doc_id, d.text, d.lang, d.doc_id * {REP} + r.r AS page_id,
+         CASE WHEN (d.doc_id * {REP} + r.r) % 7 = 3 THEN 0
+              ELSE (d.doc_id * {REP} + r.r) % {NP} END AS pid
+  FROM documents d {CROSS_REP}
+) base
+"""
+
+# footprints: 4 rects per doc (doc_id < FP_DOCS), up to 8 per parcel.
+# Plays pdx_bldgs_orig. fp_id % 97 = 5 → bowtie (invalid; "repairs to
+# MultiPolygon" → engine drops it, tasks/pdx_shapes.rake:115-131).
+_FOOTPRINTS = """
+SELECT *,
+  (x1 - x0) * (y1 - y0) AS area_deg
+FROM (
+  SELECT
+    fp_id, pid, col, row_k,
+    {W} + ((pid % {NPX}) + 0.25 * col + 0.03) * {PW} AS x0,
+    {W} + ((pid % {NPX}) + 0.25 * col + 0.21) * {PW} AS x1,
+    {S} + (CAST(FLOOR(pid / {NPX}.0) AS BIGINT) + 0.5 * row_k + 0.06) * {PH} AS y0,
+    {S} + (CAST(FLOOR(pid / {NPX}.0) AS BIGINT) + 0.5 * row_k + 0.42) * {PH} AS y1,
+    CASE WHEN fp_id % 97 = 5 THEN 1 ELSE 0 END AS is_bowtie
+  FROM (
+    SELECT d.doc_id * 4 + s.s AS fp_id,
+           d.doc_id % {NP} AS pid,
+           s.s AS col,
+           CAST(FLOOR(d.doc_id / {NP}.0) AS BIGINT) AS row_k
+    FROM documents d {CROSS_SLOT}
+    WHERE d.doc_id < {FP_DOCS}
+  ) raw
+) geom
+"""
+
+# Spark-only ring column (bowtie swaps the last two corners → exactly one
+# self-crossing → the drop case of the make-valid rule).
+_FOOTPRINT_RINGS_SPARK = """
+SELECT *,
+  CASE WHEN is_bowtie = 1
+    THEN array(array(x0,y0, x1,y1, x1,y0, x0,y1, x0,y0))
+    ELSE array(array(x0,y0, x1,y0, x1,y1, x0,y1, x0,y0))
+  END AS rings
+FROM footprints_base
+"""
+
+# ----------------------------------------------------------------------
+# Conflation world: groups of 8 docs per conflation-parcel cpid.
+#   addr_count = cpid % 4  (0..3)    members m < addr_count carry an address
+#   bldg_count = 1 + cpid % 3 (1..3) members m >= 8-bldg_count carry a bldg
+#   building j = m - (8 - bldg_count) ∈ {0,1,2} sits in parcel slot j.
+# house+garage fixture: bldg_count=2 parcels with cpid % 5 = 0 get exactly
+# (House, Garage) (the reference's named fixture, tasks/pdx_bldgs.rake:9-10).
+# Widths 0.10+0.03*j+0.01*(doc_id%3) never tie within a parcel → the
+# max-area rule (tasks/pdx_bldgs.rake:151-175) has a unique winner.
+_CBLDG = """
+SELECT *,
+  (bx1 - bx0) * (by1 - by0) AS area_deg
+FROM (
+  SELECT *,
+    {W} + ((cpid % {NPX}) + 0.25 * j + 0.02) * {PW} AS bx0,
+    {W} + ((cpid % {NPX}) + 0.25 * j + 0.02 + 0.10 + 0.03 * j + 0.01 * (doc_id % 3)) * {PW} AS bx1,
+    {S} + (CAST(FLOOR((cpid % {NP}) / {NPX}.0) AS BIGINT) + 0.05) * {PH} AS by0,
+    {S} + (CAST(FLOOR((cpid % {NP}) / {NPX}.0) AS BIGINT) + 0.40) * {PH} AS by1
+  FROM (
+    SELECT
+      doc_id AS bldg_id,
+      doc_id,
+      cpid,
+      m - (8 - bldg_count) AS j,
+      bldg_count,
+      CASE
+        WHEN bldg_count = 2 AND cpid % 5 = 0 AND m - (8 - bldg_count) = 0 THEN 'House'
+        WHEN bldg_count = 2 AND cpid % 5 = 0 AND m - (8 - bldg_count) = 1 THEN 'Garage'
+        WHEN (doc_id * 7) % 13 = 0 THEN 'House'
+        WHEN (doc_id * 7) % 13 = 1 THEN 'HOUSES'
+        WHEN (doc_id * 7) % 13 = 2 THEN 'Houses'
+        WHEN (doc_id * 7) % 13 = 3 THEN 'Garage'
+        WHEN (doc_id * 7) % 13 = 4 THEN 'RES'
+        WHEN (doc_id * 7) % 13 = 5 THEN 'Res'
+        WHEN (doc_id * 7) % 13 = 6 THEN 'Duplex'
+        WHEN (doc_id * 7) % 13 = 7 THEN 'Townhouse'
+        WHEN (doc_id * 7) % 13 = 8 THEN 'Apartment Complex'
+        WHEN (doc_id * 7) % 13 = 9 THEN 'Multiplex'
+        WHEN (doc_id * 7) % 13 = 10 THEN 'Residential Condominiums'
+        WHEN (doc_id * 7) % 13 = 11 THEN 'Dormitories'
+        ELSE 'Not Set'
+      END AS bldg_type_raw,
+      CASE doc_id % 6
+        WHEN 0 THEN 'Single Family Residential'
+        WHEN 1 THEN 'Warehouse'
+        WHEN 2 THEN 'farm house dwelling'
+        WHEN 3 THEN 'Office'
+        WHEN 4 THEN NULL
+        ELSE 'Multi-Family Residential'
+      END AS bldg_use,
+      doc_id % 5 AS num_story,
+      (doc_id % 300) + 15.37 AS surf_elev,
+      ((doc_id % 18) * 3) + 4.21 AS max_height
+    FROM (
+      SELECT doc_id, CAST(FLOOR(doc_id / 8.0) AS BIGINT) AS cpid, doc_id % 8 AS m,
+             1 + CAST(FLOOR(doc_id / 8.0) AS BIGINT) % 3 AS bldg_count
+      FROM documents
+    ) g
+    WHERE m >= 8 - bldg_count
+  ) attrs
+) geom
+"""
+
+_CBLDG_RINGS_SPARK = """
+SELECT *, array(array(bx0,by0, bx1,by0, bx1,by1, bx0,by1, bx0,by0)) AS rings
+FROM cbldg_base
+"""
+
+# Conflation addresses. Street components exercise the expansion maps
+# (tasks/pdx_shapes.rake:42-103). Even cpid → all addr points inside the
+# parcel's building 0 (the A3 all-inside branch,
+# tasks/pdx_multi_addrs.rake:38-44); odd cpid → points in the parcel's top
+# margin, outside every building rect (the W1/W2 placement branch).
+# bix0/bix1/biy0/biy1 reconstruct building 0's rect: its doc_id is
+# cpid*8 + 7 - cpid % 3 (m = 8 - bldg_count, j = 0).
+_CADDR = """
+SELECT
+  address_id, doc_id, cpid, m, housenumber, fdpre, fname, ftype, fdsuf,
+  postcode, mail_city, unit_no,
+  CASE WHEN cpid % 2 = 0
+    THEN bix0 + (0.3 + 0.1 * m) * (bix1 - bix0)
+    ELSE {W} + ((cpid % {NPX}) + 0.1 + 0.2 * m) * {PW}
+  END AS lon,
+  CASE WHEN cpid % 2 = 0
+    THEN biy0 + (0.3 + 0.1 * m) * (biy1 - biy0)
+    ELSE {S} + (CAST(FLOOR((cpid % {NP}) / {NPX}.0) AS BIGINT) + 0.95) * {PH}
+  END AS lat
+FROM (
+  SELECT
+    doc_id AS address_id,
+    doc_id,
+    cpid,
+    m,
+    CAST(100 + (doc_id % 900) AS {STR}) AS housenumber,
+    CASE doc_id % 8 WHEN 0 THEN 'N' WHEN 1 THEN 'NE' WHEN 2 THEN 'SE' WHEN 3 THEN 'SW'
+                    WHEN 4 THEN 'NW' WHEN 5 THEN 'S' WHEN 6 THEN 'E' ELSE 'W' END AS fdpre,
+    CASE doc_id % 7 WHEN 0 THEN '"GRAND"' WHEN 1 THEN 'hwy 99' WHEN 2 THEN 'mcgill'
+                    WHEN 3 THEN 'portland' WHEN 4 THEN '39th' WHEN 5 THEN 'cesar e chavez'
+                    ELSE 'stark' END AS fname,
+    CASE doc_id % 9 WHEN 0 THEN 'AVE' WHEN 1 THEN 'BLVD' WHEN 2 THEN 'ST' WHEN 3 THEN 'CT'
+                    WHEN 4 THEN 'DR' WHEN 5 THEN 'HWY' WHEN 6 THEN 'LN' WHEN 7 THEN 'PKWY'
+                    ELSE 'WAY' END AS ftype,
+    CASE WHEN doc_id % 11 = 3 THEN 'SB' WHEN doc_id % 11 = 7 THEN 'NB' ELSE NULL END AS fdsuf,
+    CAST(97201 + (cpid % 40) AS {STR}) AS postcode,
+    CASE doc_id % 3 WHEN 0 THEN 'PORTLAND' WHEN 1 THEN 'portland' ELSE 'lake oswego' END AS mail_city,
+    CASE WHEN doc_id % 31 = 11 THEN 'B' ELSE NULL END AS unit_no,
+    {W} + ((cpid % {NPX}) + 0.02) * {PW} AS bix0,
+    {W} + ((cpid % {NPX}) + 0.02 + 0.10 + 0.01 * ((cpid * 8 + 7 - cpid % 3) % 3)) * {PW} AS bix1,
+    {S} + (CAST(FLOOR((cpid % {NP}) / {NPX}.0) AS BIGINT) + 0.05) * {PH} AS biy0,
+    {S} + (CAST(FLOOR((cpid % {NP}) / {NPX}.0) AS BIGINT) + 0.40) * {PH} AS biy1
+  FROM (
+    SELECT doc_id, CAST(FLOOR(doc_id / 8.0) AS BIGINT) AS cpid, doc_id % 8 AS m
+    FROM documents
+  ) g
+  WHERE m < cpid % 4
+) attrs
+"""
+
+# osm_existing ways (plays osmosis ways, tasks/osm_load.rake:39-47).
+# doc_id % 3 = 0 ways sit in the same parcel slot as that doc-group's
+# building 0 → guaranteed J5 dedup overlaps; the rest land elsewhere (any
+# incidental overlap is handled identically by engine and oracle).
+_OSM_WAYS = """
+SELECT *,
+  {W} + ((wpid % {NPX}) + 0.25 * slot + 0.04) * {PW} AS wx0,
+  {W} + ((wpid % {NPX}) + 0.25 * slot + 0.16) * {PW} AS wx1,
+  {S} + (CAST(FLOOR((wpid % {NP}) / {NPX}.0) AS BIGINT) + 0.5 * CAST(FLOOR(slot / 4.0) AS BIGINT) + 0.08) * {PH} AS wy0,
+  {S} + (CAST(FLOOR((wpid % {NP}) / {NPX}.0) AS BIGINT) + 0.5 * CAST(FLOOR(slot / 4.0) AS BIGINT) + 0.30) * {PH} AS wy1
+FROM (
+  SELECT
+    doc_id AS way_id,
+    doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN CAST(FLOOR(doc_id / 8.0) AS BIGINT) % {NP}
+         ELSE (doc_id * 11) % {NP} END AS wpid,
+    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 8 END AS slot,
+    (doc_id % 10) <> 4 AS is_closed_gen,
+    CASE doc_id % 4 WHEN 0 THEN 'yes' WHEN 1 THEN 'house' WHEN 2 THEN 'detached' ELSE '' END AS t_building,
+    CASE WHEN doc_id % 17 = 8 THEN 'yes' ELSE NULL END AS t_demolished,
+    CASE WHEN doc_id % 19 = 6 THEN 'roof' ELSE NULL END AS t_building_part,
+    CASE WHEN doc_id % 23 = 7 THEN 'construction' ELSE NULL END AS t_landuse,
+    CASE WHEN doc_id % 5 < 2 THEN CAST(200 + doc_id % 700 AS {STR}) ELSE NULL END AS t_housenumber,
+    CASE WHEN doc_id % 5 < 3 THEN 'Northeast Stark Street' ELSE NULL END AS t_street,
+    CASE WHEN doc_id % 6 = 1 THEN 'Portland' ELSE NULL END AS t_city,
+    CASE WHEN doc_id % 7 = 2 THEN CAST(97201 + doc_id % 40 AS {STR}) ELSE NULL END AS t_postcode,
+    CASE WHEN doc_id % 13 = 3 THEN CAST(1 + doc_id % 4 AS {STR}) ELSE NULL END AS t_levels
+  FROM documents
+  WHERE doc_id % 2 = 0
+) attrs
+"""
+
+_OSM_WAYS_RINGS_SPARK = """
+SELECT *,
+  map_filter(map(
+    'building', t_building,
+    'demolished:building', t_demolished,
+    'building:part', t_building_part,
+    'landuse', t_landuse,
+    'addr:housenumber', t_housenumber,
+    'addr:street', t_street,
+    'addr:city', t_city,
+    'addr:postcode', t_postcode,
+    'building:levels', t_levels
+  ), (k, v) -> v IS NOT NULL) AS tags,
+  CASE WHEN is_closed_gen
+    THEN array(array(wx0,wy0, wx1,wy0, wx1,wy1, wx0,wy1, wx0,wy0))
+    ELSE array(array(wx0,wy0, wx1,wy0, wx1,wy1, wx0,wy1))
+  END AS rings
+FROM osm_ways_base
+"""
+
+_OSM_NODES = """
+SELECT
+  doc_id AS node_id,
+  doc_id,
+  {W} + ((doc_id % {NP}) % {NPX} + 0.02 + 0.96 * (((doc_id * 6151) % 10000) / 10000.0)) * {PW} AS lon,
+  {S} + (CAST(FLOOR((doc_id % {NP}) / {NPX}.0) AS BIGINT) + 0.02 + 0.96 * (((doc_id * 3571) % 10000) / 10000.0)) * {PH} AS lat,
+  CASE WHEN doc_id % 3 < 2 THEN CAST(300 + doc_id % 600 AS {STR}) ELSE NULL END AS t_housenumber,
+  CASE WHEN doc_id % 3 < 2 THEN 'Southeast Division Street' ELSE NULL END AS t_street,
+  CASE WHEN doc_id % 9 = 1 THEN 'Portland' ELSE NULL END AS t_city
+FROM documents
+WHERE doc_id % 2 = 1
+"""
+
+_TEMPLATES = {
+    "pages": _PAGES,
+    "footprints_base": _FOOTPRINTS,
+    "cbldg_base": _CBLDG,
+    "caddr": _CADDR,
+    "osm_ways_base": _OSM_WAYS,
+    "osm_nodes": _OSM_NODES,
+}
+
+_SPARK_EXTRA = {
+    "footprints": _FOOTPRINT_RINGS_SPARK,
+    "cbldg": _CBLDG_RINGS_SPARK,
+    "osm_ways": _OSM_WAYS_RINGS_SPARK,
+}
+
+_DIALECT = {
+    "spark": {
+        "STR": "STRING",
+        "BIN": "BINARY",
+        "TS_PAGE": "timestampadd(SECOND, CAST(page_id % 86400 AS INT), TIMESTAMP '2024-01-01 00:00:00')",
+        "CROSS_REP": f"LATERAL VIEW explode(sequence(0, {REP - 1})) r AS r",
+        "CROSS_SLOT": "LATERAL VIEW explode(sequence(0, 3)) s AS s",
+    },
+    "duckdb": {
+        "STR": "VARCHAR",
+        "BIN": "BLOB",
+        "TS_PAGE": "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (page_id % 86400) SECOND",
+        "CROSS_REP": f"CROSS JOIN (SELECT CAST(range AS BIGINT) AS r FROM range({REP})) r",
+        "CROSS_SLOT": "CROSS JOIN (SELECT CAST(range AS BIGINT) AS s FROM range(4)) s",
+    },
+}
+
+
+_DECIMAL_LIT = __import__("re").compile(r"(?<![\w.])(\d+\.\d+)(?![\d.eE])")
+
+
+def _force_double(sql: str) -> str:
+    """Rewrite decimal literals to e-notation so BOTH engines use IEEE
+    double arithmetic (bare ``0.25`` is DECIMAL in Spark SQL and DuckDB,
+    with engine-specific decimal semantics — doubles are bit-portable)."""
+    return _DECIMAL_LIT.sub(r"\1e0", sql)
+
+
+def render(name: str, dialect: str) -> str:
+    params = dict(_CONST)
+    params.update(_DIALECT[dialect])
+    return _force_double(_TEMPLATES[name].format(**params))
+
+
+def register_views(spark, sf_dir: str) -> None:
+    """Register driver parquet tables + synth temp views on a session."""
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    params = dict(_CONST)
+    params.update(_DIALECT["spark"])
+    for name in _TEMPLATES:
+        spark.sql(render(name, "spark")).createOrReplaceTempView(name)
+    for name, tpl in _SPARK_EXTRA.items():
+        spark.sql(_force_double(tpl.format(**params))).createOrReplaceTempView(name)
+
+
+def oracle_with(*names: str) -> str:
+    """``WITH a AS (...), b AS (...)`` prefix for oracle SQL. List base
+    views before dependents (e.g. ``footprints_base`` has no oracle-side
+    dependent — the oracle reads the corner scalars directly)."""
+    parts = [f"{n} AS ({render(n, 'duckdb')})" for n in names]
+    return "WITH " + ",\n".join(parts) + "\n"
+
+
+_REGISTERED: dict = {}
+
+
+def register_views_cached(spark, sf_dir: str) -> None:
+    """Per-session memoized view registration. Keyed by session only:
+    temp-view names are global per session, so if the *current* views
+    belong to a different sf_dir they must be re-registered (an
+    alternating-SF caller would otherwise silently read the wrong scale)."""
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
+    register_views(spark, sf_dir)
+    _REGISTERED[key] = sf_dir
