@@ -9,8 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
 
+from . import oracles_conflation as OC
 from . import synth
 from .geo import cells as C
+from .operators import conflation as CF
 from .operators import geometry as G
 from .operators.pip_join import pip_join, tile_expr
 
@@ -62,6 +64,31 @@ def valid_footprints(spark: SparkSession) -> DataFrame:
     """Back-compat shim: enriched + repaired footprints (assumes views
     registered; prefer prepared_footprints)."""
     return G.enrich_polys(spark.table("footprints"), "fp_id").filter(F.col("valid"))
+
+
+def prepared_cbldg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conflation buildings (pdx_bldgs_orig analog) with ingest
+    enrichment: centroid + area from the ring kernels (the honest
+    geometry path — the generator's corner scalars are never read)."""
+    key = (id(spark), sf_dir, "cbldg")
+    df = _PREP_CACHE.get(key)
+    if df is None:
+        views(spark, sf_dir)
+        raw = spark.table("cbldg").select(
+            "bldg_id",
+            F.col("cpid").alias("state_id"),
+            "bldg_type_raw", "bldg_use", "num_story",
+            "surf_elev", "max_height", "rings",
+        )
+        df = G.enrich_polys(raw, "bldg_id").cache()
+        df.count()
+        _PREP_CACHE[key] = df
+    return df
+
+
+def conflation_addrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return CF.pdx_addrs(spark.table("caddr"))
 
 
 # ----------------------------------------------------------------------
@@ -202,4 +229,81 @@ def q_knn_unassigned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("page_id", F.col("fp_id").alias("nearest_fp"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Conflation chain (the reference's heart, tasks/pdx_bldgs.rake &c.)
+
+# pdx_addrs: street expansion (F1-F4), unit exclusion (P4), arterial
+# dedup-delete (J9), Chavez rename (tasks/pdx_addrs.rake, pdx_shapes.rake).
+@register(
+    "pdx_addrs",
+    OC.with_prefix()
+    + """
+    SELECT state_id, address_id, housenumber, street, postcode, city,
+           state, country
+    FROM pdx_addrs
+    """,
+)
+def q_pdx_addrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conflation_addrs(spark, sf_dir).select(
+        "state_id", "address_id", "housenumber", "street", "postcode",
+        "city", "state", "country",
+    )
+
+
+# A1 addr_bldg_counts (tasks/pdx_shapes.rake:162-175)
+@register(
+    "addr_bldg_counts",
+    OC.with_prefix()
+    + """
+    SELECT state_id, addr_count, bldg_count FROM abc
+    """,
+)
+def q_addr_bldg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    bldgs = spark.table("cbldg").withColumnRenamed("cpid", "state_id")
+    return CF.addr_bldg_counts(bldgs, conflation_addrs(spark, sf_dir))
+
+
+# J1 house_and_garage (tasks/pdx_bldgs.rake:12-23)
+@register(
+    "house_and_garage",
+    OC.with_prefix()
+    + """
+    SELECT state_id, addr_count FROM hg
+    """,
+)
+def q_house_and_garage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    bldgs = spark.table("cbldg").withColumnRenamed("cpid", "state_id")
+    counts = CF.addr_bldg_counts(bldgs, conflation_addrs(spark, sf_dir))
+    return CF.house_and_garage(bldgs, counts)
+
+
+# The full pdx_bldgs chain (J2/J6/P7/A2 + qtrsec tiling),
+# tasks/pdx_bldgs.rake:1-175.
+@register(
+    "pdx_bldgs",
+    OC.with_prefix(OC.PDX_BLDGS_CTES)
+    + """
+    SELECT state_id, bldg_id, address_id, housenumber, street, postcode,
+           city, state, country, levels, ele, height, bldg_type,
+           no_addrs, bldg_count, is_deleted, qtrsec
+    FROM pdx_bldgs
+    """,
+)
+def q_pdx_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    bldgs = prepared_cbldg(spark, sf_dir)
+    addrs = conflation_addrs(spark, sf_dir)
+    counts = CF.addr_bldg_counts(bldgs, addrs)
+    hg = CF.house_and_garage(bldgs, counts)
+    view = CF.pdx_bldg_view(bldgs, addrs, counts)
+    out = CF.pdx_bldgs(view, hg, lambda lon, lat: tile_expr(lon, lat, C.RES_TILE))
+    return out.select(
+        "state_id", "bldg_id", "address_id", "housenumber", "street",
+        "postcode", "city", "state", "country", "levels", "ele", "height",
+        "bldg_type", "no_addrs", "bldg_count", "is_deleted", "qtrsec",
     )

@@ -211,7 +211,7 @@ FROM (
     doc_id,
     cpid,
     m,
-    CAST(100 + (doc_id % 900) AS {STR}) AS housenumber,
+    CAST(100 + (cpid % 900) AS {STR}) AS housenumber,
     CASE doc_id % 8 WHEN 0 THEN 'N' WHEN 1 THEN 'NE' WHEN 2 THEN 'SE' WHEN 3 THEN 'SW'
                     WHEN 4 THEN 'NW' WHEN 5 THEN 'S' WHEN 6 THEN 'E' ELSE 'W' END AS fdpre,
     CASE doc_id % 7 WHEN 0 THEN '"GRAND"' WHEN 1 THEN 'hwy 99' WHEN 2 THEN 'mcgill'
