@@ -21,7 +21,7 @@ if _REPO not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pdxbldgimport_spark import queries as Q
+from pdxbldgimport_spark import registry as Q
 from pdxbldgimport_spark.shipping import ship
 
 

@@ -210,3 +210,89 @@ def pdx_bldgs(view: DataFrame, hg: DataFrame, tile_col) -> DataFrame:
         typ = "long" if c == "address_id" else "string"
         df = df.withColumn(c, F.when(F.col("__hit"), F.lit(None).cast(typ)).otherwise(F.col(c)))
     return df.drop("max_area", "__hit")
+
+
+def perturb(lon, lat, key):
+    """Deterministic replacement for the reference's random perturbation
+    (plpgsql perturb_point, tasks/pdx_multi_addrs.rake:6-18:
+    random()*0.00001 per axis). Resumable runs need reproducible geometry,
+    so the offset derives from a row key: ((key*p + salt) % 10000)/1e9 ∈
+    [0, 1e-5) — same magnitude, pure integer arithmetic (oracle-portable)."""
+    ox = ((key * F.lit(6151) + F.lit(1)) % F.lit(10000)).cast("double") / F.lit(1.0e9)
+    oy = ((key * F.lit(7919) + F.lit(2)) % F.lit(10000)).cast("double") / F.lit(1.0e9)
+    return lon + ox, lat + oy
+
+
+def multi_addrs(
+    mb_all: DataFrame, addrs: DataFrame, inside_pairs: DataFrame
+) -> DataFrame:
+    """pdx_bldgs_multi_addrs (tasks/pdx_multi_addrs.rake:20-95).
+
+    ``mb_all``: pdx_bldgs output joined back to rings enrichment — needs
+    bldg_id, state_id, qtrsec, no_addrs, is_deleted, bldg_type,
+    pos_lon/pos_lat (ST_PointOnSurface). ``inside_pairs``: spatial PIP
+    pairs (address_id, bldg_id) over no_addrs>1 buildings (J4).
+
+    Branch A (A3 all-inside, rake:38-44): buildings where every one of the
+    parcel's addresses falls inside → keep the city's address points.
+    Branch B (W1×W2×W3, rake:52-87): rank addresses per parcel, replicate
+    the building's interior point no_addrs times, zip-join on (state_id,
+    num). Deterministic perturb replaces random() (F10).
+    Row_number tie order is pinned with address_id (Postgres leaves it
+    unpinned — determinism requirement)."""
+    mb = mb_all.where((F.col("no_addrs") > 1) & (F.col("is_deleted") == F.lit(False)))
+
+    # A3: count-of-contained == no_addrs per building
+    all_inside = (
+        inside_pairs.join(
+            mb_all.where(F.col("no_addrs") > 1).select("bldg_id", "no_addrs"), "bldg_id"
+        )
+        .groupBy("bldg_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.avg("no_addrs").alias("avgn"))
+        .where(F.col("cnt") == F.col("avgn"))
+        .select("bldg_id")
+    )
+    out_cols = [
+        "pdx_bldg_id", "state_id", "qtrsec",
+        "housenumber", "street", "postcode", "city", "state", "lon", "lat",
+    ]
+    branch_a = (
+        mb.join(all_inside, "bldg_id", "left_semi")
+        .select("bldg_id", "state_id", "qtrsec")
+        .join(
+            addrs.select("state_id", "address_id", "housenumber", "street",
+                         "postcode", "city", "state", "lon", "lat"),
+            "state_id",
+        )
+    )
+    plon, plat = perturb(F.col("lon"), F.col("lat"), F.col("address_id"))
+    branch_a = branch_a.select(
+        F.col("bldg_id").alias("pdx_bldg_id"), "state_id", "qtrsec",
+        "housenumber", "street", "postcode", "city", "state",
+        plon.alias("lon"), plat.alias("lat"),
+    )
+
+    # W1: rank addresses within parcel
+    w = Wnd.partitionBy("state_id").orderBy(F.col("housenumber").asc(), F.col("address_id").asc())
+    a_ranked = addrs.select(
+        F.row_number().over(w).alias("num"),
+        "housenumber", "street", "postcode", "city", "state", "state_id",
+    )
+    # W2: one interior point per expected address
+    b_gen = (
+        mb.where(F.col("bldg_type") != "garage")
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("no_addrs").cast("int"))).alias("num"),
+            "qtrsec", "state_id", F.col("bldg_id"), "pos_lon", "pos_lat",
+        )
+    )
+    done = branch_a.select("state_id").distinct()
+    zipped = a_ranked.join(b_gen, ["state_id", "num"]).join(done, "state_id", "left_anti")
+    key = F.col("state_id") * F.lit(100) + F.col("num")
+    zlon, zlat = perturb(F.col("pos_lon"), F.col("pos_lat"), key)
+    branch_b = zipped.select(
+        F.col("bldg_id").alias("pdx_bldg_id"), "state_id", "qtrsec",
+        "housenumber", "street", "postcode", "city", "state",
+        zlon.alias("lon"), zlat.alias("lat"),
+    )
+    return branch_a.select(out_cols).unionByName(branch_b.select(out_cols))

@@ -162,7 +162,50 @@ PDX_BLDGS_CTES = f"""
 """
 
 
-def with_prefix(*extra: str) -> str:
-    """Full WITH chain: synth bases + conflation CTEs (+ caller extras)."""
-    base = synth.oracle_with("caddr", "cbldg_base").rstrip()
+MULTI_ADDRS_CTES = """
+, mb AS (
+  SELECT * FROM pdx_bldgs WHERE no_addrs > 1 AND is_deleted = FALSE
+), inside AS (
+  SELECT b.bldg_id
+  FROM pdx_bldgs b
+  JOIN cbldg_base cb ON cb.bldg_id = b.bldg_id
+  JOIN pdx_addrs a
+    ON a.lon >= cb.bx0 AND a.lon < cb.bx1
+   AND a.lat >= cb.by0 AND a.lat < cb.by1
+  WHERE b.no_addrs > 1
+  GROUP BY b.bldg_id
+  HAVING COUNT(*) = AVG(b.no_addrs)
+), brancha AS (
+  SELECT b.bldg_id AS pdx_bldg_id, b.state_id, b.qtrsec,
+         a.housenumber, a.street, a.postcode, a.city, a.state
+  FROM mb b
+  JOIN pdx_addrs a ON a.state_id = b.state_id
+  WHERE b.bldg_id IN (SELECT bldg_id FROM inside)
+), aa AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY state_id
+                            ORDER BY housenumber, address_id) AS num,
+         housenumber, street, postcode, city, state, state_id
+  FROM pdx_addrs
+), bb AS (
+  SELECT unnest(generate_series(1, CAST(no_addrs AS BIGINT))) AS num,
+         qtrsec, state_id, bldg_id
+  FROM mb
+  WHERE bldg_type <> 'garage'
+), branchb AS (
+  SELECT b.bldg_id AS pdx_bldg_id, b.state_id, b.qtrsec,
+         a.housenumber, a.street, a.postcode, a.city, a.state
+  FROM aa a
+  JOIN bb b ON a.state_id = b.state_id AND a.num = b.num
+  WHERE a.state_id NOT IN (SELECT state_id FROM brancha)
+), multi_addrs AS (
+  SELECT * FROM brancha UNION ALL SELECT * FROM branchb
+)
+"""
+
+
+def with_prefix(*extra: str, bases: tuple[str, ...] = ()) -> str:
+    """Full WITH chain: synth bases + conflation CTEs (+ caller extras).
+    ``bases`` adds further synth tables (footprints_base, osm_ways_base…)
+    to the default caddr/cbldg_base pair."""
+    base = synth.oracle_with("caddr", "cbldg_base", *bases).rstrip()
     return base + PDX_ADDRS_CTES + COUNTS_CTES + HG_CTES + "".join(extra)

@@ -40,24 +40,33 @@ def views(spark: SparkSession, sf_dir: str) -> None:
 _PREP_CACHE: dict = {}
 
 
+def stage(spark: SparkSession, key: tuple, df_fn) -> DataFrame:
+    """Materialize a stage boundary once per (session, sf_dir): every rake
+    ``table`` block in the reference is a physical table; its Spark analog
+    must cut the logical plan too, or Catalyst re-analyzes the whole
+    upstream chain at every reference (the plan grows combinatorially
+    through self-joins). ``localCheckpoint`` truncates lineage — on a real
+    cluster this is the per-stage Iceberg write + snapshot-id manifest
+    (SURVEY.md §2.9 resumability note)."""
+    df = _PREP_CACHE.get(key)
+    if df is None:
+        df = df_fn().localCheckpoint(eager=True)
+        _PREP_CACHE[key] = df
+    return df
+
+
 def prepared_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pdx_bldgs_orig after one-pass ingest enrichment + geometry repair
     (drops bowties — the repairs-to-MultiPolygon rule,
     tasks/pdx_shapes.rake:115-131). Cached per session: every spatial
     query reuses the same materialized small side, like the reference's
     persisted `the_geom_centroids` columns."""
-    key = (id(spark), sf_dir)
-    df = _PREP_CACHE.get(key)
-    if df is None:
-        views(spark, sf_dir)
-        df = (
-            G.enrich_polys(spark.table("footprints"), "fp_id")
-            .filter(F.col("valid"))
-            .cache()
-        )
-        df.count()
-        _PREP_CACHE[key] = df
-    return df
+    views(spark, sf_dir)
+    return stage(
+        spark,
+        (id(spark), sf_dir, "footprints"),
+        lambda: G.enrich_polys(spark.table("footprints"), "fp_id").filter(F.col("valid")),
+    )
 
 
 def valid_footprints(spark: SparkSession) -> DataFrame:
@@ -70,25 +79,27 @@ def prepared_cbldg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conflation buildings (pdx_bldgs_orig analog) with ingest
     enrichment: centroid + area from the ring kernels (the honest
     geometry path — the generator's corner scalars are never read)."""
-    key = (id(spark), sf_dir, "cbldg")
-    df = _PREP_CACHE.get(key)
-    if df is None:
-        views(spark, sf_dir)
+    views(spark, sf_dir)
+
+    def build():
         raw = spark.table("cbldg").select(
             "bldg_id",
             F.col("cpid").alias("state_id"),
             "bldg_type_raw", "bldg_use", "num_story",
             "surf_elev", "max_height", "rings",
         )
-        df = G.enrich_polys(raw, "bldg_id").cache()
-        df.count()
-        _PREP_CACHE[key] = df
-    return df
+        return G.enrich_polys(raw, "bldg_id")
+
+    return stage(spark, (id(spark), sf_dir, "cbldg"), build)
 
 
 def conflation_addrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    return CF.pdx_addrs(spark.table("caddr"))
+    return stage(
+        spark,
+        (id(spark), sf_dir, "pdx_addrs"),
+        lambda: CF.pdx_addrs(spark.table("caddr")),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -296,14 +307,65 @@ def q_house_and_garage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pdx_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    bldgs = prepared_cbldg(spark, sf_dir)
-    addrs = conflation_addrs(spark, sf_dir)
-    counts = CF.addr_bldg_counts(bldgs, addrs)
-    hg = CF.house_and_garage(bldgs, counts)
-    view = CF.pdx_bldg_view(bldgs, addrs, counts)
-    out = CF.pdx_bldgs(view, hg, lambda lon, lat: tile_expr(lon, lat, C.RES_TILE))
+    out = pdx_bldgs_df(spark, sf_dir)
     return out.select(
         "state_id", "bldg_id", "address_id", "housenumber", "street",
         "postcode", "city", "state", "country", "levels", "ele", "height",
         "bldg_type", "no_addrs", "bldg_count", "is_deleted", "qtrsec",
     )
+
+
+def pdx_bldgs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached final pdx_bldgs table (the chain is input to multi-addr,
+    metro dedup, and the export tiler — materialize once per session,
+    like the reference's physical table)."""
+    bldgs = prepared_cbldg(spark, sf_dir)
+    addrs = conflation_addrs(spark, sf_dir)
+    counts = stage(
+        spark, (id(spark), sf_dir, "abc"),
+        lambda: CF.addr_bldg_counts(bldgs, addrs),
+    )
+    hg = stage(
+        spark, (id(spark), sf_dir, "hg"),
+        lambda: CF.house_and_garage(bldgs, counts),
+    )
+    view = stage(
+        spark, (id(spark), sf_dir, "view"),
+        lambda: CF.pdx_bldg_view(bldgs, addrs, counts),
+    )
+    return stage(
+        spark, (id(spark), sf_dir, "pdx_bldgs"),
+        lambda: CF.pdx_bldgs(view, hg, lambda lon, lat: tile_expr(lon, lat, C.RES_TILE)),
+    )
+
+
+# W1/W2/W3 + A3: multi-address placement (tasks/pdx_multi_addrs.rake).
+# The all-inside test is a genuine spatial PIP join (J4) over the
+# multi-address buildings; placement uses kernel ST_PointOnSurface with
+# deterministic perturbation (F10). lon/lat are engine-kernel values and
+# are verified by pytest (containment + determinism), not the SQL oracle.
+@register(
+    "multi_addrs",
+    OC.with_prefix(OC.PDX_BLDGS_CTES, OC.MULTI_ADDRS_CTES)
+    + """
+    SELECT pdx_bldg_id, state_id, qtrsec, housenumber, street, postcode,
+           city, state
+    FROM multi_addrs
+    """,
+)
+def q_multi_addrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return multi_addrs_df(spark, sf_dir).drop("lon", "lat")
+
+
+def multi_addrs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bldgs = prepared_cbldg(spark, sf_dir)
+    addrs = conflation_addrs(spark, sf_dir)
+    pdx = pdx_bldgs_df(spark, sf_dir)
+    mb_all = pdx.join(
+        bldgs.select("bldg_id", "rings", "pos_lon", "pos_lat"), "bldg_id"
+    )
+    pts = addrs.select("address_id", "lon", "lat")
+    target = mb_all.where(F.col("no_addrs") > 1).select("bldg_id", "rings")
+    inside_pairs = pip_join(pts, target, "address_id", "bldg_id")
+    return CF.multi_addrs(mb_all, addrs, inside_pairs)

@@ -1,0 +1,450 @@
+"""OSM-existing-world queries: tag projection (P1-P5), polygon dedup
+(J5/O4), metro union (O2), fill-only tag merge (F9), per-tile export
+(S7/O1) and changeset batching (S9). Registers into queries.QUERIES."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
+
+from . import oracles_conflation as OC
+from . import synth
+from .geo import cells as C
+from .operators import geometry as G
+from .operators.poly_join import intersects_join
+from .operators.pip_join import tile_expr
+from .queries import (
+    ORACLES,
+    QUERIES,
+    _PREP_CACHE,
+    prepared_cbldg,
+    prepared_footprints,
+    pdx_bldgs_df,
+    register,
+    views,
+)
+
+# tag keys the engine projects (subset of the reference's 26,
+# tasks/osm_buildings.rake:9-33 — synth carries these 9)
+TAG_COLS = [
+    ("building", "t_building"),
+    ("demolished:building", "t_demolished"),
+    ("building:part", "t_building_part"),
+    ("landuse", "t_landuse"),
+    ("addr:housenumber", "t_housenumber"),
+    ("addr:street", "t_street"),
+    ("addr:city", "t_city"),
+    ("addr:postcode", "t_postcode"),
+    ("building:levels", "t_levels"),
+]
+
+
+def prepared_osm_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """osm ways with kernel-computed ring closedness (st_isclosed,
+    tasks/osm_buildings.rake:36) — the honest path; the generator's
+    is_closed_gen flag is never read by the engine."""
+    views(spark, sf_dir)
+    from .queries import stage
+
+    return stage(
+        spark,
+        (id(spark), sf_dir, "osm_ways"),
+        lambda: G.with_closed_flag(
+            spark.table("osm_ways").select("way_id", "tags", "rings"), "way_id"
+        ),
+    )
+
+
+def _bldg_tag_filter():
+    t = lambda k: F.try_element_at(F.col("tags"), F.lit(k))  # noqa: E731
+    return (
+        (t("building") != "")
+        | (t("demolished:building") != "")
+        | (t("building:part") != "")
+    )
+
+
+def osm_buildings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2 (tasks/osm_buildings.rake:4-37): closed ways carrying
+    building-ish tags, tag map flattened to columns."""
+    ways = prepared_osm_ways(spark, sf_dir)
+    t = lambda k: F.try_element_at(F.col("tags"), F.lit(k))  # noqa: E731
+    proj = [
+        t(k).alias(k.replace(":", "_").replace("addr_", "addr_")) for k, _ in TAG_COLS
+    ]
+    return ways.where(F.col("is_closed") & _bldg_tag_filter()).select(
+        "way_id", *proj, "rings"
+    )
+
+
+_OSM_BLDG_ORACLE_COLS = ", ".join(
+    f"{src} AS {k.replace(':', '_')}" for k, src in TAG_COLS
+)
+_OSM_BLDG_FILTER = (
+    "is_closed_gen AND (t_building <> '' OR t_demolished <> '' "
+    "OR t_building_part <> '')"
+)
+
+
+@register(
+    "osm_buildings",
+    synth.oracle_with("osm_ways_base")
+    + f"""
+    SELECT way_id, {_OSM_BLDG_ORACLE_COLS}
+    FROM osm_ways_base
+    WHERE {_OSM_BLDG_FILTER}
+    """,
+)
+def q_osm_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return osm_buildings_df(spark, sf_dir).drop("rings")
+
+
+# P5 construction sites (tasks/osm_construction.rake:1-16)
+@register(
+    "osm_construction",
+    synth.oracle_with("osm_ways_base")
+    + """
+    SELECT way_id
+    FROM osm_ways_base
+    WHERE is_closed_gen AND t_landuse = 'construction'
+    """,
+)
+def q_osm_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ways = prepared_osm_ways(spark, sf_dir)
+    return ways.where(
+        F.col("is_closed")
+        & (F.try_element_at(F.col("tags"), F.lit("landuse")) == "construction")
+    ).select("way_id")
+
+
+def construction_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = prepared_osm_ways(spark, sf_dir)
+    return ways.where(
+        F.col("is_closed")
+        & (F.try_element_at(F.col("tags"), F.lit("landuse")) == "construction")
+    ).select("way_id", "rings")
+
+
+# P3+O3 osm_addresses (tasks/osm_addresses.rake): address-carrying closed
+# ways UNION ALL address-carrying nodes.
+@register(
+    "osm_addresses",
+    synth.oracle_with("osm_ways_base", "osm_nodes_base")
+    + """
+    SELECT way_id, CAST(NULL AS BIGINT) AS node_id, 'way' AS type,
+           t_housenumber AS addr_housenumber, t_street AS addr_street,
+           t_city AS addr_city
+    FROM osm_ways_base
+    WHERE is_closed_gen AND t_street <> '' AND t_housenumber <> ''
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), node_id, 'node',
+           t_housenumber, t_street, t_city
+    FROM osm_nodes_base
+    WHERE t_street <> '' AND t_housenumber <> ''
+    """,
+)
+def q_osm_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    t = lambda k: F.try_element_at(F.col("tags"), F.lit(k))  # noqa: E731
+    ways = (
+        prepared_osm_ways(spark, sf_dir)
+        .where(F.col("is_closed") & (t("addr:street") != "") & (t("addr:housenumber") != ""))
+        .select(
+            "way_id",
+            F.lit(None).cast("long").alias("node_id"),
+            F.lit("way").alias("type"),
+            t("addr:housenumber").alias("addr_housenumber"),
+            t("addr:street").alias("addr_street"),
+            t("addr:city").alias("addr_city"),
+        )
+    )
+    nodes = (
+        spark.table("osm_nodes")
+        .where((t("addr:street") != "") & (t("addr:housenumber") != ""))
+        .select(
+            F.lit(None).cast("long").alias("way_id"),
+            "node_id",
+            F.lit("node").alias("type"),
+            t("addr:housenumber").alias("addr_housenumber"),
+            t("addr:street").alias("addr_street"),
+            t("addr:city").alias("addr_city"),
+        )
+    )
+    return ways.unionByName(nodes)
+
+
+# ----------------------------------------------------------------------
+# metro_bldgs: O2 union of the two regions + J5 dedup marks + O4 split
+# (tasks/metro_bldgs.rake). mkey = bldg_key*2 + src bit (collision-free
+# deterministic join key across the two id spaces).
+
+_TILE_MID = (
+    f"CAST(LEAST(GREATEST(FLOOR(((y0 + y1) / 2e0 - ({C.LAT_S!r})) / {C.SPAN_Y!r} * 32e0), 0), 31) AS BIGINT) * 32 "
+    f"+ CAST(LEAST(GREATEST(FLOOR(((x0 + x1) / 2e0 - ({C.LON_W!r})) / {C.SPAN_X!r} * 32e0), 0), 31) AS BIGINT)"
+)
+
+METRO_CTES = f"""
+, metro AS (
+  SELECT 'pdx' AS src, CAST(b.state_id AS VARCHAR) AS property_id,
+         b.bldg_id * 2 AS mkey, cb.bx0 AS x0, cb.bx1 AS x1,
+         cb.by0 AS y0, cb.by1 AS y1, b.qtrsec,
+         b.housenumber AS addr_housenumber, b.street AS addr_street,
+         b.city AS addr_city, COALESCE(b.state, 'OR') AS addr_state,
+         b.postcode AS addr_postcode,
+         CASE WHEN b.levels = 0 THEN NULL ELSE b.levels END AS levels,
+         b.ele, b.height, b.bldg_type, b.no_addrs
+  FROM pdx_bldgs b JOIN cbldg_base cb USING (bldg_id)
+  UNION ALL
+  SELECT 'clark', CAST(f.fp_id AS VARCHAR), f.fp_id * 2 + 1,
+         f.x0, f.x1, f.y0, f.y1,
+         {_TILE_MID},
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         'WA', CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         'yes', CAST(NULL AS BIGINT)
+  FROM footprints_base f WHERE f.fp_id % 97 <> 5
+), osmb AS (
+  SELECT way_id, wx0, wx1, wy0, wy1 FROM osm_ways_base
+  WHERE {_OSM_BLDG_FILTER}
+), osmc AS (
+  SELECT way_id, wx0, wx1, wy0, wy1 FROM osm_ways_base
+  WHERE is_closed_gen AND t_landuse = 'construction'
+), metro_marked AS (
+  SELECT m.*,
+    (EXISTS (SELECT 1 FROM osmb o
+             WHERE m.x0 <= o.wx1 AND o.wx0 <= m.x1
+               AND m.y0 <= o.wy1 AND o.wy0 <= m.y1)
+     OR EXISTS (SELECT 1 FROM osmc o
+             WHERE m.x0 <= o.wx1 AND o.wx0 <= m.x1
+               AND m.y0 <= o.wy1 AND o.wy0 <= m.y1)) AS is_deleted
+  FROM metro m
+)
+"""
+
+
+def metro_marked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pdx = pdx_bldgs_df(spark, sf_dir)
+    cb = prepared_cbldg(spark, sf_dir).select("bldg_id", "rings")
+    pdx_side = pdx.join(cb, "bldg_id").select(
+        F.lit("pdx").alias("src"),
+        F.col("state_id").cast("string").alias("property_id"),
+        (F.col("bldg_id") * 2).alias("mkey"),
+        F.col("qtrsec"),
+        F.col("housenumber").alias("addr_housenumber"),
+        F.col("street").alias("addr_street"),
+        F.col("city").alias("addr_city"),
+        F.coalesce(F.col("state"), F.lit("OR")).alias("addr_state"),
+        F.col("postcode").alias("addr_postcode"),
+        F.nullif(F.col("levels"), F.lit(0)).alias("levels"),
+        "ele", "height", "bldg_type", "no_addrs", "rings",
+    )
+    clark = prepared_footprints(spark, sf_dir).select(
+        F.lit("clark").alias("src"),
+        F.col("fp_id").cast("string").alias("property_id"),
+        (F.col("fp_id") * 2 + 1).alias("mkey"),
+        tile_expr(F.col("centroid_lon"), F.col("centroid_lat"), C.RES_TILE).alias("qtrsec"),
+        F.lit(None).cast("string").alias("addr_housenumber"),
+        F.lit(None).cast("string").alias("addr_street"),
+        F.lit(None).cast("string").alias("addr_city"),
+        F.lit("WA").alias("addr_state"),
+        F.lit(None).cast("string").alias("addr_postcode"),
+        F.lit(None).cast("long").alias("levels"),
+        F.lit(None).cast("double").alias("ele"),
+        F.lit(None).cast("double").alias("height"),
+        F.lit("yes").alias("bldg_type"),
+        F.lit(None).cast("long").alias("no_addrs"),
+        "rings",
+    )
+    metro = pdx_side.unionByName(clark)
+    osmb = osm_buildings_df(spark, sf_dir).select("way_id", "rings")
+    osmc = construction_df(spark, sf_dir)
+    hit_b = intersects_join(metro, osmb, "mkey", "way_id").select("mkey").distinct()
+    hit_c = intersects_join(metro, osmc, "mkey", "way_id").select("mkey").distinct()
+    hits = hit_b.unionByName(hit_c).distinct().withColumn("__del", F.lit(True))
+    return (
+        metro.join(hits, "mkey", "left")
+        .withColumn("is_deleted", F.coalesce(F.col("__del"), F.lit(False)))
+        .drop("__del")
+    )
+
+
+_METRO_OUT = (
+    "src, property_id, mkey, qtrsec, addr_housenumber, addr_street, "
+    "addr_city, addr_state, addr_postcode, levels, bldg_type, is_deleted"
+)
+
+
+@register(
+    "metro_bldgs",
+    OC.with_prefix(OC.PDX_BLDGS_CTES, METRO_CTES,
+                   bases=("footprints_base", "osm_ways_base"))
+    + f"SELECT {_METRO_OUT} FROM metro_marked WHERE NOT is_deleted",
+)
+def q_metro_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    df = metro_marked_df(spark, sf_dir)
+    return df.where(~F.col("is_deleted")).select(*_METRO_OUT.split(", "))
+
+
+@register(
+    "metro_bldgs_deleted",
+    OC.with_prefix(OC.PDX_BLDGS_CTES, METRO_CTES,
+                   bases=("footprints_base", "osm_ways_base"))
+    + f"SELECT {_METRO_OUT} FROM metro_marked WHERE is_deleted",
+)
+def q_metro_bldgs_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    df = metro_marked_df(spark, sf_dir)
+    return df.where(F.col("is_deleted")).select(*_METRO_OUT.split(", "))
+
+
+# ----------------------------------------------------------------------
+# F9 fill-only tag merge (scripts/add_addrs.rb:42-53): existing OSM value
+# wins; our conflated address fills only absent keys. Spatial match via
+# the J5 intersects join; deterministic pick = lowest bldg_id per way.
+FILL_CTES = """
+, pairs AS (
+  SELECT o.way_id, b.bldg_id, o.t_housenumber, o.t_street, o.t_city,
+         o.t_postcode, b.housenumber, b.street, b.city, b.postcode,
+         ROW_NUMBER() OVER (PARTITION BY o.way_id ORDER BY b.bldg_id) AS rn
+  FROM osm_ways_base o
+  JOIN cbldg_base cb
+    ON cb.bx0 <= o.wx1 AND o.wx0 <= cb.bx1
+   AND cb.by0 <= o.wy1 AND o.wy0 <= cb.by1
+  JOIN pdx_bldgs b ON b.bldg_id = cb.bldg_id
+  WHERE o.is_closed_gen
+    AND (o.t_building <> '' OR o.t_demolished <> '' OR o.t_building_part <> '')
+    AND b.housenumber IS NOT NULL
+), merged AS (
+  SELECT way_id, bldg_id,
+         COALESCE(t_housenumber, housenumber) AS addr_housenumber,
+         COALESCE(t_street, street) AS addr_street,
+         COALESCE(t_city, city) AS addr_city,
+         COALESCE(t_postcode, postcode) AS addr_postcode
+  FROM pairs WHERE rn = 1
+)
+"""
+
+
+@register(
+    "fill_only_merge",
+    OC.with_prefix(OC.PDX_BLDGS_CTES, FILL_CTES, bases=("osm_ways_base",))
+    + "SELECT way_id, bldg_id, addr_housenumber, addr_street, addr_city, addr_postcode FROM merged",
+)
+def q_fill_only_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    pdx = pdx_bldgs_df(spark, sf_dir).where(F.col("housenumber").isNotNull())
+    cb = prepared_cbldg(spark, sf_dir).select("bldg_id", "rings")
+    bldgs = pdx.join(cb, "bldg_id")
+    osmb = osm_buildings_df(spark, sf_dir)
+    pairs = intersects_join(bldgs.select("bldg_id", "rings"), osmb.select("way_id", "rings"), "bldg_id", "way_id")
+    w = Wnd.partitionBy("way_id").orderBy(F.col("bldg_id").asc())
+    picked = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    t = lambda k: F.try_element_at(F.col("tags"), F.lit(k))  # noqa: E731
+    ways = prepared_osm_ways(spark, sf_dir).select("way_id", "tags")
+    fill = picked.join(ways, "way_id").join(
+        pdx.select("bldg_id", "housenumber", "street", "city", "postcode"), "bldg_id"
+    )
+    # the map-semantic fill-only merge: existing key wins (||= semantics)
+    new_tags = F.map_filter(
+        F.map_from_arrays(
+            F.array(F.lit("addr:housenumber"), F.lit("addr:street"),
+                    F.lit("addr:city"), F.lit("addr:postcode")),
+            F.array(F.col("housenumber"), F.col("street"),
+                    F.col("city"), F.col("postcode")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    merged = F.map_concat(new_tags, F.map_filter(F.col("tags"), lambda k, v: v.isNotNull()))
+    # LAST_WIN dedup policy (session conf) → existing tags override fills
+    fill = fill.withColumn("merged", merged)
+    m = lambda k: F.try_element_at(F.col("merged"), F.lit(k))  # noqa: E731
+    return fill.select(
+        "way_id", "bldg_id",
+        m("addr:housenumber").alias("addr_housenumber"),
+        m("addr:street").alias("addr_street"),
+        m("addr:city").alias("addr_city"),
+        m("addr:postcode").alias("addr_postcode"),
+    )
+
+
+# ----------------------------------------------------------------------
+# S7+O1+F7+F8: per-tile deterministic export payload (the ogr2osm stage,
+# tasks/metro_output.rake:25-74 + translation rules
+# scripts/pdx_bldg_translate.py:14-53). Canonical per-tile artifact =
+# newline-joined sorted feature lines; stays fully JVM-side
+# (collect_list + array_sort) — ordered-export semantics preserved as
+# per-tile determinism.
+@register(
+    "tile_export",
+    OC.with_prefix(OC.PDX_BLDGS_CTES)
+    + """
+    SELECT qtrsec,
+           COUNT(*) AS n_features,
+           string_agg(line, chr(10) ORDER BY line) AS payload
+    FROM (
+      SELECT qtrsec,
+             concat_ws('|',
+               COALESCE(trim(housenumber), ''),
+               COALESCE(trim(street), ''),
+               COALESCE(postcode, ''),
+               COALESCE(city, ''),
+               COALESCE(CAST(CASE WHEN levels = 0 THEN NULL ELSE levels END AS VARCHAR), ''),
+               COALESCE(CAST(round(ele, 2) AS VARCHAR), ''),
+               COALESCE(CAST(round(height, 2) AS VARCHAR), ''),
+               bldg_type,
+               CAST(no_addrs AS VARCHAR)) AS line
+      FROM pdx_bldgs
+    ) l
+    GROUP BY qtrsec
+    """,
+)
+def q_tile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    pdx = pdx_bldgs_df(spark, sf_dir)
+    line = F.concat_ws(
+        "|",
+        F.coalesce(F.trim(F.col("housenumber")), F.lit("")),
+        F.coalesce(F.trim(F.col("street")), F.lit("")),
+        F.coalesce(F.col("postcode"), F.lit("")),
+        F.coalesce(F.col("city"), F.lit("")),
+        F.coalesce(F.nullif(F.col("levels"), F.lit(0)).cast("string"), F.lit("")),
+        F.coalesce(F.round(F.col("ele"), 2).cast("string"), F.lit("")),
+        F.coalesce(F.round(F.col("height"), 2).cast("string"), F.lit("")),
+        F.col("bldg_type"),
+        F.col("no_addrs").cast("string"),
+    )
+    return (
+        pdx.select("qtrsec", line.alias("line"))
+        .groupBy("qtrsec")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.array_join(F.array_sort(F.collect_list("line")), "\n").alias("payload"),
+        )
+    )
+
+
+# S9 changeset batching (scripts/add_addrs.rb:26-57): one ordered batch
+# per postcode-analog, sequence numbers pinned.
+@register(
+    "changesets",
+    OC.with_prefix(OC.PDX_BLDGS_CTES, FILL_CTES, bases=("osm_ways_base",))
+    + """
+    SELECT m.way_id, b.postcode,
+           ROW_NUMBER() OVER (PARTITION BY b.postcode
+                              ORDER BY m.addr_street, m.addr_housenumber, m.way_id) AS seq
+    FROM merged m JOIN pdx_bldgs b ON b.bldg_id = m.bldg_id
+    """,
+)
+def q_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    merged = q_fill_only_merge(spark, sf_dir)
+    pdx = pdx_bldgs_df(spark, sf_dir).select("bldg_id", "postcode")
+    w = Wnd.partitionBy("postcode").orderBy(
+        F.col("addr_street").asc(), F.col("addr_housenumber").asc(), F.col("way_id").asc()
+    )
+    return (
+        merged.join(pdx, "bldg_id")
+        .select("way_id", "postcode", F.row_number().over(w).alias("seq"))
+    )

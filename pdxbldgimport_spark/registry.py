@@ -1,0 +1,8 @@
+"""Aggregated query registry: importing this module loads every query
+family into queries.QUERIES / queries.ORACLES."""
+
+from . import queries
+from . import queries_osm  # noqa: F401  (registers on import)
+
+QUERIES = queries.QUERIES
+ORACLES = queries.ORACLES

@@ -301,19 +301,30 @@ FROM documents
 WHERE doc_id % 2 = 1
 """
 
+_OSM_NODES_TAGS_SPARK = """
+SELECT *,
+  map_filter(map(
+    'addr:housenumber', t_housenumber,
+    'addr:street', t_street,
+    'addr:city', t_city
+  ), (k, v) -> v IS NOT NULL) AS tags
+FROM osm_nodes_base
+"""
+
 _TEMPLATES = {
     "pages": _PAGES,
     "footprints_base": _FOOTPRINTS,
     "cbldg_base": _CBLDG,
     "caddr": _CADDR,
     "osm_ways_base": _OSM_WAYS,
-    "osm_nodes": _OSM_NODES,
+    "osm_nodes_base": _OSM_NODES,
 }
 
 _SPARK_EXTRA = {
     "footprints": _FOOTPRINT_RINGS_SPARK,
     "cbldg": _CBLDG_RINGS_SPARK,
     "osm_ways": _OSM_WAYS_RINGS_SPARK,
+    "osm_nodes": _OSM_NODES_TAGS_SPARK,
 }
 
 _DIALECT = {
