@@ -1,0 +1,489 @@
+"""Training-data pipeline operators over the documents/embeddings tables
+(BASELINE round instructions: dedup, similarity search, text analysis).
+
+Cross-engine determinism rules used throughout:
+- string hashing via md5 (identical lowercase hex in Spark and DuckDB);
+  MinHash takes the lexicographic min of md5 strings — a valid min-hash
+  family with zero FP risk;
+- embeddings are quantized to integer milli-units before any arithmetic,
+  so dot products are exact integers in both engines (no float-sum order
+  sensitivity). The true-cosine variants live in operators/similarity.py
+  and are verified by pytest instead of the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
+
+from .queries import register, views
+
+# ----------------------------------------------------------------------
+# shared text fragments
+
+STOPWORDS = ["the", "a", "of", "and"]
+
+# Spark/DuckDB shared: tokens with position via posexplode / unnest+ord.
+_TOKENS_SQL_DUCK = """
+tokens AS (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+)
+"""
+
+_SHINGLES_DUCK = """
+, shingles AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS sh
+  FROM tokens
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 2) OVER win IS NOT NULL
+)
+"""
+
+
+def _tokens(spark: SparkSession) -> DataFrame:
+    return spark.table("documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+
+
+def _shingles(spark: SparkSession) -> DataFrame:
+    w = Wnd.partitionBy("doc_id").orderBy("pos")
+    t = _tokens(spark)
+    return (
+        t.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("sh"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Exact dedup: hash-groupBy on text (keeper = min doc_id per group).
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# ----------------------------------------------------------------------
+# MinHash signatures: k=8 mins of md5(shingle || '#i') per doc.
+K_MINHASH = 8
+
+
+def _minhash_df(spark: SparkSession) -> DataFrame:
+    sh = _shingles(spark)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")).cast("binary"))).alias(f"mh{i}")
+        for i in range(K_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MH_COLS_DUCK = ", ".join(
+    f"MIN(md5(sh || '#{i}')) AS mh{i}" for i in range(K_MINHASH)
+)
+_MINHASH_DUCK = f"""
+, minhash AS (
+  SELECT doc_id, {_MH_COLS_DUCK}
+  FROM shingles GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "minhash_signatures",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + _MINHASH_DUCK
+    + "SELECT * FROM minhash",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return _minhash_df(spark)
+
+
+# ----------------------------------------------------------------------
+# MinHash-LSH near-dup: band→bucket join→candidate pairs→exact Jaccard
+# refine (shingle-set intersection), threshold in ppm.
+N_BANDS = 4  # bands of 2 signatures
+JACCARD_PPM_MIN = 300_000
+
+_BANDS_DUCK = "\n UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS bkey FROM minhash"
+    for b in range(N_BANDS)
+)
+_LSH_DUCK = f"""
+, bands AS ({_BANDS_DUCK})
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)
+, dsh AS (SELECT DISTINCT doc_id, sh FROM shingles)
+, sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id)
+, jac AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
+         sa.n + sb.n - COUNT(*) AS uni
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.doc_a
+  JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + _MINHASH_DUCK
+    + _LSH_DUCK
+    + f"""
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(inter * 1000000e0 / uni) AS BIGINT) AS jacc_ppm
+    FROM jac
+    WHERE CAST(FLOOR(inter * 1000000e0 / uni) AS BIGINT) >= {JACCARD_PPM_MIN}
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    mh = _minhash_df(spark)
+    bands = None
+    for b in range(N_BANDS):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).cast("binary")).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b2, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dsh = _shingles(spark).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = dsh.select(F.col("doc_id").alias("doc_b"), "sh")
+    jac = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn(
+            "jacc_ppm",
+            F.floor(F.col("inter") * F.lit(1000000.0) / F.col("uni")).cast("long"),
+        )
+    )
+    return jac.where(F.col("jacc_ppm") >= JACCARD_PPM_MIN).select("doc_a", "doc_b", "jacc_ppm")
+
+
+# ----------------------------------------------------------------------
+# SimHash (60-bit, md5-nibble hyperplanes), banded near-dup pairs.
+SIMHASH_BITS = 60  # 15 md5 nibbles × 4 bits (positive int64, shift-safe)
+HAMMING_MAX = 6
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_sql_terms(tok_md5: str, strpos_fn: str):
+    """Shared bit-term generator: nibble n of md5 hex → 4 bits."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        nib, bitpos = divmod(b, 4)
+        nibble = f"({strpos_fn}('{_HEX}', substr({tok_md5}, {nib + 1}, 1)) - 1)"
+        bit = f"((CAST(FLOOR({nibble} / {1 << bitpos}e0) AS BIGINT)) % 2)"
+        terms.append(bit)
+    return terms
+
+
+def _simhash_select(engine: str) -> str:
+    strpos_fn = "strpos" if engine == "duck" else "instr"
+    terms = _simhash_sql_terms("md5(w)", strpos_fn)
+    sums = ", ".join(
+        f"SUM(2 * {t} - 1) AS s{i}" for i, t in enumerate(terms)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return sums, combine
+
+
+_DUCK_SUMS, _DUCK_COMBINE = _simhash_select("duck")
+_SIMHASH_DUCK = f"""
+, bitsums AS (
+  SELECT doc_id, {_DUCK_SUMS}
+  FROM tokens GROUP BY doc_id
+)
+, simhash AS (
+  SELECT doc_id, {_DUCK_COMBINE} AS simhash FROM bitsums
+)
+"""
+
+
+def _simhash_df(spark: SparkSession) -> DataFrame:
+    sums, combine = _simhash_select("spark")
+    t = _tokens(spark)
+    t.createOrReplaceTempView("__tok")
+    return spark.sql(
+        f"SELECT doc_id, {combine.replace('s', 's') } AS simhash FROM ("
+        f"SELECT doc_id, {sums} FROM __tok GROUP BY doc_id)"
+    )
+
+
+@register(
+    "simhash_signatures",
+    "WITH " + _TOKENS_SQL_DUCK + _SIMHASH_DUCK + "SELECT doc_id, simhash FROM simhash",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return _simhash_df(spark)
+
+
+@register(
+    "dedup_simhash",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SIMHASH_DUCK
+    + f"""
+    , chunks AS (
+      SELECT doc_id, simhash, c.c AS chunk_idx,
+             (simhash >> (c.c * 15)) & 32767 AS chunk
+      FROM simhash, (SELECT CAST(range AS BIGINT) AS c FROM range(4)) c
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    sh = _simhash_df(spark)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx"),
+    ).withColumn(
+        "chunk",
+        F.expr("shiftright(simhash, chunk_idx * 15)").bitwiseAND(F.lit(32767)),
+    )
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "chunk_idx", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "chunk_idx", "chunk")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# Text analysis: language-ID heuristic, quality score, token counting,
+# min-shingle fingerprint. Integer outputs for cross-engine exactness.
+@register(
+    "text_stats",
+    """
+    SELECT d.doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+           (SELECT COUNT(*) FROM UNNEST(string_split(d.text, ' ')) AS t(w)
+            WHERE t.w IN ('the', 'a', 'of', 'and')) AS n_stop,
+           CASE WHEN (SELECT COUNT(*) FROM UNNEST(string_split(d.text, ' ')) AS t(w)
+                      WHERE t.w IN ('the', 'a', 'of', 'and')) > 0
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM documents d
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(STOPWORDS)))
+    return spark.table("documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "n_subtokens"
+        ),
+        n_stop.alias("n_stop"),
+        F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + """
+    SELECT doc_id, MIN(md5(sh)) AS fingerprint
+    FROM shingles GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return (
+        _shingles(spark)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("sh").cast("binary"))).alias("fingerprint"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Similarity search over embeddings — quantized-integer variants (exact
+# cross-engine); true-cosine kernels in operators/similarity.py (pytest).
+N_QUERIES = 10
+TOP_K = 5
+
+_EQ_DUCK = """
+eq AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(FLOOR(x * 1000e0) AS BIGINT)) AS q
+  FROM embeddings
+)
+"""
+
+
+def _eq_df(spark: SparkSession) -> DataFrame:
+    return spark.table("embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.floor(x * F.lit(1000.0)).cast("long")).alias("q"),
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    "WITH "
+    + _EQ_DUCK
+    + f"""
+    , scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+             CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY CAST(list_dot_product(a.q, b.q) AS BIGINT) DESC,
+                                         b.vec_id) AS rn
+      FROM eq a JOIN eq b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor, dot, rn FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    eq = _eq_df(spark)
+    qside = eq.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Wnd.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor").asc())
+    return (
+        qside.crossJoin(eq.select(F.col("vec_id").alias("neighbor"), "q"))
+        .where(F.col("neighbor") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor", "dot", "rn")
+    )
+
+
+# LSH-bucketed ANN: 8 deterministic integer hyperplanes → signature →
+# bucket join → exact dot top-k within bucket (the scale path: candidates
+# per query bounded by bucket size instead of N).
+N_PLANES = 8
+DIMS = 64
+
+
+def _plane(i: int) -> list[int]:
+    return [((i * DIMS + d) * 2654435761) % 1000 - 500 for d in range(DIMS)]
+
+
+_SIG_DUCK = " + ".join(
+    f"(CASE WHEN list_dot_product(q, {_plane(i)!r}) > 0 THEN {1 << i} ELSE 0 END)".replace(
+        "[", "["
+    )
+    for i in range(N_PLANES)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    "WITH "
+    + _EQ_DUCK
+    + f"""
+    , sigs AS (SELECT vec_id, q, {_SIG_DUCK} AS sig FROM eq)
+    , scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+             CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY CAST(list_dot_product(a.q, b.q) AS BIGINT) DESC,
+                                         b.vec_id) AS rn
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor, dot, rn FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    eq = _eq_df(spark)
+    sig = None
+    for i in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _plane(i)])
+        hdot = F.aggregate(
+            F.zip_with(F.col("q"), plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(hdot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = eq.withColumn("sig", sig)
+    qside = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), "sig"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Wnd.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor").asc())
+    return (
+        qside.join(sigs.select(F.col("vec_id").alias("neighbor"), "q", "sig"), "sig")
+        .where(F.col("neighbor") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor", "dot", "rn")
+    )
