@@ -1,0 +1,119 @@
+"""Benchmark: spatial-join + tile-assignment docs/sec (BASELINE.json
+metric) plus per-query wall times.
+
+Runs the flagship pipeline — every geocoded page assigned to its
+containing footprint (cell-bucketed PIP join) and its tile — over
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "spatial_join_tile_assign_docs_per_sec", "value": N,
+     "unit": "docs/sec", "queries": {...}, "sf": ..., ...}
+
+Scaling evidence (north_rule): run twice, e.g.::
+
+    SPARK_GRAFT_CPUS=8  python bench.py
+    SPARK_GRAFT_CPUS=32 python bench.py
+
+and compare ``value`` (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdxbldgimport_spark import registry as Q  # noqa: E402
+from pdxbldgimport_spark import queries as base  # noqa: E402
+from pdxbldgimport_spark.geo import cells as C  # noqa: E402
+from pdxbldgimport_spark.operators.pip_join import pip_join, tile_expr  # noqa: E402
+from pdxbldgimport_spark.session import get_spark  # noqa: E402
+from pdxbldgimport_spark.shipping import ship  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Per-query bench set: the headline spatial family + the conflation chain
+# + training-data ops. (multi_addrs exercises the full chain implicitly
+# and is covered by the correctness gate; its many tiny stages measure
+# scheduler overhead, not engine throughput, at these SFs.)
+BENCH_QUERIES = [
+    "pip_assign",
+    "page_tile_counts",
+    "fp_tile_counts",
+    "knn_unassigned",
+    "text_extract",
+    "pdx_addrs",
+    "pdx_bldgs",
+    "metro_bldgs",
+    "tile_export",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+]
+
+
+def _run(df) -> None:
+    # noop sink: full computation of every column, nothing collected.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", cores=CPUS)
+    ship(spark)
+    base.views(spark, SF_DIR)
+
+    # Warm up JVM/codegen paths outside the timed region.
+    _run(spark.table("pages").select("page_id").limit(1000))
+
+    n_pages = spark.table("pages").count()
+
+    # Headline: one job assigning every page to (footprint, tile).
+    fps = base.prepared_footprints(spark, SF_DIR)  # ingest prep, untimed
+    pages = spark.table("pages")
+    t0 = time.time()
+    assigned = pip_join(pages, fps, "page_id", "fp_id")
+    out = assigned.join(pages.select("page_id", "lon", "lat"), "page_id").select(
+        "page_id",
+        "fp_id",
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id"),
+    )
+    _run(out)
+    headline_s = time.time() - t0
+    docs_per_sec = n_pages / headline_s
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        _run(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_assign_docs_per_sec",
+                "value": round(docs_per_sec, 1),
+                "unit": "sec",
+                "headline_sec": round(headline_s, 3),
+                "n_docs": n_pages,
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

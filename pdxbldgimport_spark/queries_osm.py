@@ -224,6 +224,19 @@ METRO_CTES = f"""
 
 
 def metro_marked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-materialized (reference physical table, tasks/metro_bldgs.rake):
+    the kept/deleted split (O4) and downstream tiling read it twice, and
+    the union side feeds two intersects joins — without the boundary the
+    whole conflation chain re-executes per reference."""
+    from .queries import stage
+
+    return stage(
+        spark, (id(spark), sf_dir, "metro_marked"),
+        lambda: _metro_marked_build(spark, sf_dir),
+    )
+
+
+def _metro_marked_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdx = pdx_bldgs_df(spark, sf_dir)
     cb = prepared_cbldg(spark, sf_dir).select("bldg_id", "rings")
     pdx_side = pdx.join(cb, "bldg_id").select(
@@ -257,11 +270,19 @@ def metro_marked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rings",
     )
     metro = pdx_side.unionByName(clark)
+    # one join against (buildings ∪ construction): is_deleted only needs
+    # "intersects either", so union the small OSM side instead of running
+    # the cell join twice (tasks/metro_bldgs.rake:51-69 runs two UPDATEs;
+    # the mark they produce is identical).
     osmb = osm_buildings_df(spark, sf_dir).select("way_id", "rings")
     osmc = construction_df(spark, sf_dir)
-    hit_b = intersects_join(metro, osmb, "mkey", "way_id").select("mkey").distinct()
-    hit_c = intersects_join(metro, osmc, "mkey", "way_id").select("mkey").distinct()
-    hits = hit_b.unionByName(hit_c).distinct().withColumn("__del", F.lit(True))
+    osm_any = osmb.unionByName(osmc).dropDuplicates(["way_id"])
+    hits = (
+        intersects_join(metro, osm_any, "mkey", "way_id")
+        .select("mkey")
+        .distinct()
+        .withColumn("__del", F.lit(True))
+    )
     return (
         metro.join(hits, "mkey", "left")
         .withColumn("is_deleted", F.coalesce(F.col("__del"), F.lit(False)))

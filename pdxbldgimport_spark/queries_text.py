@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
 
-from .queries import register, views
+from .queries import register, stage, views
 
 # ----------------------------------------------------------------------
 # shared text fragments
@@ -83,13 +83,28 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_MINHASH = 8
 
 
-def _minhash_df(spark: SparkSession) -> DataFrame:
-    sh = _shingles(spark)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")).cast("binary"))).alias(f"mh{i}")
-        for i in range(K_MINHASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature table, stage-materialized: the LSH band self-join and the
+    Jaccard refine both re-reference it — without a stage boundary the
+    shingle window+agg lineage is recomputed once per reference (~8×)."""
+
+    def build():
+        sh = _shingles(spark)
+        aggs = [
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")).cast("binary"))).alias(f"mh{i}")
+            for i in range(K_MINHASH)
+        ]
+        return sh.groupBy("doc_id").agg(*aggs)
+
+    return stage(spark, (id(spark), sf_dir, "minhash"), build)
+
+
+def _dsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — referenced 3× by the Jaccard
+    refine (sizes + both join sides), so stage-materialized."""
+    return stage(
+        spark, (id(spark), sf_dir, "dsh"), lambda: _shingles(spark).distinct()
+    )
 
 
 _MH_COLS_DUCK = ", ".join(
@@ -113,7 +128,7 @@ _MINHASH_DUCK = f"""
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    return _minhash_df(spark)
+    return _minhash_df(spark, sf_dir)
 
 
 # ----------------------------------------------------------------------
@@ -164,15 +179,23 @@ _LSH_DUCK = f"""
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    mh = _minhash_df(spark)
-    bands = None
-    for b in range(N_BANDS):
-        part = mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).cast("binary")).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    mh = _minhash_df(spark, sf_dir)
+    # single pass over mh: explode (band, bkey) structs instead of a
+    # 4-way union (which would rescan the signature table per band)
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).cast("binary")
+                    ).alias("bkey"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     cand = (
@@ -181,7 +204,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    dsh = _shingles(spark).distinct()
+    dsh = _dsh_df(spark, sf_dir)
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
     y = dsh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -245,14 +268,19 @@ _SIMHASH_DUCK = f"""
 """
 
 
-def _simhash_df(spark: SparkSession) -> DataFrame:
-    sums, combine = _simhash_select("spark")
-    t = _tokens(spark)
-    t.createOrReplaceTempView("__tok")
-    return spark.sql(
-        f"SELECT doc_id, {combine.replace('s', 's') } AS simhash FROM ("
-        f"SELECT doc_id, {sums} FROM __tok GROUP BY doc_id)"
-    )
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-materialized: the banded self-join references it twice."""
+
+    def build():
+        sums, combine = _simhash_select("spark")
+        t = _tokens(spark)
+        t.createOrReplaceTempView("__tok")
+        return spark.sql(
+            f"SELECT doc_id, {combine} AS simhash FROM ("
+            f"SELECT doc_id, {sums} FROM __tok GROUP BY doc_id)"
+        )
+
+    return stage(spark, (id(spark), sf_dir, "simhash"), build)
 
 
 @register(
@@ -261,7 +289,7 @@ def _simhash_df(spark: SparkSession) -> DataFrame:
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    return _simhash_df(spark)
+    return _simhash_df(spark, sf_dir)
 
 
 @register(
@@ -285,7 +313,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    sh = _simhash_df(spark)
+    sh = _simhash_df(spark, sf_dir)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx"),
