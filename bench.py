@@ -39,6 +39,11 @@ from pdxbldgimport_spark.shipping import ship  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling-evidence knob: multiply pages-per-document for the HEADLINE
+# pipeline only (per-query sweep still runs the standard tables). Used by
+# the N-vs-4N runs recorded in BENCH/BASELINE.md; default 1 = driver mode.
+REP_MULT = int(os.environ.get("SPARK_GRAFT_REP_MULT", "1"))
+SKIP_SWEEP = os.environ.get("SPARK_GRAFT_SKIP_SWEEP", "") == "1"
 
 # Per-query bench set: the headline spatial family + the conflation chain
 # + training-data ops. (multi_addrs exercises the full chain implicitly
@@ -76,24 +81,40 @@ def main() -> None:
     # Warm up JVM/codegen paths outside the timed region.
     _run(spark.table("pages").select("page_id").limit(1000))
 
-    n_pages = spark.table("pages").count()
+    pages = spark.table("pages")
+    if REP_MULT > 1:
+        # Re-render the pages generator with REP×MULT pages per document
+        # (same distribution, larger volume — the "same input" for the
+        # two-parallelism scaling evidence is the multiplied table).
+        from pdxbldgimport_spark import synth
+
+        params = dict(synth._CONST)
+        params.update(synth._DIALECT["spark"])
+        big_rep = int(params["REP"]) * REP_MULT
+        params["REP"] = str(big_rep)
+        params["CROSS_REP"] = f"LATERAL VIEW explode(sequence(0, {big_rep - 1})) r AS r"
+        pages = spark.sql(synth._force_double(synth._PAGES.format(**params)))
+
+    n_pages = pages.count()
 
     # Headline: one job assigning every page to (footprint, tile).
     fps = base.prepared_footprints(spark, SF_DIR)  # ingest prep, untimed
-    pages = spark.table("pages")
     t0 = time.time()
-    assigned = pip_join(pages, fps, "page_id", "fp_id")
-    out = assigned.join(pages.select("page_id", "lon", "lat"), "page_id").select(
-        "page_id",
-        "fp_id",
+    pts = pages.select(
+        "page_id", "lon", "lat",
         tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id"),
+    )
+    from pyspark.sql import types as T
+
+    out = pip_join(
+        pts, fps, "page_id", "fp_id", carry=[("tile_id", T.LongType())]
     )
     _run(out)
     headline_s = time.time() - t0
     docs_per_sec = n_pages / headline_s
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in [] if SKIP_SWEEP else BENCH_QUERIES:
         fn = Q.QUERIES[name]
         t0 = time.time()
         _run(fn(spark, SF_DIR))

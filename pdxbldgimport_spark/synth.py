@@ -362,9 +362,22 @@ def render(name: str, dialect: str) -> str:
 
 
 def register_views(spark, sf_dir: str) -> None:
-    """Register driver parquet tables + synth temp views on a session."""
+    """Register driver parquet tables + synth temp views on a session.
+
+    ``documents`` (the generator seed of every synth table) ships as ONE
+    parquet file / row group → a single scan task. Everything downstream
+    of it is narrow until the first shuffle, and the flagship PIP join's
+    broadcast path never shuffles the point side — so without an explicit
+    repartition the whole pages→join→refine chain would execute on one
+    core no matter how many the session has. On a real cluster this is
+    the Iceberg write's file-count / split-size concern; here one cheap
+    round-robin shuffle of 5k seed rows fans the generation out."""
+    par = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "documents":
+            df = df.repartition(par)
+        df.createOrReplaceTempView(t)
     params = dict(_CONST)
     params.update(_DIALECT["spark"])
     for name in _TEMPLATES:

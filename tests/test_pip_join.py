@@ -1,0 +1,104 @@
+"""Property tests for the distributed PIP join (slot-cover broadcast
+path) against the brute-force numpy kernel — random star polygons, both
+convex and concave, plus a donut (hole) case. SURVEY.md §5
+property-based strategy: planner-path equivalence on random geometry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+
+from pdxbldgimport_spark.geo import cells as C
+from pdxbldgimport_spark.geo.core import RingSet, points_in_polygons_pairs
+from pdxbldgimport_spark.operators.pip_join import _slot_cover, pip_join
+
+POLY_SCHEMA = T.StructType(
+    [
+        T.StructField("poly", T.LongType()),
+        T.StructField("rings", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+)
+
+
+def _star(rng, n):
+    cx = C.LON_W + (0.05 + 0.9 * rng.random()) * C.SPAN_X
+    cy = C.LAT_S + (0.05 + 0.9 * rng.random()) * C.SPAN_Y
+    ang = np.sort(rng.random(n) * 2 * np.pi)
+    rad = 0.002 + rng.random(n) * 0.02
+    xs = cx + rad * np.cos(ang)
+    ys = cy + rad * np.sin(ang)
+    ring = np.empty(2 * (n + 1))
+    ring[0 : 2 * n : 2] = xs
+    ring[1 : 2 * n : 2] = ys
+    ring[-2], ring[-1] = xs[0], ys[0]
+    return ring.tolist()
+
+
+def _bruteforce(polys, px, py):
+    rs = RingSet.from_arrow_lists([p[1] for p in polys])
+    exp = set()
+    npts = len(px)
+    for j in range(len(polys)):
+        ins = points_in_polygons_pairs(
+            px, py, rs, np.arange(npts, dtype=np.int64), np.full(npts, j, np.int64)
+        )
+        exp.update((int(t), polys[j][0]) for t in np.flatnonzero(ins))
+    return exp
+
+
+def test_pip_join_slot_cover_vs_bruteforce(spark):
+    rng = np.random.default_rng(42)
+    polys = [(i, [_star(rng, int(rng.integers(3, 9)))]) for i in range(40)]
+    # one donut: square with a hole (even-odd parity through slots/base)
+    d = 0.01
+    cx, cy = C.LON_W + 0.5 * C.SPAN_X, C.LAT_S + 0.5 * C.SPAN_Y
+    outer = [cx - d, cy - d, cx + d, cy - d, cx + d, cy + d, cx - d, cy + d, cx - d, cy - d]
+    inner = [cx - d / 2, cy - d / 2, cx + d / 2, cy - d / 2, cx + d / 2, cy + d / 2,
+             cx - d / 2, cy + d / 2, cx - d / 2, cy - d / 2]
+    polys.append((40, [outer, inner]))
+
+    npts = 50_000
+    px = C.LON_W + rng.random(npts) * C.SPAN_X
+    py = C.LAT_S + rng.random(npts) * C.SPAN_Y
+    pts = spark.createDataFrame(pd.DataFrame({"pt": np.arange(npts), "lon": px, "lat": py}))
+    pdf_polys = spark.createDataFrame(polys, POLY_SCHEMA)
+
+    got = {(r["pt"], r["poly"]) for r in pip_join(pts, pdf_polys, "pt", "poly").collect()}
+    assert got == _bruteforce(polys, px, py)
+
+
+def test_pip_join_shuffle_path_matches_broadcast(spark):
+    """Planner-choice invariance: forcing the shuffle+salt path yields the
+    same pairs as the broadcast slot-cover path."""
+    rng = np.random.default_rng(7)
+    polys = [(i, [_star(rng, int(rng.integers(3, 7)))]) for i in range(25)]
+    npts = 20_000
+    px = C.LON_W + rng.random(npts) * C.SPAN_X
+    py = C.LAT_S + rng.random(npts) * C.SPAN_Y
+    pts = spark.createDataFrame(pd.DataFrame({"pt": np.arange(npts), "lon": px, "lat": py}))
+    pdf_polys = spark.createDataFrame(polys, POLY_SCHEMA)
+    bc = {(r["pt"], r["poly"]) for r in pip_join(pts, pdf_polys, "pt", "poly").collect()}
+    sh = {
+        (r["pt"], r["poly"])
+        for r in pip_join(
+            pts, pdf_polys, "pt", "poly", broadcast_max_polys=0, hot_cell_points=100
+        ).collect()
+    }
+    assert bc == sh
+
+
+def test_slot_cover_interior_and_outside_cells():
+    """Interior cells come out base=1/nslot=0; provably-outside cells are
+    dropped; slot counts stay tiny for rectangles."""
+    x0 = C.LON_W + 0.3 * C.SPAN_X
+    y0 = C.LAT_S + 0.3 * C.SPAN_Y
+    # big rect spanning many res-9 cells
+    x1, y1 = x0 + 40 * C.SPAN_X / 512, y0 + 40 * C.SPAN_Y / 512
+    ring = [x0, y0, x1, y0, x1, y1, x0, y1, x0, y0]
+    rs = RingSet.from_arrow_lists([[ring]])
+    pdf, K, any_exact = _slot_cover(np.array([7], np.int64), rs, "poly", C.RES_JOIN)
+    assert not any_exact and K <= 4
+    interior = pdf[(pdf["base"] == 1) & (pdf["nslot"] == 0)]
+    assert len(interior) > 0.5 * len(pdf)  # big rect → mostly interior cells
+    assert (pdf["nslot"] <= 3).all()
