@@ -423,7 +423,10 @@ def q_fill_only_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tile_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    pdx = pdx_bldgs_df(spark, sf_dir)
+    return tile_export_df(pdx_bldgs_df(spark, sf_dir))
+
+
+def tile_export_df(pdx: DataFrame) -> DataFrame:
     line = F.concat_ws(
         "|",
         F.coalesce(F.trim(F.col("housenumber")), F.lit("")),
