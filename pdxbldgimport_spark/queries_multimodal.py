@@ -1,0 +1,129 @@
+"""Multimodal query family: typed-metadata projection, byte-feature
+extraction, video frame sampling, image resize, audio energy — the
+engine operates on the real ``binary`` payload in Arrow kernels
+(operators/multimodal.py); the DuckDB oracle reasons about the same
+bytes through the byte-exact ASCII twin column ``payload_str``
+(synth._MEDIA; DuckDB 1.0 has no BLOB substring/aggregation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import synth
+from .operators import multimodal as MM
+from .queries import register, views
+
+_MEDIA_ORACLE = synth.oracle_with("media_base")
+
+
+# Typed metadata + payload length straight off the binary column.
+@register(
+    "media_meta",
+    _MEDIA_ORACLE
+    + """
+    SELECT doc_id, kind, width, height, n_frames, n_samples, sample_rate,
+           CAST(length(payload_str) AS BIGINT) AS n_bytes
+    FROM media_base
+    """,
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return spark.table("media").select(
+        "doc_id", "kind", "width", "height", "n_frames", "n_samples",
+        "sample_rate", F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+_CHARS = """
+, chars AS (
+  SELECT doc_id, kind, ascii(ch) AS b
+  FROM (
+    SELECT doc_id, kind, UNNEST(string_split(payload_str, '')) AS ch
+    FROM media_base
+  )
+)
+"""
+
+
+# Byte-statistics feature extraction (vectorized reduceat engine-side).
+@register(
+    "media_features",
+    _MEDIA_ORACLE
+    + _CHARS
+    + """
+    SELECT doc_id, ANY_VALUE(kind) AS kind,
+           COUNT(*) AS n_bytes,
+           CAST(SUM(b) AS BIGINT) AS byte_sum,
+           CAST(MIN(b) AS INT) AS byte_min,
+           CAST(MAX(b) AS INT) AS byte_max,
+           CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+    FROM chars GROUP BY doc_id
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return MM.media_features(spark.table("media"))
+
+
+# Video frame sampling: every 2nd frame, sliced from the binary buffer.
+@register(
+    "media_frame_sample",
+    _MEDIA_ORACLE
+    + """
+    SELECT m.doc_id, CAST(f.i AS INT) AS frame_idx,
+           substr(m.payload_str, CAST(1 + f.i * m.frame_len AS BIGINT),
+                  CAST(m.frame_len AS BIGINT)) AS frame_text
+    FROM media_base m, range(0, 16, 2) f(i)
+    WHERE m.kind = 'video' AND f.i < m.n_frames
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return MM.frame_sample(spark.table("media"), every=2)
+
+
+# Image resize (2x nearest-neighbor downsample of the byte grid).
+# out_bytes is BINARY engine-side; the comparable projection hashes it.
+@register(
+    "media_resize",
+    _MEDIA_ORACLE
+    + """
+    , imgs AS (SELECT * FROM media_base WHERE kind = 'image')
+    , cells AS (
+      SELECT i.doc_id, i.width, r.i AS r, c.i AS c,
+             substr(i.payload_str, CAST(r.i * i.width + c.i + 1 AS BIGINT), 1) AS px
+      FROM imgs i, range(0, 16, 2) r(i), range(0, 32, 2) c(i)
+      WHERE r.i < i.height AND c.i < i.width
+    )
+    SELECT doc_id,
+           CAST((MAX(width) + 1) // 2 AS INT) AS out_w,
+           CAST(COUNT(DISTINCT r) AS INT) AS out_h,
+           CAST(SUM(ascii(px)) AS BIGINT) AS out_sum,
+           md5(string_agg(px, '' ORDER BY r, c)) AS out_md5
+    FROM cells GROUP BY doc_id
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    out = MM.image_resize_half(spark.table("media"))
+    return out.select(
+        "doc_id", "out_w", "out_h", "out_sum",
+        F.md5(F.col("out_bytes")).alias("out_md5"),
+    )
+
+
+# Audio energy: integer sum-of-squares + mean-square in milli-units.
+@register(
+    "media_audio_energy",
+    _MEDIA_ORACLE
+    + _CHARS
+    + """
+    SELECT doc_id, COUNT(*) AS n_samples,
+           CAST(SUM(b * b) AS BIGINT) AS energy,
+           CAST(SUM(b * b) * 1000 // COUNT(*) AS BIGINT) AS msq_milli
+    FROM chars WHERE kind = 'audio' GROUP BY doc_id
+    """,
+)
+def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return MM.audio_rms_milli(spark.table("media"))

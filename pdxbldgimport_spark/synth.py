@@ -311,6 +311,40 @@ SELECT *,
 FROM osm_nodes_base
 """
 
+# Multimodal world (round instructions: image/audio/video as opaque
+# binary + typed metadata). payload_str is the byte-exact ASCII twin of
+# the binary payload so the DuckDB oracle can reason about the same
+# bytes (DuckDB 1.0 has no BLOB substring/aggregation); the ENGINE reads
+# only the binary column. Image/video payloads are real width×height
+# byte grids (n_frames of them); audio is n_samples bytes.
+_MEDIA = """
+SELECT *,
+  CASE kind WHEN 'audio' THEN n_samples ELSE width * height END AS frame_len,
+  repeat(
+    substr(rpad(text, 1024, '.x'), 1,
+           CASE kind WHEN 'audio' THEN n_samples ELSE width * height END),
+    CASE WHEN n_frames IS NULL THEN 1 ELSE n_frames END
+  ) AS payload_str
+FROM (
+  SELECT
+    doc_id,
+    text,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 16 + doc_id % 16 END AS width,
+    CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 8 + doc_id % 8 END AS height,
+    CASE WHEN doc_id % 3 = 2 THEN 4 + doc_id % 5 ELSE NULL END AS n_frames,
+    CASE WHEN doc_id % 3 = 1 THEN 256 + doc_id % 128 ELSE NULL END AS n_samples,
+    CASE WHEN doc_id % 3 = 1 THEN 8000 + 100 * (doc_id % 5) ELSE NULL END AS sample_rate
+  FROM documents
+) meta
+"""
+
+_MEDIA_BIN_SPARK = """
+SELECT doc_id, kind, width, height, n_frames, n_samples, sample_rate,
+       frame_len, CAST(payload_str AS BINARY) AS payload
+FROM media_base
+"""
+
 _TEMPLATES = {
     "pages": _PAGES,
     "footprints_base": _FOOTPRINTS,
@@ -318,6 +352,7 @@ _TEMPLATES = {
     "caddr": _CADDR,
     "osm_ways_base": _OSM_WAYS,
     "osm_nodes_base": _OSM_NODES,
+    "media_base": _MEDIA,
 }
 
 _SPARK_EXTRA = {
@@ -325,6 +360,7 @@ _SPARK_EXTRA = {
     "cbldg": _CBLDG_RINGS_SPARK,
     "osm_ways": _OSM_WAYS_RINGS_SPARK,
     "osm_nodes": _OSM_NODES_TAGS_SPARK,
+    "media": _MEDIA_BIN_SPARK,
 }
 
 _DIALECT = {
