@@ -75,6 +75,19 @@ def with_area(df: DataFrame, poly_id: str, rings_col: str = "rings", unit: str =
     return df.join(_batch_op(df, poly_id, rings_col, [("area", T.DoubleType())], fn), poly_id)
 
 
+def with_bbox(df: DataFrame, poly_id: str, rings_col: str = "rings") -> DataFrame:
+    """Attach the (multi)polygon envelope x0/y0/x1/y1 (ST_Envelope) from
+    the assembled rings — all rings, holes included, contribute."""
+    from ..geo.core import poly_bbox
+
+    def fn(rs: RingSet):
+        x0, y0, x1, y1 = poly_bbox(rs)
+        return {"x0": x0, "y0": y0, "x1": x1, "y1": y1}
+
+    fields = [(n, T.DoubleType()) for n in ("x0", "y0", "x1", "y1")]
+    return df.join(_batch_op(df, poly_id, rings_col, fields, fn), poly_id)
+
+
 def filter_valid_polys(df: DataFrame, poly_id: str, rings_col: str = "rings") -> DataFrame:
     """The make-valid drop rule (tasks/pdx_shapes.rake:115-131): a ring
     with a self-crossing repairs to a MultiPolygon → drop the row; other

@@ -472,3 +472,136 @@ def q_changesets(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(pdx, "bldg_id")
         .select("way_id", "postcode", F.row_number().over(w).alias("seq"))
     )
+
+
+# ----------------------------------------------------------------------
+# S8 + J10/G10: tile consolidation — the consolidated_qtr_secs manifest
+# (tasks/metro_quarter_secs.rake:44-107, max_bldgs=50; shipped artifact
+# /root/reference/consolidated_qtr_secs.json). The reference's greedy
+# nearest-neighbor merge is iterative/unpinned; the engine re-expresses
+# it deterministically: within each coarser parent tile (RES_TILE-2),
+# subtiles are packed in tile-id (Z-ish scan) order into bins of ≤~50
+# buildings by prefix-count binning — a pure window cumsum, identical in
+# Spark and the SQL oracle, and embarrassingly parallel across parents
+# at 10^12-doc scale (no global sequential merge).
+MAX_BLDGS = 50
+
+
+@register(
+    "consolidated_tiles",
+    OC.with_prefix(OC.PDX_BLDGS_CTES, METRO_CTES,
+                   bases=("footprints_base", "osm_ways_base"))
+    + f"""
+    , tile_counts AS (
+      SELECT qtrsec, COUNT(*) AS bldg_count
+      FROM metro_marked WHERE NOT is_deleted GROUP BY qtrsec
+    ), binned AS (
+      SELECT qtrsec, bldg_count,
+             (qtrsec // 32 // 4) * 8 + (qtrsec % 32) // 4 AS parent,
+             (SUM(bldg_count) OVER (
+                PARTITION BY (qtrsec // 32 // 4) * 8 + (qtrsec % 32) // 4
+                ORDER BY qtrsec) - bldg_count) // {MAX_BLDGS} AS bin
+      FROM tile_counts
+    )
+    SELECT CAST(parent * 100 + bin AS BIGINT) AS ctile_id,
+           string_agg(CAST(qtrsec AS VARCHAR), ',' ORDER BY qtrsec) AS contains,
+           CAST(COUNT(*) AS INT) AS n_tiles,
+           CAST(SUM(bldg_count) AS BIGINT) AS bldg_count,
+           MIN({C.LON_W!r} + (qtrsec % 32) * {C.SPAN_X!r} / 32e0) AS x0,
+           MIN({C.LAT_S!r} + (qtrsec // 32) * {C.SPAN_Y!r} / 32e0) AS y0,
+           MAX({C.LON_W!r} + ((qtrsec % 32) + 1) * {C.SPAN_X!r} / 32e0) AS x1,
+           MAX({C.LAT_S!r} + ((qtrsec // 32) + 1) * {C.SPAN_Y!r} / 32e0) AS y1
+    FROM binned
+    GROUP BY parent, bin
+    """,
+)
+def q_consolidated_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    kept = metro_marked_df(spark, sf_dir).where(~F.col("is_deleted"))
+    counts = kept.groupBy("qtrsec").agg(F.count(F.lit(1)).alias("bldg_count"))
+    parent = (F.col("qtrsec") / 32 / 4).cast("long") * 8 + ((F.col("qtrsec") % 32) / 4).cast("long")
+    w = Wnd.partitionBy("parent").orderBy("qtrsec")
+    binned = (
+        counts.withColumn("parent", parent)
+        .withColumn(
+            "bin",
+            F.floor((F.sum("bldg_count").over(w) - F.col("bldg_count")) / MAX_BLDGS),
+        )
+    )
+    ix = F.col("qtrsec") % 32
+    iy = F.floor(F.col("qtrsec") / 32)
+    return (
+        binned.groupBy("parent", "bin")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("qtrsec")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("contains"),
+            F.count(F.lit(1)).cast("int").alias("n_tiles"),
+            F.sum("bldg_count").alias("bldg_count"),
+            F.min(F.lit(C.LON_W) + ix * F.lit(C.SPAN_X) / F.lit(32.0)).alias("x0"),
+            F.min(F.lit(C.LAT_S) + iy * F.lit(C.SPAN_Y) / F.lit(32.0)).alias("y0"),
+            F.max(F.lit(C.LON_W) + (ix + 1) * F.lit(C.SPAN_X) / F.lit(32.0)).alias("x1"),
+            F.max(F.lit(C.LAT_S) + (iy + 1) * F.lit(C.SPAN_Y) / F.lit(32.0)).alias("y1"),
+        )
+        .select(
+            (F.col("parent") * 100 + F.col("bin")).alias("ctile_id"),
+            "contains", "n_tiles", "bldg_count", "x0", "y0", "x1", "y1",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# A5 + G2: multipolygon relation assembly (tasks/osm_buildings.rake:40-99
+# — array_agg(ST_LineMerge(linestring)) per (relation_id, member_role),
+# then ST_MakePolygon with inner rings). The engine collects member
+# rings ordered by seq (order-sensitive geometry assembly → sort inside
+# the agg, SURVEY.md A5 note), assembles the multi-ring polygon, and
+# computes its envelope through the geometry kernel; tag filter is the
+# relation branch of P1/P2.
+@register(
+    "osm_relations",
+    synth.oracle_with("osm_rel_members_base")
+    + """
+    SELECT relation_id,
+           ANY_VALUE(t_building) AS building,
+           CAST(SUM(CASE WHEN role = 'outer' THEN 1 ELSE 0 END) AS INT) AS n_outer,
+           CAST(SUM(CASE WHEN role = 'inner' THEN 1 ELSE 0 END) AS INT) AS n_inner,
+           string_agg(CAST(member_id AS VARCHAR), ',' ORDER BY seq) AS members,
+           MIN(rx0) AS x0, MIN(ry0) AS y0, MAX(rx1) AS x1, MAX(ry1) AS y1
+    FROM osm_rel_members_base
+    WHERE t_building <> ''
+    GROUP BY relation_id
+    """,
+)
+def q_osm_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    members = spark.table("osm_rel_members").where(F.col("t_building") != "")
+    assembled = (
+        members.groupBy("relation_id")
+        .agg(
+            F.first("t_building").alias("building"),
+            F.sum(F.when(F.col("role") == "outer", 1).otherwise(0))
+            .cast("int").alias("n_outer"),
+            F.sum(F.when(F.col("role") == "inner", 1).otherwise(0))
+            .cast("int").alias("n_inner"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seq", "member_id"))),
+                    lambda s: s["member_id"].cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+            # the assembled multi-ring polygon: outer first, holes after,
+            # pinned by seq (collect_list order is not deterministic —
+            # sort_array over (seq, ring) structs makes it total)
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seq", "ring"))),
+                lambda s: s["ring"][0],
+            ).alias("rings"),
+        )
+    )
+    return G.with_bbox(assembled, "relation_id").drop("rings")

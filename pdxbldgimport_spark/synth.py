@@ -311,6 +311,41 @@ SELECT *,
 FROM osm_nodes_base
 """
 
+# osm relation members (plays osmosis relations/relation_members,
+# tasks/osm_buildings.rake:40-99): every doc_id % 11 = 0 doc is a
+# multipolygon relation with 1 outer ring + (doc_id % 3) inner rings
+# (holes), members ordered by seq; the building tag lives on the
+# relation (duplicated per member row, as a relational flattening).
+_OSM_RELS = """
+SELECT
+  relation_id, member_id, role, seq, t_building,
+  {W} + ((pid % {NPX}) + mx0) * {PW} AS rx0,
+  {S} + (CAST(FLOOR(pid / {NPX}.0) AS BIGINT) + my0) * {PH} AS ry0,
+  {W} + ((pid % {NPX}) + mx1) * {PW} AS rx1,
+  {S} + (CAST(FLOOR(pid / {NPX}.0) AS BIGINT) + my1) * {PH} AS ry1
+FROM (
+  SELECT
+    d.doc_id AS relation_id,
+    d.doc_id * 10 + s.s AS member_id,
+    CASE WHEN s.s = 0 THEN 'outer' ELSE 'inner' END AS role,
+    s.s AS seq,
+    CASE d.doc_id % 4 WHEN 0 THEN 'yes' WHEN 1 THEN 'apartments'
+                      WHEN 2 THEN '' ELSE 'house' END AS t_building,
+    d.doc_id % {NP} AS pid,
+    CASE WHEN s.s = 0 THEN 0.1 ELSE 0.2 * s.s END AS mx0,
+    CASE WHEN s.s = 0 THEN 0.1 ELSE 0.2 END AS my0,
+    CASE WHEN s.s = 0 THEN 0.9 ELSE 0.2 * s.s + 0.1 END AS mx1,
+    CASE WHEN s.s = 0 THEN 0.9 ELSE 0.3 END AS my1
+  FROM documents d {CROSS_SLOT}
+  WHERE d.doc_id % 11 = 0 AND s.s <= d.doc_id % 3
+) m
+"""
+
+_OSM_RELS_RINGS_SPARK = """
+SELECT *, array(array(rx0,ry0, rx1,ry0, rx1,ry1, rx0,ry1, rx0,ry0)) AS ring
+FROM osm_rel_members_base
+"""
+
 # Multimodal world (round instructions: image/audio/video as opaque
 # binary + typed metadata). payload_str is the byte-exact ASCII twin of
 # the binary payload so the DuckDB oracle can reason about the same
@@ -352,6 +387,7 @@ _TEMPLATES = {
     "caddr": _CADDR,
     "osm_ways_base": _OSM_WAYS,
     "osm_nodes_base": _OSM_NODES,
+    "osm_rel_members_base": _OSM_RELS,
     "media_base": _MEDIA,
 }
 
@@ -360,6 +396,7 @@ _SPARK_EXTRA = {
     "cbldg": _CBLDG_RINGS_SPARK,
     "osm_ways": _OSM_WAYS_RINGS_SPARK,
     "osm_nodes": _OSM_NODES_TAGS_SPARK,
+    "osm_rel_members": _OSM_RELS_RINGS_SPARK,
     "media": _MEDIA_BIN_SPARK,
 }
 
