@@ -515,3 +515,200 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor", "dot", "rn")
     )
+
+
+# ----------------------------------------------------------------------
+# Embedding-cosine near-dup (round instructions): the corpus is unioned
+# with deterministically perturbed clones of every 10th vector (±1
+# milli-unit per dim — cos ≈ 1), then LSH-bucketed (same hyperplanes as
+# ann_lsh) and exactly refined with an integer cosine² test:
+#   dot² ≥ ((τ²ppm · |a|²) // 10^6) · |b|²,  τ = 0.95
+# — pure int64 arithmetic (no overflow: dot ≤ 6.4e7), identical in both
+# engines, so the oracle is exact. At scale: banding bounds candidates
+# per bucket; the refine is a JVM zip_with/aggregate over the pair.
+COS_TAU2_PPM = 902_500  # (0.95)² in ppm
+
+
+def _eq_with_clones(spark: SparkSession) -> DataFrame:
+    eq = _eq_df(spark)
+    clones = (
+        eq.where(F.col("vec_id") % 10 == 0)
+        # sign must come from the ORIGINAL vec_id — computed before the
+        # rename, or the projection would resolve vec_id to the +100000
+        # alias and flip the branch
+        .withColumn(
+            "d", F.when(F.col("vec_id") % 3 == 0, F.lit(1)).otherwise(F.lit(-1))
+        )
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("q"), lambda x: x + F.col("d")).alias("q"),
+        )
+    )
+    return eq.unionByName(clones)
+
+
+_EQC_DUCK = (
+    _EQ_DUCK
+    + """
+, eqc AS (
+  SELECT vec_id, q FROM eq
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(q, x -> x + CASE WHEN vec_id % 3 = 0 THEN 1 ELSE -1 END)
+  FROM eq WHERE vec_id % 10 = 0
+)
+"""
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    "WITH "
+    + _EQC_DUCK
+    + f"""
+    , sigs AS (SELECT vec_id, q, {_SIG_DUCK} AS sig FROM eqc)
+    , cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.q AS qa, b.q AS qb
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(list_dot_product(qa, qb) AS BIGINT) AS dot
+    FROM cand
+    WHERE CAST(list_dot_product(qa, qb) AS BIGINT) > 0
+      AND CAST(list_dot_product(qa, qb) AS BIGINT)
+          * CAST(list_dot_product(qa, qb) AS BIGINT)
+          >= (({COS_TAU2_PPM} * CAST(list_dot_product(qa, qa) AS BIGINT)) // 1000000)
+             * CAST(list_dot_product(qb, qb) AS BIGINT)
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    eqc = _eq_with_clones(spark)
+    sig = None
+    for i in range(N_PLANES):
+        plane = F.array(*[F.lit(v) for v in _plane(i)])
+        hdot = F.aggregate(
+            F.zip_with(F.col("q"), plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(hdot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    sigs = eqc.withColumn("sig", sig)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), "sig")
+
+    def idot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, u: acc + u,
+        )
+
+    pairs = (
+        a.join(b, "sig")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", idot(F.col("qa"), F.col("qb")))
+        .withColumn("na2", idot(F.col("qa"), F.col("qa")))
+        .withColumn("nb2", idot(F.col("qb"), F.col("qb")))
+    )
+    keep = (F.col("dot") > 0) & (
+        F.col("dot") * F.col("dot")
+        >= F.floor(F.lit(COS_TAU2_PPM) * F.col("na2") / F.lit(1000000)).cast("long")
+        * F.col("nb2")
+    )
+    return pairs.where(keep).select("vec_a", "vec_b", "dot")
+
+
+# ----------------------------------------------------------------------
+# IVF ANN (the second scale path): deterministic integer centroids
+# (nlist=16); every vector joins its nearest-by-dot centroid's inverted
+# list; a query probes its nprobe=4 best lists and ranks candidates by
+# exact integer dot. At 100 TB the lists are the partition key — a probe
+# touches nprobe/nlist of the corpus instead of all of it.
+N_LIST = 16
+N_PROBE = 4
+
+
+def _centroid(i: int) -> list[int]:
+    return [((i * DIMS + d) * 2246822519) % 1000 - 500 for d in range(DIMS)]
+
+
+_CENTROIDS_DUCK = " UNION ALL ".join(
+    f"SELECT {i} AS cid, {_centroid(i)!r} AS cvec" for i in range(N_LIST)
+)
+
+_ASSIGN_DUCK = f"""
+, cents AS ({_CENTROIDS_DUCK})
+, scored_cents AS (
+  SELECT e.vec_id, e.q, c.cid,
+         CAST(list_dot_product(e.q, c.cvec) AS BIGINT) AS cdot,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY CAST(list_dot_product(e.q, c.cvec) AS BIGINT) DESC,
+                                     c.cid) AS crn
+  FROM eq e, cents c
+)
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    "WITH "
+    + _EQ_DUCK
+    + _ASSIGN_DUCK
+    + f"""
+    , lists AS (SELECT vec_id, q, cid FROM scored_cents WHERE crn = 1)
+    , probes AS (SELECT vec_id, q, cid FROM scored_cents
+                 WHERE crn <= {N_PROBE} AND vec_id < {N_QUERIES})
+    , scored AS (
+      SELECT p.vec_id AS query_id, l.vec_id AS neighbor,
+             CAST(list_dot_product(p.q, l.q) AS BIGINT) AS dot,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                ORDER BY CAST(list_dot_product(p.q, l.q) AS BIGINT) DESC,
+                                         l.vec_id) AS rn
+      FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.vec_id
+    )
+    SELECT query_id, neighbor, dot, rn FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    eq = _eq_df(spark)
+    cents = [(i, _centroid(i)) for i in range(N_LIST)]
+    cdf = eq.select(
+        "vec_id", "q",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("cvec"))
+                for i, vec in cents
+            ])
+        ).alias("c"),
+    ).select("vec_id", "q", "c.cid", "c.cvec")
+    cdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Wnd.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cid").asc())
+    scored_cents = cdf.withColumn("cdot", cdot).withColumn("crn", F.row_number().over(w))
+    lists = scored_cents.where(F.col("crn") == 1).select("vec_id", "q", "cid")
+    probes = (
+        scored_cents.where((F.col("crn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES))
+        .select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), "cid")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w2 = Wnd.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor").asc())
+    return (
+        probes.join(
+            lists.select(F.col("vec_id").alias("neighbor"), "q", "cid"), "cid"
+        )
+        .where(F.col("neighbor") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor", "dot", "rn")
+    )
