@@ -140,9 +140,9 @@ def pip_predicate(rings_col: str, lon_col: str, lat_col: str) -> Column:
 
 
 
-def _slot_cover(ids: np.ndarray, rs: RingSet, poly_id: str, res: int, k_max: int = 12):
-    """Driver-built exact cell-local crossing structure for the broadcast
-    PIP path (polys are small by contract — they were collectable anyway).
+def _slot_cover_arrays(rs: RingSet, res: int, k_max: int):
+    """Numpy core of the slot-cover build (shared by the driver-side
+    broadcast builder and the distributed mapInPandas builder).
 
     For every (polygon, cover cell) pair, the ray-cast crossing count of
     ANY point p in the cell decomposes exactly as:
@@ -151,23 +151,17 @@ def _slot_cover(ids: np.ndarray, rs: RingSet, poly_id: str, res: int, k_max: int
                cell's full y-range: they cross the rightward ray of every
                p in the cell (constant parity contribution);
       slots  — the few edges that may or may not cross depending on p
-               (bbox overlapping the cell's ray shadow): stored as flat
-               scalar columns s{k}{x1,y1,x2,y2}, k < nslot;
+               (bbox overlapping the cell's ray shadow): per-point test
+               needed;
       excluded — edges strictly left of the cell, or with no y-overlap:
                provably never cross for any p in the cell.
 
-    The per-point refine is then ``(base + Σ_k crossing_k) % 2 = 1`` —
-    plain arithmetic that stays inside whole-stage codegen. Ray-cast HOFs
-    are CodegenFallback (whole stage drops to interpreted, ~25×) and ANY
-    per-candidate mapInPandas hits the Arrow channel's ~2-3M rows/s
-    ceiling regardless of cores (measured: 60M-row passthrough = 19-30 s
-    at 2/8/32 cores) — this structure avoids both.
-
-    Cells with provably-zero parity for all points (outside) are dropped;
-    interior cells come out as base=1, nslot=0 for free. Rows whose slot
-    count exceeds ``k_max`` are flagged ``exact`` and routed to the numpy
-    kernel fallback branch. Returns (pandas_df, K, any_exact).
-    """
+    Returns (row, cell, base, nslot, exact, slot_mats, keep): ``row``
+    indexes rs's polygons, ``slot_mats`` is {x1,y1,x2,y2} → [n, k_max]
+    NaN-padded matrices, ``exact`` flags rows with more than ``k_max``
+    slot edges (caller must refine those with the full kernel), ``keep``
+    drops provably-outside cells (interior cells come out base=1,
+    nslot=0 for free)."""
     from ..geo.core import _poly_edge_ranges, poly_bbox
 
     x0, y0, x1, y1 = poly_bbox(rs)
@@ -199,30 +193,104 @@ def _slot_cover(ids: np.ndarray, rs: RingSet, poly_id: str, res: int, k_max: int
     ).astype(np.int64)
     keep = (nslot > 0) | (base == 1)  # drop provably-outside cells
 
-    max_nslot = int(nslot.max()) if len(nslot) else 0
-    K = min(max_nslot, k_max)
     sel = np.flatnonzero(is_slot)
     srep = rep[sel]  # nondecreasing by construction
     srow_starts = np.concatenate(([0], np.cumsum(nslot)[:-1]))
     pos = np.arange(len(sel), dtype=np.int64) - srow_starts[srep]
-    ok = pos < K
+    ok = pos < k_max
+    slot_mats = {}
+    for name, arr in (("x1", ax1), ("y1", ay1), ("x2", ax2), ("y2", ay2)):
+        m = np.full((len(row), max(k_max, 1)), np.nan)
+        m[srep[ok], pos[ok]] = arr[sel][ok]
+        slot_mats[name] = m
+    return row, cell, base, nslot, nslot > k_max, slot_mats, keep
+
+
+def _slot_cover(ids: np.ndarray, rs: RingSet, poly_id: str, res: int, k_max: int = 12):
+    """Driver-built slot cover for the broadcast PIP path (polys are
+    small by contract — they were collectable anyway).
+
+    The per-point refine over this structure is
+    ``(base + Σ_k crossing_k) % 2 = 1`` — plain arithmetic that stays
+    inside whole-stage codegen. Ray-cast HOFs are CodegenFallback (whole
+    stage drops to interpreted, ~25×) and ANY per-candidate mapInPandas
+    hits the Arrow channel's ~2-3M rows/s ceiling regardless of cores
+    (measured: 60M-row passthrough = 19-30 s at 2/8/32 cores) — the slot
+    structure avoids both. Returns (pandas_df, K, any_exact)."""
+    row, cell, base, nslot, exact, slot_mats, keep = _slot_cover_arrays(
+        rs, res, k_max
+    )
+    max_nslot = int(nslot.max()) if len(nslot) else 0
+    K = min(max_nslot, k_max)
     data = {
         poly_id: ids[row],
         "cell": cell,
         "base": base,
         "nslot": np.minimum(nslot, k_max + 1).astype(np.int32),
-        "exact": nslot > k_max,
+        "exact": exact,
     }
-    slot_cols = {}
-    for name, arr in (("x1", ax1), ("y1", ay1), ("x2", ax2), ("y2", ay2)):
-        m = np.full((len(row), max(K, 1)), np.nan)
-        m[srep[ok], pos[ok]] = arr[sel][ok]
-        slot_cols[name] = m
     for k in range(K):
         for name in ("x1", "y1", "x2", "y2"):
-            data[f"s{k}{name}"] = slot_cols[name][:, k]
+            data[f"s{k}{name}"] = slot_mats[name][:, k]
     pdf = pd.DataFrame({c: v[keep] for c, v in data.items()})
-    return pdf, K, bool((nslot > k_max).any())
+    return pdf, K, bool(exact.any())
+
+
+# Fixed slot budget for the distributed (shuffle-path) cover build — the
+# output schema must be static across Arrow batches.
+K_SHUFFLE = 8
+
+
+def polygon_cover_slots(
+    polys: DataFrame,
+    poly_id: str,
+    rings_col: str = "rings",
+    res: int = C.RES_JOIN,
+    k_max: int = K_SHUFFLE,
+) -> DataFrame:
+    """Distributed slot-cover build for huge polygon sides (the shuffle
+    path's spatial index): same structure as the driver-side builder,
+    one Arrow pass over the polygon side, fixed ``k_max`` slot columns.
+    Rows flagged ``exact`` keep their rings for the HOF fallback; all
+    others ship only flat scalars through the shuffle."""
+    fields = [
+        T.StructField(poly_id, T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("base", T.IntegerType()),
+        T.StructField("nslot", T.IntegerType()),
+        T.StructField("exact", T.BooleanType()),
+    ]
+    for k in range(k_max):
+        for name in ("x1", "y1", "x2", "y2"):
+            fields.append(T.StructField(f"s{k}{name}", T.DoubleType()))
+    fields.append(T.StructField(rings_col, T.ArrayType(T.ArrayType(T.DoubleType()))))
+    out_schema = T.StructType(fields)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rs = RingSet.from_arrow_lists(pdf[rings_col])
+            row, cell, base, nslot, exact, slot_mats, keep = _slot_cover_arrays(
+                rs, res, k_max
+            )
+            data = {
+                poly_id: pdf[poly_id].to_numpy()[row],
+                "cell": cell,
+                "base": base,
+                "nslot": np.minimum(nslot, k_max + 1).astype(np.int32),
+                "exact": exact,
+            }
+            for k in range(k_max):
+                for name in ("x1", "y1", "x2", "y2"):
+                    data[f"s{k}{name}"] = slot_mats[name][:, k]
+            rings_out = pdf[rings_col].to_numpy()[row].copy()
+            rings_out[~exact] = None  # geometry only rides exact rows
+            data[rings_col] = rings_out
+            yield pd.DataFrame({c: v[keep] for c, v in data.items()})
+
+    return polys.select(F.col(poly_id), F.col(rings_col)).mapInPandas(gen, out_schema)
+
 
 
 def _slot_predicate(K: int, lon_col: str = "lon", lat_col: str = "lat") -> Column:
@@ -357,25 +425,38 @@ def pip_join(
         slow = _refine_pip_kernel(slow_cand, b_geom, point_id, poly_id, carry)
         return fast.unionByName(slow)
 
-    # shuffle path with explicit hot-cell salting (huge polygon side:
-    # geometry rides the cover rows; exact refine via the ray-cast HOF —
-    # TODO: slot-ize this side too with a distributed cover build)
-    cover = polygon_cover_cells(polys, poly_id, rings_col, res)
-    hit = pip_predicate(rings_col, "lon", "lat")
-    hot = (
-        pts.groupBy("cell")
-        .count()
-        .filter(F.col("count") > hot_cell_points)
-        .select("cell")
-    )
-    hot_set = {r["cell"] for r in hot.collect()}
-    if hot_set:
-        hot_lit = F.col("cell").isin(list(hot_set))
-        pts = pts.withColumn(
-            "salt",
-            F.when(hot_lit, F.pmod(F.xxhash64(F.col(point_id)), F.lit(n_salt))).otherwise(F.lit(0)),
+    # Shuffle path (huge polygon side) with explicit hot-cell salting.
+    # The spatial index — the distributed slot cover — is materialized
+    # once (this is the GiST-build analog; at scale it would be an
+    # Iceberg index table reused across joins). Non-exact candidate rows
+    # carry only flat scalars through the shuffle and refine with the
+    # codegen slot predicate; rare >K-slot rows keep rings and refine via
+    # the ray-cast HOF on their own (small) branch.
+    cover = polygon_cover_slots(
+        polys, poly_id, rings_col, res
+    ).localCheckpoint(eager=True)
+    has_exact = cover.where(F.col("exact")).limit(1).count() > 0
+
+    def salted(cov: DataFrame, pts_in: DataFrame):
+        # hot-cell stats: at production scale these come from the ingest
+        # manifest / table stats rather than a planning pass.
+        hot = (
+            pts_in.groupBy("cell")
+            .count()
+            .filter(F.col("count") > hot_cell_points)
+            .select("cell")
         )
-        cover = cover.withColumn(
+        hot_set = {r["cell"] for r in hot.collect()}
+        if not hot_set:
+            return pts_in.join(cov, "cell")
+        hot_lit = F.col("cell").isin(list(hot_set))
+        pts_s = pts_in.withColumn(
+            "salt",
+            F.when(
+                hot_lit, F.pmod(F.xxhash64(F.col(point_id)), F.lit(n_salt))
+            ).otherwise(F.lit(0)),
+        )
+        cov_s = cov.withColumn(
             "salt",
             F.explode(
                 F.when(hot_lit, F.sequence(F.lit(0), F.lit(n_salt - 1))).otherwise(
@@ -383,7 +464,18 @@ def pip_join(
                 )
             ),
         )
-        joined = pts.join(cover, ["cell", "salt"])
-    else:
-        joined = pts.join(cover, "cell")
-    return joined.where(hit).select(*out_cols)
+        return pts_s.join(cov_s, ["cell", "salt"])
+
+    fast = (
+        salted(cover.where(~F.col("exact")).drop("exact", rings_col), pts)
+        .where(_slot_predicate(K_SHUFFLE))
+        .select(*out_cols)
+    )
+    if not has_exact:
+        return fast
+    slow = (
+        pts.join(cover.where(F.col("exact")).select(poly_id, "cell", rings_col), "cell")
+        .where(pip_predicate(rings_col, "lon", "lat"))
+        .select(*out_cols)
+    )
+    return fast.unionByName(slow)

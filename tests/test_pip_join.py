@@ -88,6 +88,50 @@ def test_pip_join_shuffle_path_matches_broadcast(spark):
     assert bc == sh
 
 
+def test_pip_join_exact_fallback_many_edges(spark):
+    """A polygon with dozens of vertices inside one cell overflows the
+    slot budget → the exact numpy/HOF fallback branch must carry it, on
+    both planner paths."""
+    rng = np.random.default_rng(3)
+    polys = [(i, [_star(rng, int(rng.integers(3, 6)))]) for i in range(5)]
+    # 40-vertex star with radius ~ a quarter cell: every edge shares the
+    # same handful of cells → nslot >> K
+    cx, cy = C.LON_W + 0.37 * C.SPAN_X, C.LAT_S + 0.53 * C.SPAN_Y
+    n = 40
+    ang = np.sort(rng.random(n) * 2 * np.pi)
+    rad = 0.0004 + rng.random(n) * 0.0006
+    xs, ys = cx + rad * np.cos(ang), cy + rad * np.sin(ang)
+    ring = np.empty(2 * (n + 1))
+    ring[0 : 2 * n : 2], ring[1 : 2 * n : 2] = xs, ys
+    ring[-2], ring[-1] = xs[0], ys[0]
+    polys.append((99, [ring.tolist()]))
+
+    npts = 30_000
+    # half the points clustered around the many-edge polygon
+    px = np.concatenate([
+        C.LON_W + rng.random(npts // 2) * C.SPAN_X,
+        cx + (rng.random(npts // 2) - 0.5) * 0.004,
+    ])
+    py = np.concatenate([
+        C.LAT_S + rng.random(npts // 2) * C.SPAN_Y,
+        cy + (rng.random(npts // 2) - 0.5) * 0.004,
+    ])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pt": np.arange(npts), "lon": px, "lat": py})
+    )
+    pdf_polys = spark.createDataFrame(polys, POLY_SCHEMA)
+    exp = _bruteforce(polys, px, py)
+    assert any(p == 99 for _, p in exp)  # the fallback polygon has hits
+    bc = {(r["pt"], r["poly"]) for r in pip_join(pts, pdf_polys, "pt", "poly").collect()}
+    sh = {
+        (r["pt"], r["poly"])
+        for r in pip_join(
+            pts, pdf_polys, "pt", "poly", broadcast_max_polys=0, hot_cell_points=5000
+        ).collect()
+    }
+    assert bc == exp and sh == exp
+
+
 def test_slot_cover_interior_and_outside_cells():
     """Interior cells come out base=1/nslot=0; provably-outside cells are
     dropped; slot counts stay tiny for rectangles."""
