@@ -1,0 +1,111 @@
+"""Event-stream batch queries over the driver `events` table: tumbling
+time-window rollups, gap-based sessionization, and JSON props
+extraction. The reference has no time-series ops (SURVEY.md §2.9) —
+this family extends the engine's API to the webtext world's temporal
+side (warc_ts-style timestamps) with cross-engine-exact outputs
+(quantized integer sums; no float accumulation order sensitivity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
+
+from .queries import register, views
+
+SESSION_GAP_S = 600  # 10-minute inactivity splits a session
+
+
+# Tumbling 1-hour windows per event_type: count + value sum in integer
+# cents (SUM of floats is order-sensitive across engines; quantize first).
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+    )
+
+
+# Gap-based sessionization: per user, a new session starts when the gap
+# to the previous event exceeds SESSION_GAP_S (lag + running sum — the
+# W-series window machinery generalized to time).
+@register(
+    "events_sessions",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_S} * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    w = Wnd.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gaps: whole-second casts would disagree with the
+    # oracle on gaps within 1 s of the threshold
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet gives NTZ
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("is_start", is_start).withColumn(
+        "session_no", F.sum("is_start").over(w)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# JSON props extraction (scalar-function coverage over semi-structured
+# payloads): props is a JSON string; pull k as an integer.
+@register(
+    "events_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("k_sum"),
+            F.max(k).alias("k_max"),
+        )
+    )
