@@ -7,8 +7,9 @@ Cross-engine determinism rules used throughout:
   family with zero FP risk;
 - embeddings are quantized to integer milli-units before any arithmetic,
   so dot products are exact integers in both engines (no float-sum order
-  sensitivity). The true-cosine variants live in operators/similarity.py
-  and are verified by pytest instead of the SQL oracle.
+  sensitivity); at production scale the same pipelines run on the raw
+  float column (drop the quantization step) — ranking semantics are
+  identical, only the oracle needs exactness.
 """
 
 from __future__ import annotations
@@ -711,4 +712,56 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor", "dot", "rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# Document quality scoring (round instructions): integer-ppm ratios —
+# stopword share, short-token share, alpha-only share — folded into one
+# composite score. All integer arithmetic → exact cross-engine.
+@register(
+    "text_quality",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + """
+    , tok_stats AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN w IN ('the','a','of','and') THEN 1 ELSE 0 END) AS n_stop,
+             SUM(CASE WHEN length(w) <= 2 THEN 1 ELSE 0 END) AS n_short,
+             SUM(CASE WHEN regexp_full_match(w, '[a-z]+') THEN 1 ELSE 0 END) AS n_alpha
+      FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_stop * 1000000 // n_tokens AS BIGINT) AS stop_ppm,
+           CAST(n_short * 1000000 // n_tokens AS BIGINT) AS short_ppm,
+           CAST(n_alpha * 1000000 // n_tokens AS BIGINT) AS alpha_ppm,
+           CAST((n_alpha * 1000000 // n_tokens
+                 - n_short * 500000 // n_tokens
+                 + CASE WHEN n_stop > 0 THEN 100000 ELSE 0 END) AS BIGINT) AS quality_ppm
+    FROM tok_stats
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    t = _tokens(spark)
+    stats = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+        F.sum(F.when(F.length("w") <= 2, 1).otherwise(0)).alias("n_short"),
+        F.sum(F.when(F.col("w").rlike("^[a-z]+$"), 1).otherwise(0)).alias("n_alpha"),
+    )
+    ppm = lambda c, scale: F.floor(c * F.lit(scale) / F.col("n_tokens")).cast("long")  # noqa: E731
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        ppm(F.col("n_stop"), 1000000).alias("stop_ppm"),
+        ppm(F.col("n_short"), 1000000).alias("short_ppm"),
+        ppm(F.col("n_alpha"), 1000000).alias("alpha_ppm"),
+        (
+            ppm(F.col("n_alpha"), 1000000)
+            - ppm(F.col("n_short"), 500000)
+            + F.when(F.col("n_stop") > 0, F.lit(100000)).otherwise(F.lit(0))
+        ).cast("long").alias("quality_ppm"),
     )
