@@ -140,7 +140,7 @@ def pip_predicate(rings_col: str, lon_col: str, lat_col: str) -> Column:
 
 
 
-def _slot_cover_arrays(rs: RingSet, res: int, k_max: int):
+def _slot_cover_arrays(rs: RingSet, res: int, k_max: int, alloc_k: int | None = None):
     """Numpy core of the slot-cover build (shared by the driver-side
     broadcast builder and the distributed mapInPandas builder).
 
@@ -198,10 +198,15 @@ def _slot_cover_arrays(rs: RingSet, res: int, k_max: int):
     srow_starts = np.concatenate(([0], np.cumsum(nslot)[:-1]))
     pos = np.arange(len(sel), dtype=np.int64) - srow_starts[srep]
     ok = pos < k_max
+    # allocate only the columns that will exist (first-touch of fresh
+    # pages is the dominant cost of this build on some hosts — NaN-pad
+    # matrices sized to the observed max, not the budget)
+    if alloc_k is None:
+        alloc_k = min(int(nslot.max()) if len(nslot) else 0, k_max)
     slot_mats = {}
     for name, arr in (("x1", ax1), ("y1", ay1), ("x2", ax2), ("y2", ay2)):
-        m = np.full((len(row), max(k_max, 1)), np.nan)
-        m[srep[ok], pos[ok]] = arr[sel][ok]
+        m = np.full((len(row), max(alloc_k, 1)), np.nan)
+        m[srep[ok & (pos < alloc_k)], pos[ok & (pos < alloc_k)]] = arr[sel][ok & (pos < alloc_k)]
         slot_mats[name] = m
     return row, cell, base, nslot, nslot > k_max, slot_mats, keep
 
@@ -221,7 +226,7 @@ def _slot_cover(ids: np.ndarray, rs: RingSet, poly_id: str, res: int, k_max: int
         rs, res, k_max
     )
     max_nslot = int(nslot.max()) if len(nslot) else 0
-    K = min(max_nslot, k_max)
+    K = min(max_nslot, k_max)  # slot_mats were allocated with K columns
     data = {
         poly_id: ids[row],
         "cell": cell,
@@ -272,7 +277,7 @@ def polygon_cover_slots(
                 continue
             rs = RingSet.from_arrow_lists(pdf[rings_col])
             row, cell, base, nslot, exact, slot_mats, keep = _slot_cover_arrays(
-                rs, res, k_max
+                rs, res, k_max, alloc_k=k_max  # fixed schema across batches
             )
             data = {
                 poly_id: pdf[poly_id].to_numpy()[row],
@@ -358,6 +363,79 @@ def _refine_pip_kernel(
     return joined.mapInPandas(refine, schema)
 
 
+
+class BroadcastCover:
+    """Prebuilt broadcast-side spatial index: the slot-cover DataFrame
+    (driver-materialized), its slot-column count, the exact-fallback
+    geometry broadcast, and the indexed id column. Built once at ingest —
+    the reference builds its GiST indexes at table-build time
+    (add_spatial_index, tasks/pdx_bldgs.rake:120-121) for the same
+    reason: every spatial query reuses the index instead of re-deriving
+    it."""
+
+    __slots__ = ("cover", "K", "any_exact", "b_geom", "poly_id", "res")
+
+    def __init__(self, cover, K, any_exact, b_geom, poly_id, res):
+        self.cover = cover
+        self.K = K
+        self.any_exact = any_exact
+        self.b_geom = b_geom
+        self.poly_id = poly_id
+        self.res = res
+
+
+def build_broadcast_cover(
+    polys: DataFrame,
+    poly_id: str,
+    rings_col: str = "rings",
+    res: int = C.RES_JOIN,
+    k_max: int = 12,
+) -> BroadcastCover | None:
+    """Collect the (small) polygon side and build its slot cover +
+    out-of-band geometry broadcast. Returns None for an empty side."""
+    geom = polys.select(poly_id, rings_col).collect()
+    if not geom:
+        return None
+    spark = polys.sparkSession
+    order = np.argsort(np.array([r[0] for r in geom], dtype=np.int64))
+    ids = np.array([geom[i][0] for i in order], dtype=np.int64)
+    rs = RingSet.from_arrow_lists([geom[i][1] for i in order])
+    cover_pdf, K, any_exact = _slot_cover(ids, rs, poly_id, res, k_max)
+    cover = spark.createDataFrame(cover_pdf)
+    b_geom = (
+        spark.sparkContext.broadcast((ids, rs)) if any_exact else None
+    )
+    return BroadcastCover(cover, K, any_exact, b_geom, poly_id, res)
+
+
+def pip_join_with_cover(
+    points: DataFrame,
+    bc: BroadcastCover,
+    point_id: str,
+    carry: list[tuple[str, T.DataType]] | None = None,
+) -> DataFrame:
+    """The broadcast PIP join against a prebuilt cover — one whole-stage
+    codegen pipeline over the point side."""
+    carry = carry or []
+    poly_id = bc.poly_id
+    pts = points.select(point_id, "lon", "lat", *(c for c, _ in carry)).withColumn(
+        "cell", cell_expr(F.col("lon"), F.col("lat"), bc.res)
+    )
+    out_cols = [point_id, poly_id, *(c for c, _ in carry)]
+    fast = (
+        pts.join(F.broadcast(bc.cover.where(~F.col("exact")).drop("exact")), "cell")
+        .where(_slot_predicate(bc.K))
+        .select(*out_cols)
+    )
+    if not bc.any_exact:
+        return fast
+    slow_cand = pts.join(
+        F.broadcast(bc.cover.where(F.col("exact")).select(poly_id, "cell")), "cell"
+    )
+    slow = _refine_pip_kernel(slow_cand, bc.b_geom, point_id, poly_id, carry)
+    return fast.unionByName(slow)
+
+
 def pip_join(
     points: DataFrame,
     polys: DataFrame,
@@ -370,12 +448,15 @@ def pip_join(
     n_salt: int = N_SALT,
     polys_count: int | None = None,
     carry: list[tuple[str, T.DataType]] | None = None,
+    prebuilt: BroadcastCover | None = None,
 ) -> DataFrame:
     """Spatial inner join: (point_id, poly_id) for each point inside a
     polygon. ``points`` needs (point_id, lon, lat); ``polys`` needs
     (poly_id, rings). ``polys_count`` may be passed to skip the planning
     count (e.g. from a stage manifest). ``carry`` = extra point-side
     columns emitted alongside the pair — map-side, no join-back shuffle.
+    ``prebuilt`` = an ingest-time ``build_broadcast_cover`` index; when
+    given, ``polys`` is not touched at all.
 
     Broadcast path = ONE whole-stage-codegen pipeline over the point
     side: scan → cell id → broadcast hash join on cell → slot-cover
@@ -384,6 +465,8 @@ def pip_join(
     side) salts hot cells explicitly and refines via the ray-cast HOF.
     """
     carry = carry or []
+    if prebuilt is not None:
+        return pip_join_with_cover(points, prebuilt, point_id, carry)
     pts = points.select(point_id, "lon", "lat", *(c for c, _ in carry)).withColumn(
         "cell", cell_expr(F.col("lon"), F.col("lat"), res)
     )
@@ -392,9 +475,8 @@ def pip_join(
     out_cols = [point_id, poly_id, *(c for c, _ in carry)]
 
     if polys_count <= broadcast_max_polys:
-        geom = polys.select(poly_id, rings_col).collect()
-        spark = points.sparkSession
-        if not geom:
+        bc = build_broadcast_cover(polys, poly_id, rings_col, res)
+        if bc is None:
             schema = T.StructType(
                 [
                     T.StructField(point_id, T.LongType()),
@@ -402,28 +484,8 @@ def pip_join(
                     *(T.StructField(c, t) for c, t in carry),
                 ]
             )
-            return spark.createDataFrame([], schema)
-        order = np.argsort(np.array([r[0] for r in geom], dtype=np.int64))
-        ids = np.array([geom[i][0] for i in order], dtype=np.int64)
-        rs = RingSet.from_arrow_lists([geom[i][1] for i in order])
-        cover_pdf, K, any_exact = _slot_cover(ids, rs, poly_id, res)
-        cover = spark.createDataFrame(cover_pdf)
-        fast = (
-            pts.join(F.broadcast(cover.where(~F.col("exact")).drop("exact")), "cell")
-            .where(_slot_predicate(K))
-            .select(*out_cols)
-        )
-        if not any_exact:
-            return fast
-        b_geom = spark.sparkContext.broadcast((ids, rs))
-        slow_cand = pts.join(
-            F.broadcast(
-                cover.where(F.col("exact")).select(poly_id, "cell")
-            ),
-            "cell",
-        )
-        slow = _refine_pip_kernel(slow_cand, b_geom, point_id, poly_id, carry)
-        return fast.unionByName(slow)
+            return points.sparkSession.createDataFrame([], schema)
+        return pip_join_with_cover(points, bc, point_id, carry)
 
     # Shuffle path (huge polygon side) with explicit hot-cell salting.
     # The spatial index — the distributed slot cover — is materialized

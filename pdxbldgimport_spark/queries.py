@@ -69,6 +69,21 @@ def prepared_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prepared_fp_cover(spark: SparkSession, sf_dir: str):
+    """Ingest-time broadcast spatial index over the footprints (the
+    reference builds its GiST indexes at table-build time,
+    add_spatial_index sites — every PIP query against the footprints
+    reuses this instead of re-deriving cover cells)."""
+    key = (id(spark), sf_dir, "fp_cover")
+    bc = _PREP_CACHE.get(key)
+    if bc is None:
+        from .operators.pip_join import build_broadcast_cover
+
+        bc = build_broadcast_cover(prepared_footprints(spark, sf_dir), "fp_id")
+        _PREP_CACHE[key] = bc
+    return bc
+
+
 def valid_footprints(spark: SparkSession) -> DataFrame:
     """Back-compat shim: enriched + repaired footprints (assumes views
     registered; prefer prepared_footprints)."""
@@ -123,8 +138,8 @@ def conflation_addrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     pages = spark.table("pages")
-    fps = prepared_footprints(spark, sf_dir)
-    return pip_join(pages, fps, "page_id", "fp_id")
+    bc = prepared_fp_cover(spark, sf_dir)
+    return pip_join(pages, None, "page_id", "fp_id", prebuilt=bc)
 
 
 # A4 tile counts over points: pages per quarter-section-analog tile
@@ -230,7 +245,8 @@ def q_knn_unassigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     pages = spark.table("pages")
     fps = prepared_footprints(spark, sf_dir)
-    assigned = pip_join(pages, fps, "page_id", "fp_id").select("page_id")
+    bc = prepared_fp_cover(spark, sf_dir)
+    assigned = pip_join(pages, None, "page_id", "fp_id", prebuilt=bc).select("page_id")
     un = pages.join(assigned, "page_id", "left_anti")
     cents = fps.select("fp_id", "pid", "centroid_lon", "centroid_lat")
     d2 = (F.col("lon") - F.col("centroid_lon")) ** 2 + (F.col("lat") - F.col("centroid_lat")) ** 2
