@@ -8,9 +8,32 @@ runtime splitting on top of our explicit salting.
 
 from __future__ import annotations
 
+import ctypes
 import os
 
 from pyspark.sql import SparkSession
+
+
+def _tune_malloc() -> None:
+    """Serve large allocations from the reused heap instead of fresh
+    mmaps. glibc mmap()s big numpy/Arrow buffers and returns them to the
+    OS on free, so every batch re-faults cold pages; on hosts with slow
+    page provisioning (this sandbox measures first-touch as low as
+    ~35 MB/s in bad phases, ~90× slower than reused pages) that
+    dominates the kernels. Applies to this process via mallopt and to
+    the JVM + forked Python workers via environment (glibc reads the
+    _-suffixed vars at process start)."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, -1)       # M_TRIM_THRESHOLD: never give back
+    except OSError:  # non-glibc platform — env vars still help children
+        pass
+
+
+_tune_malloc()
 
 
 def get_spark(
