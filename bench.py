@@ -129,7 +129,7 @@ def main() -> None:
             {
                 "metric": "spatial_join_tile_assign_docs_per_sec",
                 "value": round(docs_per_sec, 1),
-                "unit": "sec",
+                "unit": "docs/sec",
                 "headline_sec": round(headline_s, 3),
                 "n_docs": n_pages,
                 "queries": timings,

@@ -70,6 +70,20 @@ def pdx_addrs(caddr: DataFrame) -> DataFrame:
     return df.withColumn("street", street)
 
 
+def residential_reclass(bldg_type_raw, bldg_use):
+    """P6 residential reclassification (tasks/pdx_shapes.rake:133-138):
+    SET bldg_type='Res' WHERE (bldg_type IS NULL OR bldg_type='Not Set')
+    AND (bldg_use ILIKE '%Residential%' OR bldg_use ILIKE '%house%').
+    Applied at ingest on the raw type column, before the BLDG_TYPE map
+    ('Res' → 'residential', tasks/pdx_bldgs.rake:42-55)."""
+    unset = bldg_type_raw.isNull() | (bldg_type_raw == "Not Set")
+    use = F.lower(bldg_use)
+    return F.when(
+        unset & (use.contains("residential") | use.contains("house")),
+        F.lit("Res"),
+    ).otherwise(bldg_type_raw)
+
+
 def addr_bldg_counts(bldgs_orig: DataFrame, addrs: DataFrame) -> DataFrame:
     """A1 (tasks/pdx_shapes.rake:162-175): per-parcel building count
     NATURAL JOIN address count — only parcels having both survive."""

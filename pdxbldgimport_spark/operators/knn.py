@@ -1,0 +1,92 @@
+"""Per-cell kNN with k-ring candidate expansion (J10; the north_star's
+near-boundary ambiguity resolver).
+
+Re-expresses the reference's distance-ordered candidate scan
+(tasks/metro_quarter_secs.rake:80-86) as:
+
+1. every point gets its grid cell at ``res`` — one JVM arithmetic
+   projection over the petabyte side, no explode, no Python;
+2. the (small) candidate side explodes each centroid to all cells within
+   Chebyshev distance ``k_ring`` — the k-ring lives on the SMALL side, so
+   the fan-out is (2k+1)² × |candidates|, never × |points|;
+3. equi-join on the point's single cell (broadcast when the exploded
+   candidate side is small), then a distance window picks the nearest
+   ``top_k`` per point, ties pinned by candidate id.
+
+Semantics are ring-bounded: a point with no candidate inside its k-ring
+produces no row. The guarantee making this a true nearest-neighbor: any
+candidate OUTSIDE the ring is ≥ k_ring cell-edges away in x or y, so
+whenever the found nearest lies within ``k_ring * min(edge_x, edge_y)``
+it is provably the global nearest (property-tested vs brute force in
+tests/test_knn.py, including points hugging cell boundaries — the case a
+parcel equi-join gets wrong).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window as Wnd
+
+from ..geo import cells as C
+from .pip_join import tile_expr
+
+RES_KNN = 5   # 32×32 grid: edge_x = 0.05°, edge_y = 0.0375°
+K_RING = 2    # 5×5 ring → guarantee radius 2*min_edge = 0.075°
+
+
+def ring_cells(
+    cents: DataFrame,
+    lon_col: str = "centroid_lon",
+    lat_col: str = "centroid_lat",
+    res: int = RES_KNN,
+    k_ring: int = K_RING,
+) -> DataFrame:
+    """Explode each candidate to its k-ring cells (flat iy*n+ix keys,
+    clipped to the grid). Pure JVM: tile arithmetic + two explodes."""
+    n = 1 << res
+    key = tile_expr(F.col(lon_col), F.col(lat_col), res)
+    return (
+        cents.withColumn("__fx", key % n)
+        .withColumn("__fy", F.floor(key / n).cast("long"))
+        .withColumn("__dx", F.explode(F.sequence(F.lit(-k_ring), F.lit(k_ring))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-k_ring), F.lit(k_ring))))
+        .withColumn("__nx", F.col("__fx") + F.col("__dx"))
+        .withColumn("__ny", F.col("__fy") + F.col("__dy"))
+        .where(
+            (F.col("__nx") >= 0) & (F.col("__nx") < n)
+            & (F.col("__ny") >= 0) & (F.col("__ny") < n)
+        )
+        .withColumn("cell", F.col("__ny") * n + F.col("__nx"))
+        .drop("__fx", "__fy", "__dx", "__dy", "__nx", "__ny")
+    )
+
+
+def knn_join(
+    points: DataFrame,
+    cents: DataFrame,
+    point_id: str,
+    cand_id: str,
+    res: int = RES_KNN,
+    k_ring: int = K_RING,
+    top_k: int = 1,
+    lon_col: str = "centroid_lon",
+    lat_col: str = "centroid_lat",
+) -> DataFrame:
+    """(point_id, cand_id, rn) for each point's ``top_k`` ring-nearest
+    candidates by squared planar degree distance. ``points`` needs
+    (point_id, lon, lat); ``cents`` needs (cand_id, lon_col, lat_col)."""
+    ring = ring_cells(
+        cents.select(cand_id, lon_col, lat_col), lon_col, lat_col, res, k_ring
+    )
+    pts = points.select(point_id, "lon", "lat").withColumn(
+        "cell", tile_expr(F.col("lon"), F.col("lat"), res)
+    )
+    d2: Column = (F.col("lon") - F.col(lon_col)) ** 2 + (
+        F.col("lat") - F.col(lat_col)
+    ) ** 2
+    w = Wnd.partitionBy(point_id).orderBy(d2.asc(), F.col(cand_id).asc())
+    return (
+        pts.join(F.broadcast(ring), "cell")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select(point_id, cand_id, "rn")
+    )

@@ -74,7 +74,16 @@ HG_CTES = """
 )
 """
 
-_BLDG_CASE = M.sql_case("b.bldg_type_raw", M.BLDG_TYPE, default="'yes'")
+# P6 residential reclassification (tasks/pdx_shapes.rake:133-138) —
+# applied on the raw type before the BLDG_TYPE map, mirroring
+# conflation.residential_reclass at engine ingest.
+_RECLASS = (
+    "(CASE WHEN (b.bldg_type_raw IS NULL OR b.bldg_type_raw = 'Not Set') "
+    "AND (lower(b.bldg_use) LIKE '%residential%' "
+    "OR lower(b.bldg_use) LIKE '%house%') "
+    "THEN 'Res' ELSE b.bldg_type_raw END)"
+)
+_BLDG_CASE = M.sql_case(_RECLASS, M.BLDG_TYPE, default="'yes'")
 
 _TILE = (
     f"CAST(LEAST(GREATEST(FLOOR((cy - ({C.LAT_S!r})) / {C.SPAN_Y!r} * 32e0), 0), 31) AS BIGINT) * 32 "

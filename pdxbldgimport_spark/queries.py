@@ -100,7 +100,12 @@ def prepared_cbldg(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = spark.table("cbldg").select(
             "bldg_id",
             F.col("cpid").alias("state_id"),
-            "bldg_type_raw", "bldg_use", "num_story",
+            # P6 residential reclassification at ingest
+            # (tasks/pdx_shapes.rake:133-138)
+            CF.residential_reclass(
+                F.col("bldg_type_raw"), F.col("bldg_use")
+            ).alias("bldg_type_raw"),
+            "bldg_use", "num_story",
             "surf_elev", "max_height", "rings",
         )
         return G.enrich_polys(raw, "bldg_id")
@@ -213,29 +218,61 @@ def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# J10 per-parcel kNN: pages not contained by any footprint resolve to the
-# nearest footprint centroid on their parcel (the near-boundary ambiguity
-# rule; reference distance-ordered scan, tasks/metro_quarter_secs.rake:80-86).
+# J10 per-cell kNN with k-ring expansion (north_star; reference
+# distance-ordered scan, tasks/metro_quarter_secs.rake:80-86): pages not
+# contained by any footprint resolve to the nearest footprint centroid
+# among the candidates in the page cell's Chebyshev k-ring at RES_KNN.
+# Ring-bounded semantics on BOTH sides: the oracle expresses the ring as
+# |ix_p - ix_f| ≤ k ∧ |iy_p - iy_f| ≤ k on the same clipped-floor grid.
+def _ix_sql(lon_expr: str, res: int) -> str:
+    n = 1 << res
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({lon_expr} - ({C.LON_W!r})) / "
+        f"{C.SPAN_X!r} * {n}e0), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def _iy_sql(lat_expr: str, res: int) -> str:
+    n = 1 << res
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({lat_expr} - ({C.LAT_S!r})) / "
+        f"{C.SPAN_Y!r} * {n}e0), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+from .operators.knn import K_RING, RES_KNN, knn_join  # noqa: E402
+
+
 @register(
     "knn_unassigned",
     synth.oracle_with("pages", "footprints_base")
-    + """
-    , ranked AS (
-      SELECT p.page_id, f.fp_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY p.page_id
-               ORDER BY (p.lon - (f.x0 + f.x1) / 2e0) * (p.lon - (f.x0 + f.x1) / 2e0)
-                      + (p.lat - (f.y0 + f.y1) / 2e0) * (p.lat - (f.y0 + f.y1) / 2e0),
-                      f.fp_id
-             ) AS rn
+    + f"""
+    , upt AS (
+      SELECT p.page_id, p.lon, p.lat,
+             {_ix_sql('p.lon', RES_KNN)} AS ixp,
+             {_iy_sql('p.lat', RES_KNN)} AS iyp
       FROM pages p
-      JOIN footprints_base f ON p.pid = f.pid AND f.fp_id % 97 <> 5
       WHERE NOT EXISTS (
         SELECT 1 FROM footprints_base g
         WHERE g.pid = p.pid AND g.fp_id % 97 <> 5
           AND p.lon >= g.x0 AND p.lon < g.x1
           AND p.lat >= g.y0 AND p.lat < g.y1
       )
+    ), fc AS (
+      SELECT fp_id, (x0 + x1) / 2e0 AS cx, (y0 + y1) / 2e0 AS cy
+      FROM footprints_base WHERE fp_id % 97 <> 5
+    ), ranked AS (
+      SELECT u.page_id, f.fp_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.page_id
+               ORDER BY (u.lon - f.cx) * (u.lon - f.cx)
+                      + (u.lat - f.cy) * (u.lat - f.cy),
+                      f.fp_id
+             ) AS rn
+      FROM upt u
+      JOIN fc f
+        ON abs(u.ixp - {_ix_sql('f.cx', RES_KNN)}) <= {K_RING}
+       AND abs(u.iyp - {_iy_sql('f.cy', RES_KNN)}) <= {K_RING}
     )
     SELECT page_id AS page_id, fp_id AS nearest_fp
     FROM ranked WHERE rn = 1
@@ -248,14 +285,9 @@ def q_knn_unassigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = prepared_fp_cover(spark, sf_dir)
     assigned = pip_join(pages, None, "page_id", "fp_id", prebuilt=bc).select("page_id")
     un = pages.join(assigned, "page_id", "left_anti")
-    cents = fps.select("fp_id", "pid", "centroid_lon", "centroid_lat")
-    d2 = (F.col("lon") - F.col("centroid_lon")) ** 2 + (F.col("lat") - F.col("centroid_lat")) ** 2
-    w = Wnd.partitionBy("page_id").orderBy(d2.asc(), F.col("fp_id").asc())
-    return (
-        un.join(cents, "pid")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("page_id", F.col("fp_id").alias("nearest_fp"))
+    cents = fps.select("fp_id", "centroid_lon", "centroid_lat")
+    return knn_join(un, cents, "page_id", "fp_id").select(
+        "page_id", F.col("fp_id").alias("nearest_fp")
     )
 
 
@@ -292,6 +324,57 @@ def q_addr_bldg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     bldgs = spark.table("cbldg").withColumnRenamed("cpid", "state_id")
     return CF.addr_bldg_counts(bldgs, conflation_addrs(spark, sf_dir))
+
+
+# A6 taxlot stats (tasks/clark_shapes.rake:16-32): count + max + sum of
+# building area per parcel. Areas quantized to integer milli-ft² per
+# building BEFORE the sum so the group aggregate is exact int64 in both
+# engines (double sums are order-sensitive). The oracle reproduces the
+# engine kernel's shoelace IEEE op order exactly (geo.core.poly_area):
+# crosses summed left-to-right in edge order, /2, abs, × the folded
+# ft²-per-deg² constant.
+def _area_ft2_sql(prefix: str = "b.") -> str:
+    from .geo import core as _core
+
+    k = _core.FT_PER_DEG_LON * _core.FT_PER_DEG_LAT
+    p = prefix
+    crosses = [
+        f"({p}bx0 * {p}by0 - {p}bx1 * {p}by0)",
+        f"({p}bx1 * {p}by1 - {p}bx1 * {p}by0)",
+        f"({p}bx1 * {p}by1 - {p}bx0 * {p}by1)",
+        f"({p}bx0 * {p}by0 - {p}bx0 * {p}by1)",
+    ]
+    acc = crosses[0]
+    for c in crosses[1:]:
+        acc = f"({acc} + {c})"
+    return f"abs(abs({acc} / 2e0)) * {k!r}"
+
+
+@register(
+    "taxlot_stats",
+    synth.oracle_with("cbldg_base")
+    + f"""
+    SELECT b.cpid AS state_id,
+           COUNT(*) AS n_bldgs,
+           MAX(CAST(FLOOR({_area_ft2_sql()} * 1000e0) AS BIGINT)) AS max_area_mft2,
+           CAST(SUM(CAST(FLOOR({_area_ft2_sql()} * 1000e0) AS BIGINT)) AS BIGINT) AS sum_area_mft2
+    FROM cbldg_base b
+    GROUP BY b.cpid
+    """,
+)
+def q_taxlot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    b = prepared_cbldg(spark, sf_dir)
+    mft2 = F.floor(F.col("area") * F.lit(1000.0)).cast("long")
+    return (
+        b.select("state_id", mft2.alias("mft2"))
+        .groupBy("state_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bldgs"),
+            F.max("mft2").alias("max_area_mft2"),
+            F.sum("mft2").alias("sum_area_mft2"),
+        )
+    )
 
 
 # J1 house_and_garage (tasks/pdx_bldgs.rake:12-23)
@@ -359,7 +442,8 @@ def pdx_bldgs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The all-inside test is a genuine spatial PIP join (J4) over the
 # multi-address buildings; placement uses kernel ST_PointOnSurface with
 # deterministic perturbation (F10). lon/lat are engine-kernel values and
-# are verified by pytest (containment + determinism), not the SQL oracle.
+# are verified by pytest (tests/test_rules.py: cross-rebuild determinism
+# + branch-B containment), not the SQL oracle.
 @register(
     "multi_addrs",
     OC.with_prefix(OC.PDX_BLDGS_CTES, OC.MULTI_ADDRS_CTES)

@@ -367,26 +367,18 @@ def q_fill_only_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill = picked.join(ways, "way_id").join(
         pdx.select("bldg_id", "housenumber", "street", "city", "postcode"), "bldg_id"
     )
-    # the map-semantic fill-only merge: existing key wins (||= semantics)
-    new_tags = F.map_filter(
-        F.map_from_arrays(
-            F.array(F.lit("addr:housenumber"), F.lit("addr:street"),
-                    F.lit("addr:city"), F.lit("addr:postcode")),
-            F.array(F.col("housenumber"), F.col("street"),
-                    F.col("city"), F.col("postcode")),
-        ),
-        lambda k, v: v.isNotNull(),
-    )
-    merged = F.map_concat(new_tags, F.map_filter(F.col("tags"), lambda k, v: v.isNotNull()))
-    # LAST_WIN dedup policy (session conf) → existing tags override fills
-    fill = fill.withColumn("merged", merged)
-    m = lambda k: F.try_element_at(F.col("merged"), F.lit(k))  # noqa: E731
+    # F9 fill-only semantics (||=, scripts/add_addrs.rb:46-49): the
+    # existing OSM tag wins; the conflated value fills only absent keys.
+    # Per-key coalesce — session-independent (no mapKeyDedupPolicy
+    # dependency: the driver's vanilla session uses the EXCEPTION default,
+    # where a map_concat detour throws DUPLICATED_MAP_KEY) and cheaper
+    # than materializing an intermediate map per row.
     return fill.select(
         "way_id", "bldg_id",
-        m("addr:housenumber").alias("addr_housenumber"),
-        m("addr:street").alias("addr_street"),
-        m("addr:city").alias("addr_city"),
-        m("addr:postcode").alias("addr_postcode"),
+        F.coalesce(t("addr:housenumber"), F.col("housenumber")).alias("addr_housenumber"),
+        F.coalesce(t("addr:street"), F.col("street")).alias("addr_street"),
+        F.coalesce(t("addr:city"), F.col("city")).alias("addr_city"),
+        F.coalesce(t("addr:postcode"), F.col("postcode")).alias("addr_postcode"),
     )
 
 

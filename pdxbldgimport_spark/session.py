@@ -64,9 +64,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # deterministic map-merge semantics for the fill-only tag merge
-        # (reference scripts/add_addrs.rb:46-49): later key wins.
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # Pin the heap: a growable 48g heap made G1 commit/uncommit tens of
