@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "text_stats",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "rel_ring_stats",
+    "clark_one_addr_bldgs",
 ]
 
 

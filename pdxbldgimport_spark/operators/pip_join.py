@@ -76,20 +76,30 @@ def tile_expr(lon: Column, lat: Column, res: int = C.RES_TILE) -> Column:
     return iy * F.lit(n) + ix
 
 
-def polygon_cover_cells(polys: DataFrame, poly_id: str, rings_col: str = "rings", res: int = C.RES_JOIN) -> DataFrame:
-    """Explode polygons to (poly_id, cell, rings): conservative bbox cover,
-    exact refine must follow on every candidate. One Arrow pass over the
-    (small) polygon side; rings are carried through directly so no
-    join-back shuffle is needed. Used by the shuffle path and the
-    polygon×polygon join; the broadcast PIP path uses the driver-built
-    slot cover (see ``_slot_cover``) instead."""
-    out_schema = T.StructType(
-        [
-            T.StructField(poly_id, T.LongType()),
-            T.StructField("cell", T.LongType()),
-            T.StructField(rings_col, T.ArrayType(T.ArrayType(T.DoubleType()))),
-        ]
-    )
+def polygon_cover_cells(
+    polys: DataFrame,
+    poly_id: str,
+    rings_col: str = "rings",
+    res: int = C.RES_JOIN,
+    include_rings: bool = True,
+) -> DataFrame:
+    """Explode polygons to (poly_id, cell[, rings]): conservative bbox
+    cover, exact refine must follow on every candidate. One Arrow pass
+    over the polygon side. ``include_rings=False`` emits ids+cells only —
+    a polygon covering k cells would otherwise ship its rings k times
+    through both the Arrow channel and the downstream shuffle (the
+    polygon×polygon join re-attaches geometry AFTER pair dedup instead).
+    The broadcast PIP path uses the driver-built slot cover
+    (see ``_slot_cover``) instead."""
+    fields = [
+        T.StructField(poly_id, T.LongType()),
+        T.StructField("cell", T.LongType()),
+    ]
+    if include_rings:
+        fields.append(
+            T.StructField(rings_col, T.ArrayType(T.ArrayType(T.DoubleType())))
+        )
+    out_schema = T.StructType(fields)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -100,13 +110,13 @@ def polygon_cover_cells(polys: DataFrame, poly_id: str, rings_col: str = "rings"
 
             x0, y0, x1, y1 = poly_bbox(rs)
             row, cell = C.cover_cells_bbox(x0, y0, x1, y1, res)
-            yield pd.DataFrame(
-                {
-                    poly_id: pdf[poly_id].to_numpy()[row],
-                    "cell": cell,
-                    rings_col: pdf[rings_col].to_numpy()[row],
-                }
-            )
+            out = {
+                poly_id: pdf[poly_id].to_numpy()[row],
+                "cell": cell,
+            }
+            if include_rings:
+                out[rings_col] = pdf[rings_col].to_numpy()[row]
+            yield pd.DataFrame(out)
 
     return polys.select(F.col(poly_id), F.col(rings_col)).mapInPandas(gen, out_schema)
 
@@ -179,10 +189,23 @@ def _slot_cover_arrays(rs: RingSet, res: int, k_max: int, alloc_k: int | None = 
     minx, maxx = np.minimum(ax1, ax2), np.maximum(ax1, ax2)
     # kernel semantics: edge crosses p's ray iff min_y <= py < max_y and
     # px < xint. For p in cell: py in [cy0, cy1), px in [cx0, cx1).
-    y_possible = (miny < cy1[rep]) & (maxy > cy0[rep])
-    not_left = maxx >= cx0[rep]
+    # eps guard: cell assignment (floor of a float product) can put a
+    # point a few ulps outside its cell's recomputed bounds, so the
+    # base/excluded shortcuts — which assume p strictly inside — are
+    # padded by eps: the exclusion window widens, the base window
+    # shrinks, and every borderline edge lands in the exactly-tested
+    # slot set instead (slots are correct for ANY p; only base/excluded
+    # rely on the bounds).
+    eps = 1e-9 + 1e-12 * np.maximum(np.abs(cy0[rep]), np.abs(cy1[rep]))
+    y_possible = (miny < cy1[rep] + eps) & (maxy > cy0[rep] - eps)
+    not_left = maxx >= cx0[rep] - eps
     relevant = y_possible & not_left
-    is_base = relevant & (minx > cx1[rep]) & (miny <= cy0[rep]) & (maxy >= cy1[rep])
+    is_base = (
+        relevant
+        & (minx > cx1[rep] + eps)
+        & (miny <= cy0[rep] - eps)
+        & (maxy >= cy1[rep] + eps)
+    )
     is_slot = relevant & ~is_base
     base = (
         np.bincount(rep, weights=is_base.astype(np.float64), minlength=len(row))
@@ -449,6 +472,7 @@ def pip_join(
     polys_count: int | None = None,
     carry: list[tuple[str, T.DataType]] | None = None,
     prebuilt: BroadcastCover | None = None,
+    hot_cells: list[int] | None = None,
 ) -> DataFrame:
     """Spatial inner join: (point_id, poly_id) for each point inside a
     polygon. ``points`` needs (point_id, lon, lat); ``polys`` needs
@@ -456,7 +480,12 @@ def pip_join(
     count (e.g. from a stage manifest). ``carry`` = extra point-side
     columns emitted alongside the pair — map-side, no join-back shuffle.
     ``prebuilt`` = an ingest-time ``build_broadcast_cover`` index; when
-    given, ``polys`` is not touched at all.
+    given, ``polys`` is not touched at all. ``hot_cells`` = precomputed
+    skew stats for the shuffle path (cell ids needing salting), normally
+    read from the ingest stage manifest (StageRunner records them) — when
+    given, the shuffle path plans with ZERO extra scans of the point
+    side; when None it falls back to a planning pass (documented cost: a
+    full extra scan + driver collect, fine at test scale only).
 
     Broadcast path = ONE whole-stage-codegen pipeline over the point
     side: scan → cell id → broadcast hash join on cell → slot-cover
@@ -500,15 +529,17 @@ def pip_join(
     has_exact = cover.where(F.col("exact")).limit(1).count() > 0
 
     def salted(cov: DataFrame, pts_in: DataFrame):
-        # hot-cell stats: at production scale these come from the ingest
-        # manifest / table stats rather than a planning pass.
-        hot = (
-            pts_in.groupBy("cell")
-            .count()
-            .filter(F.col("count") > hot_cell_points)
-            .select("cell")
-        )
-        hot_set = {r["cell"] for r in hot.collect()}
+        if hot_cells is not None:
+            # manifest-fed skew stats: no planning scan of the point side
+            hot_set = set(hot_cells)
+        else:
+            hot = (
+                pts_in.groupBy("cell")
+                .count()
+                .filter(F.col("count") > hot_cell_points)
+                .select("cell")
+            )
+            hot_set = {r["cell"] for r in hot.collect()}
         if not hot_set:
             return pts_in.join(cov, "cell")
         hot_lit = F.col("cell").isin(list(hot_set))

@@ -4,12 +4,16 @@ Re-expresses the reference's dedup-against-existing-OSM UPDATEs
 (tasks/metro_bldgs.rake:51-69; update_database.sql:160-166) as a
 cell-bucketed join:
 
-1. both sides explode to cover cells (conservative bbox cover);
-2. equi-join on cell — unlike the point case a pair can share several
-   cells, so candidate pairs are de-duplicated BEFORE the exact refine
-   (cheap shuffle on ids vs. repeated geometry tests);
-3. exact vectorized ``polys_intersect_pairs`` refine (edge crossings +
-   mutual containment).
+1. both sides explode to cover cells (conservative bbox cover) — IDS
+   ONLY: ring geometry never rides the per-cell shuffle (a polygon
+   covering k cells would ship its rings k times; at metro scale the
+   duplicated geometry, not the ids, dominates the exchange);
+2. equi-join on cell, then candidate pairs de-duplicated while still
+   just (a_id, b_id) rows;
+3. geometry re-attached once per side to the deduped pairs, then the
+   exact vectorized ``polys_intersect_pairs`` refine (edge crossings +
+   mutual containment), per-batch factorized so each distinct polygon
+   parses once per Arrow batch.
 
 Returns distinct (a_id, b_id) intersecting pairs; callers turn that into
 is_deleted marks (left-semi) and kept/suppressed splits (O4).
@@ -37,17 +41,12 @@ def intersects_join(
     res: int = C.RES_JOIN,
 ) -> DataFrame:
     """Distinct (a_id, b_id) pairs with ST_Intersects(a, b) true."""
-    cov_a = polygon_cover_cells(polys_a, a_id, rings_col, res).withColumnRenamed(
-        rings_col, "__rings_a"
-    )
-    cov_b = polygon_cover_cells(polys_b, b_id, rings_col, res).withColumnRenamed(
-        rings_col, "__rings_b"
-    )
-    cand = (
-        cov_a.join(cov_b, "cell")
-        .select(a_id, b_id, "__rings_a", "__rings_b")
-        .dropDuplicates([a_id, b_id])
-    )
+    cov_a = polygon_cover_cells(polys_a, a_id, rings_col, res, include_rings=False)
+    cov_b = polygon_cover_cells(polys_b, b_id, rings_col, res, include_rings=False)
+    pairs = cov_a.join(cov_b, "cell").select(a_id, b_id).dropDuplicates([a_id, b_id])
+    cand = pairs.join(
+        polys_a.select(a_id, F.col(rings_col).alias("__rings_a")), a_id
+    ).join(polys_b.select(b_id, F.col(rings_col).alias("__rings_b")), b_id)
 
     schema = T.StructType(
         [T.StructField(a_id, T.LongType()), T.StructField(b_id, T.LongType())]

@@ -1,0 +1,128 @@
+"""Embedding-vector kernels for the ANN / embedding-dedup family.
+
+Design rule (same as the PIP slot cover, operators/pip_join.py): the
+corpus-side and candidate-pair arithmetic must stay inside whole-stage
+codegen. ``F.aggregate``/``zip_with`` higher-order functions are
+CodegenFallback — one HOF drops the fused stage to interpreted row-at-a-
+time evaluation (~25× measured in PLANS.md) — so dot products are built
+as flat ``element_at`` product sums (CreateArray/ElementAt are
+codegen'd), and the only Python pass is the IVF centroid assignment,
+where a numpy matmul replaces a 16× explode + window shuffle.
+
+All arithmetic is int64-exact (quantized milli-unit vectors), so the
+DuckDB oracles compare bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+DIMS = 64
+
+
+def quantize_expr(emb_col: str = "embedding") -> Column:
+    """array<long> of floor(x*1000) per dim — flat CreateArray, no HOF."""
+    return F.array(
+        *[
+            F.floor(F.element_at(F.col(emb_col), i + 1) * F.lit(1000.0)).cast("long")
+            for i in range(DIMS)
+        ]
+    )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Integer dot product of two array<long> columns as a flat
+    element_at product sum (codegen'd; exact int64, no overflow at
+    |x|≤1000: |dot| ≤ 64e6)."""
+    total: Column = F.element_at(F.col(a), 1) * F.element_at(F.col(b), 1)
+    for i in range(1, DIMS):
+        total = total + F.element_at(F.col(a), i + 1) * F.element_at(F.col(b), i + 1)
+    return total
+
+
+def with_sig(
+    vecs: DataFrame,
+    planes: list[list[int]],
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    norms: bool = False,
+) -> DataFrame:
+    """(id, q, sig[, n2]): LSH signature (bit i set iff q·plane_i > 0)
+    and optionally the squared norm, via one Arrow/numpy matmul pass.
+    (A flat JVM expression for the 8×64-term signature exceeds Janino's
+    method-size limit and drops the whole fused stage to interpreted —
+    the kernel is the faster AND scale-correct path; it runs once per
+    corpus at ingest and is stage-materialized by callers.)"""
+    pmat = np.asarray(planes, dtype=np.int64).T  # dims × n_planes
+    weights = (1 << np.arange(pmat.shape[1], dtype=np.int64))
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField(q_col, T.ArrayType(T.LongType())),
+        T.StructField("sig", T.LongType()),
+    ]
+    if norms:
+        fields.append(T.StructField("n2", T.LongType()))
+    schema = T.StructType(fields)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qm = np.stack(pdf[q_col].to_numpy()).astype(np.int64)
+            sig = ((qm @ pmat) > 0) @ weights
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                q_col: pdf[q_col].to_numpy(),
+                "sig": sig,
+            }
+            if norms:
+                out["n2"] = np.einsum("ij,ij->i", qm, qm)
+            yield pd.DataFrame(out)
+
+    return vecs.select(id_col, q_col).mapInPandas(gen, schema)
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """(id, q, cid, crn) rows for each vector's ``nprobe`` best centroids
+    by integer dot (ties → lowest cid), via one Arrow/numpy matmul pass —
+    replaces the explode-16×-then-window plan, whose window shuffle on
+    vec_id is the scale bottleneck; this is map-side only."""
+    cmat = np.asarray(centroids, dtype=np.int64).T  # dims × nlist
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(q_col, T.ArrayType(T.LongType())),
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("crn", T.IntegerType()),
+        ]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qm = np.stack(pdf[q_col].to_numpy()).astype(np.int64)  # n × dims
+            dots = qm @ cmat  # n × nlist, exact int64
+            # dot desc, cid asc: stable argsort over -dots keeps cid order
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+            n, k = order.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                    q_col: pdf[q_col].to_numpy().repeat(k),
+                    "cid": order.ravel().astype(np.int32),
+                    "crn": np.tile(np.arange(1, k + 1, dtype=np.int32), n),
+                }
+            )
+
+    return vecs.select(id_col, q_col).mapInPandas(gen, schema)

@@ -25,6 +25,7 @@ k and asserts identical outputs + skip counts).
 from __future__ import annotations
 
 import hashlib
+import inspect
 import json
 import os
 import time
@@ -35,6 +36,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 def _fingerprint(*parts: str) -> str:
     return hashlib.md5("\x1f".join(parts).encode()).hexdigest()
+
+
+def _code_token(build: Callable) -> str:
+    """Engine fingerprint for a stage: package version + the build
+    callable's source text, so editing a stage's logic invalidates its
+    checkpoint on resume (a fresh-looking manifest for stale code is the
+    silent-wrong-resume failure mode). Source of a closure captures the
+    call text only, not callee internals — bump ``__version__`` for
+    engine-wide logic changes."""
+    from .. import __version__
+
+    try:
+        src = inspect.getsource(build)
+    except (OSError, TypeError):
+        src = getattr(build, "__qualname__", repr(build))
+    return _fingerprint(__version__, src)
 
 
 class StageRunner:
@@ -62,8 +79,8 @@ class StageRunner:
         with open(mpath) as f:
             return json.load(f)
 
-    def _input_fp(self, name: str, deps: list[str]) -> str:
-        parts = [name, self.inputs_token]
+    def _input_fp(self, name: str, deps: list[str], code_token: str = "") -> str:
+        parts = [name, self.inputs_token, code_token]
         for d in deps:
             m = self.read_manifest(d)
             # missing dep manifest → unknown lineage → never matches
@@ -71,18 +88,30 @@ class StageRunner:
         return _fingerprint(*parts)
 
     # -- the stage operator -------------------------------------------------
+    def hot_cells(self, name: str) -> list[int] | None:
+        """Skew stats recorded at ingest (see ``stage(hot_col=...)``) —
+        the feed for ``pip_join(hot_cells=...)``: the shuffle join plans
+        its salting from the manifest instead of re-scanning the point
+        side (a full extra pass at petabyte scale)."""
+        m = self.read_manifest(name)
+        if m is None or "hot_cells" not in m:
+            return None
+        return [int(k) for k in m["hot_cells"]]
+
     def stage(
         self,
         name: str,
         deps: list[str],
         build: Callable[[], DataFrame],
+        hot_col: str | None = None,
+        hot_threshold: int = 200_000,
     ) -> DataFrame:
         """Materialize stage ``name`` (skipping if checkpoint is fresh)
         and return it as a DataFrame read from the checkpoint — so every
         consumer sees the materialized table, never the logical plan
         (plan-growth control, same reason as queries.stage)."""
         data, mpath = self._paths(name)
-        want_fp = self._input_fp(name, deps)
+        want_fp = self._input_fp(name, deps, _code_token(build))
         m = self.read_manifest(name)
         if m is not None and m["input_fp"] == want_fp and os.path.exists(data):
             self.skipped.append(name)
@@ -101,6 +130,18 @@ class StageRunner:
             .collect()
         )
         parts = {int(r["partition"]): int(r["count"]) for r in per_part}
+        hot: dict[str, int] | None = None
+        if hot_col is not None:
+            # skew histogram at ingest (one map-side-combined agg over the
+            # freshly-written table; bounded output: only cells above the
+            # salting threshold are recorded)
+            hot = {
+                str(r[hot_col]): int(r["cnt"])
+                for r in out.groupBy(hot_col)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .where(F.col("cnt") > hot_threshold)
+                .collect()
+            }
         manifest = {
             "stage": name,
             "deps": deps,
@@ -114,6 +155,9 @@ class StageRunner:
             "wall_s": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if hot is not None:
+            manifest["hot_cells"] = hot
+            manifest["hot_threshold"] = hot_threshold
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:

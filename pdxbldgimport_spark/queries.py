@@ -15,6 +15,7 @@ from .geo import cells as C
 from .operators import conflation as CF
 from .operators import geometry as G
 from .operators.pip_join import pip_join, tile_expr
+from .session import session_token
 
 # ----------------------------------------------------------------------
 # registry plumbing
@@ -64,7 +65,7 @@ def prepared_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return stage(
         spark,
-        (id(spark), sf_dir, "footprints"),
+        (session_token(spark), sf_dir, "footprints"),
         lambda: G.enrich_polys(spark.table("footprints"), "fp_id").filter(F.col("valid")),
     )
 
@@ -74,7 +75,7 @@ def prepared_fp_cover(spark: SparkSession, sf_dir: str):
     reference builds its GiST indexes at table-build time,
     add_spatial_index sites — every PIP query against the footprints
     reuses this instead of re-deriving cover cells)."""
-    key = (id(spark), sf_dir, "fp_cover")
+    key = (session_token(spark), sf_dir, "fp_cover")
     bc = _PREP_CACHE.get(key)
     if bc is None:
         from .operators.pip_join import build_broadcast_cover
@@ -110,14 +111,14 @@ def prepared_cbldg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return G.enrich_polys(raw, "bldg_id")
 
-    return stage(spark, (id(spark), sf_dir, "cbldg"), build)
+    return stage(spark, (session_token(spark), sf_dir, "cbldg"), build)
 
 
 def conflation_addrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return stage(
         spark,
-        (id(spark), sf_dir, "pdx_addrs"),
+        (session_token(spark), sf_dir, "pdx_addrs"),
         lambda: CF.pdx_addrs(spark.table("caddr")),
     )
 
@@ -377,6 +378,101 @@ def q_taxlot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Clark attribute chain (tasks/clark_shapes.rake:94-163): taxlots are
+# REAL geometries here — buildings attach by CENTROID-in-taxlot
+# ST_Intersects (clark_bldgs_to_taxlots, rake:94-105), addresses by
+# point-in-taxlot (clark_addrs_to_taxlots, rake:106-117), and the
+# one-address-one-building taxlots hand their address to their building
+# (rake:123-163). Both memberships run through the slot-cover pip_join
+# against ONE prebuilt broadcast taxlot index (the add_spatial_index
+# analog); the oracle recomputes membership with scalar rectangle
+# predicates.
+def prepared_taxlot_cover(spark: SparkSession, sf_dir: str):
+    from .operators.pip_join import build_broadcast_cover
+
+    key = (session_token(spark), sf_dir, "taxlot_cover")
+    bc = _PREP_CACHE.get(key)
+    if bc is None:
+        tax = spark.table("taxlots_base").select(
+            "pid",
+            F.expr(
+                "array(array(tx0,ty0, tx1,ty0, tx1,ty1, tx0,ty1, tx0,ty0))"
+            ).alias("rings"),
+        )
+        bc = build_broadcast_cover(tax, "pid")
+        _PREP_CACHE[key] = bc
+    return bc
+
+
+@register(
+    "clark_one_addr_bldgs",
+    synth.oracle_with("cbldg_base", "caddr", "taxlots_base")
+    + """
+    , bc AS (
+      SELECT b.bldg_id, t.pid
+      FROM cbldg_base b
+      JOIN taxlots_base t
+        ON (b.bx0 + b.bx1) / 2e0 >= t.tx0 AND (b.bx0 + b.bx1) / 2e0 < t.tx1
+       AND (b.by0 + b.by1) / 2e0 >= t.ty0 AND (b.by0 + b.by1) / 2e0 < t.ty1
+    ), ac AS (
+      SELECT a.address_id, t.pid
+      FROM caddr a
+      JOIN taxlots_base t
+        ON a.lon >= t.tx0 AND a.lon < t.tx1
+       AND a.lat >= t.ty0 AND a.lat < t.ty1
+    ), nb AS (SELECT pid, COUNT(*) AS no_bldgs FROM bc GROUP BY pid)
+    , na AS (SELECT pid, COUNT(*) AS no_addrs FROM ac GROUP BY pid)
+    , one AS (
+      SELECT nb.pid FROM nb JOIN na ON nb.pid = na.pid
+      WHERE no_bldgs = 1 AND no_addrs = 1
+    )
+    SELECT bc.bldg_id, bc.pid,
+           a.housenumber AS addr_housenumber,
+           a.fname AS addr_street,
+           a.mail_city AS addr_city,
+           a.postcode AS addr_postcode
+    FROM bc
+    JOIN one ON bc.pid = one.pid
+    JOIN ac ON ac.pid = bc.pid
+    JOIN caddr a ON a.address_id = ac.address_id
+    """,
+)
+def q_clark_one_addr_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    cover = prepared_taxlot_cover(spark, sf_dir)
+    bpts = spark.table("cbldg").select(
+        "bldg_id",
+        F.expr("(bx0 + bx1) / 2e0").alias("lon"),
+        F.expr("(by0 + by1) / 2e0").alias("lat"),
+    )
+    apts = spark.table("caddr").select("address_id", "lon", "lat")
+    b2t = pip_join(bpts, None, "bldg_id", "pid", prebuilt=cover)
+    a2t = pip_join(apts, None, "address_id", "pid", prebuilt=cover)
+    nb = b2t.groupBy("pid").agg(F.count(F.lit(1)).alias("no_bldgs"))
+    na = a2t.groupBy("pid").agg(F.count(F.lit(1)).alias("no_addrs"))
+    one = (
+        nb.join(na, "pid")
+        .where((F.col("no_bldgs") == 1) & (F.col("no_addrs") == 1))
+        .select("pid")
+    )
+    addr = spark.table("caddr").select(
+        "address_id",
+        F.col("housenumber").alias("addr_housenumber"),
+        F.col("fname").alias("addr_street"),
+        F.col("mail_city").alias("addr_city"),
+        F.col("postcode").alias("addr_postcode"),
+    )
+    return (
+        b2t.join(F.broadcast(one), "pid")
+        .join(a2t, "pid")
+        .join(addr, "address_id")
+        .select(
+            "bldg_id", "pid", "addr_housenumber", "addr_street",
+            "addr_city", "addr_postcode",
+        )
+    )
+
+
 # J1 house_and_garage (tasks/pdx_bldgs.rake:12-23)
 @register(
     "house_and_garage",
@@ -421,19 +517,19 @@ def pdx_bldgs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     bldgs = prepared_cbldg(spark, sf_dir)
     addrs = conflation_addrs(spark, sf_dir)
     counts = stage(
-        spark, (id(spark), sf_dir, "abc"),
+        spark, (session_token(spark), sf_dir, "abc"),
         lambda: CF.addr_bldg_counts(bldgs, addrs),
     )
     hg = stage(
-        spark, (id(spark), sf_dir, "hg"),
+        spark, (session_token(spark), sf_dir, "hg"),
         lambda: CF.house_and_garage(bldgs, counts),
     )
     view = stage(
-        spark, (id(spark), sf_dir, "view"),
+        spark, (session_token(spark), sf_dir, "view"),
         lambda: CF.pdx_bldg_view(bldgs, addrs, counts),
     )
     return stage(
-        spark, (id(spark), sf_dir, "pdx_bldgs"),
+        spark, (session_token(spark), sf_dir, "pdx_bldgs"),
         lambda: CF.pdx_bldgs(view, hg, lambda lon, lat: tile_expr(lon, lat, C.RES_TILE)),
     )
 

@@ -12,6 +12,7 @@ from .geo import cells as C
 from .operators import geometry as G
 from .operators.poly_join import intersects_join
 from .operators.pip_join import tile_expr
+from .session import session_token
 from .queries import (
     ORACLES,
     QUERIES,
@@ -47,7 +48,7 @@ def prepared_osm_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stage(
         spark,
-        (id(spark), sf_dir, "osm_ways"),
+        (session_token(spark), sf_dir, "osm_ways"),
         lambda: G.with_closed_flag(
             spark.table("osm_ways").select("way_id", "tags", "rings"), "way_id"
         ),
@@ -231,7 +232,7 @@ def metro_marked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .queries import stage
 
     return stage(
-        spark, (id(spark), sf_dir, "metro_marked"),
+        spark, (session_token(spark), sf_dir, "metro_marked"),
         lambda: _metro_marked_build(spark, sf_dir),
     )
 
@@ -597,3 +598,78 @@ def q_osm_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return G.with_bbox(assembled, "relation_id").drop("rings")
+
+
+# ----------------------------------------------------------------------
+# G2 linemerge: relation outer rings arrive as OPEN way fragments in
+# scrambled order/orientation (reference: array_agg(ST_LineMerge(geom))
+# before ST_MakePolygon, tasks/osm_buildings.rake:40-52). The engine
+# stitches per relation (groupBy → applyInPandas over the tiny member
+# lists; geo/linemerge.py kernel) and reports stats OF THE ASSEMBLED
+# rings; the oracle derives the same stats assembly-free — n_vertices and
+# the per-edge-floored perimeter are invariant under stitching (each
+# fragment edge appears in exactly one assembled ring, length unchanged
+# by reversal), and the expected component count follows the synth
+# world's structure. A dropped, duplicated, or mis-joined fragment breaks
+# the match; ring-equality itself is property-tested in
+# tests/test_linemerge.py.
+@register(
+    "rel_ring_stats",
+    synth.oracle_with("osm_way_segments_base")
+    + """
+    SELECT relation_id,
+      CAST(CASE WHEN relation_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_rings,
+      CAST(COUNT(*) AS INT) AS n_vertices,
+      CAST(SUM(CAST(FLOOR(SQRT(
+        (bx - ax) * (bx - ax) * 1e12 + (by - ay) * (by - ay) * 1e12
+      )) AS BIGINT)) AS BIGINT) AS perim_udeg
+    FROM osm_way_segments_base
+    GROUP BY relation_id
+    """,
+)
+def q_rel_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo.linemerge import merge_chains
+
+    views(spark, sf_dir)
+    segs = spark.table("osm_way_segments_base").select(
+        "relation_id", "ax", "ay", "bx", "by"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("relation_id", T.LongType()),
+            T.StructField("n_rings", T.IntegerType()),
+            T.StructField("n_vertices", T.IntegerType()),
+            T.StructField("perim_udeg", T.LongType()),
+        ]
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        chains = [
+            np.array([r.ax, r.ay, r.bx, r.by])
+            for r in pdf.itertuples(index=False)
+        ]
+        rings, opens = merge_chains(chains)
+        nv = 0
+        per = np.int64(0)
+        for ring in rings:
+            xs, ys = ring[0::2], ring[1::2]
+            nv += len(xs) - 1
+            dx, dy = xs[1:] - xs[:-1], ys[1:] - ys[:-1]
+            # same IEEE expression tree as the oracle SQL
+            per += np.floor(np.sqrt(dx * dx * 1e12 + dy * dy * 1e12)).astype(np.int64).sum()
+        for ch in opens:  # a failed stitch still counts its edges...
+            nv += len(ch) // 2  # ...but shifts n_vertices/n_rings → gate fails
+        return pd.DataFrame(
+            {
+                "relation_id": [int(key[0])],
+                "n_rings": [len(rings)],
+                "n_vertices": [nv],
+                "perim_udeg": [int(per)],
+            }
+        )
+
+    return segs.groupBy("relation_id").applyInPandas(assemble, schema)

@@ -36,6 +36,16 @@ def _tune_malloc() -> None:
 _tune_malloc()
 
 
+def session_token(spark: SparkSession) -> str:
+    """Stable per-session cache key. ``id(spark)`` is unsafe — after a
+    session is stopped and GC'd, a new SparkSession can reuse the same
+    id and alias module-level caches to stale checkpoint handles and
+    broadcasts from the dead session. applicationId + context startTime
+    never recur."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}@{sc.startTime}"
+
+
 def get_spark(
     app_name: str = "pdxbldgimport_spark",
     cores: int | None = None,

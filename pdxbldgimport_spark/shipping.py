@@ -13,6 +13,7 @@ import os
 import sys
 import tempfile
 import zipfile
+from .session import session_token
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_DIR = os.path.dirname(_PKG_DIR)
@@ -46,7 +47,7 @@ def package_zip() -> str:
 
 def ship(spark) -> None:
     """Register the package zip with the session's SparkContext."""
-    key = id(spark)
+    key = session_token(spark)
     if key in _SHIPPED:
         return
     spark.sparkContext.addPyFile(package_zip())

@@ -39,9 +39,13 @@ def stream_tile_counts(
     spark: SparkSession, src_dir: str, schema, ckpt_dir: str, out_dir: str
 ) -> None:
     """Maintain per-tile page counts incrementally. Each micro-batch
-    appends its partial counts (tile_id, cnt) — an append-only ledger, so
-    the sink never needs transactional rewrites; `read_tile_counts` folds
-    partials. Map-side combine keeps the shuffle tiny at any rate."""
+    writes its partial counts (tile_id, cnt) to a DETERMINISTIC location
+    keyed by batch_id (``out_dir/batch_id=<id>``, overwrite): foreachBatch
+    is only at-least-once — a crash between the sink write and the
+    checkpoint offset commit replays the batch on resume — so the replay
+    must land on the same path, not append a second copy. Readers fold
+    partials across batch dirs. Map-side combine keeps the shuffle tiny
+    at any rate."""
     stream = pages_stream(spark, src_dir, schema).select(
         tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id")
     )
@@ -50,8 +54,8 @@ def stream_tile_counts(
         (
             batch.groupBy("tile_id")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     q = (
@@ -64,7 +68,9 @@ def stream_tile_counts(
 
 
 def read_tile_counts(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Fold the partial-count ledger into current totals."""
+    """Fold the partial-count ledger into current totals. ``batch_id``
+    partition discovery is incidental — a replayed batch overwrote its
+    own dir, so summing across batch dirs never double-counts."""
     return (
         spark.read.parquet(out_dir)
         .groupBy("tile_id")

@@ -35,6 +35,7 @@ rectangles through their corner scalars. Engine *operators* must use only
 """
 
 from __future__ import annotations
+from .session import session_token
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -346,6 +347,59 @@ SELECT *, array(array(rx0,ry0, rx1,ry0, rx1,ry1, rx0,ry1, rx0,ry0)) AS ring
 FROM osm_rel_members_base
 """
 
+# taxlots (plays clark_taxlots, tasks/clark_shapes.rake:5-47): the
+# parcel grid as explicit rectangle geometries, so the Clark chain's
+# ST_Intersects joins (building CENTROID ∈ taxlot, address point ∈
+# taxlot) run as real PIP joins rather than key equality. Derived from
+# documents so both dialects enumerate identical pids.
+_TAXLOTS = """
+SELECT DISTINCT
+  pid,
+  {W} + (pid % {NPX}) * {PW} AS tx0,
+  {S} + CAST(FLOOR(pid / {NPX}.0) AS BIGINT) * {PH} AS ty0,
+  {W} + ((pid % {NPX}) + 1) * {PW} AS tx1,
+  {S} + (CAST(FLOOR(pid / {NPX}.0) AS BIGINT) + 1) * {PH} AS ty1
+FROM (SELECT doc_id % {NP} AS pid FROM documents) g
+"""
+
+# osm way fragments (plays osmosis way geometries feeding the
+# ST_LineMerge relation assembly, tasks/osm_buildings.rake:40-52): each
+# doc_id % 11 = 0 relation's outer ring arrives as 4 OPEN single-edge
+# way fragments in scrambled seq order, a third of them reversed;
+# doc_id % 2 = 0 relations carry a SECOND fragmented ring (8 fragments,
+# two components) so assembly must separate cycles. Shared corners are
+# computed by identical expressions in both fragments touching them →
+# exact float equality, the same bit-for-bit-node invariant real OSM
+# gives linemerge.
+_OSM_SEGMENTS = """
+SELECT
+  relation_id, seg_id, seq,
+  CASE WHEN rev THEN ex ELSE sx END AS ax,
+  CASE WHEN rev THEN ey ELSE sy END AS ay,
+  CASE WHEN rev THEN sx ELSE ex END AS bx,
+  CASE WHEN rev THEN sy ELSE ey END AS by
+FROM (
+  SELECT relation_id, seg_id, seq, rev,
+    CASE e WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1 ELSE x0 END AS sx,
+    CASE e WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1 ELSE y1 END AS sy,
+    CASE e WHEN 0 THEN x1 WHEN 1 THEN x1 WHEN 2 THEN x0 ELSE x0 END AS ex,
+    CASE e WHEN 0 THEN y0 WHEN 1 THEN y1 WHEN 2 THEN y1 ELSE y0 END AS ey
+  FROM (
+    SELECT d.doc_id AS relation_id,
+      s.s AS e,
+      d.doc_id * 100 + rr.rr * 10 + s.s AS seg_id,
+      (s.s * 3 + rr.rr * 5 + d.doc_id) % 8 AS seq,
+      (d.doc_id + s.s + rr.rr) % 3 = 0 AS rev,
+      {W} + ((d.doc_id % {NP}) % {NPX} + 0.55 + 0.18 * rr.rr) * {PW} AS x0,
+      {W} + ((d.doc_id % {NP}) % {NPX} + 0.67 + 0.18 * rr.rr) * {PW} AS x1,
+      {S} + (CAST(FLOOR((d.doc_id % {NP}) / {NPX}.0) AS BIGINT) + 0.6) * {PH} AS y0,
+      {S} + (CAST(FLOOR((d.doc_id % {NP}) / {NPX}.0) AS BIGINT) + 0.78) * {PH} AS y1
+    FROM documents d {CROSS_SLOT} {CROSS_RING2}
+    WHERE d.doc_id % 11 = 0 AND (rr.rr = 0 OR d.doc_id % 2 = 0)
+  ) g
+) c
+"""
+
 # Multimodal world (round instructions: image/audio/video as opaque
 # binary + typed metadata). payload_str is the byte-exact ASCII twin of
 # the binary payload so the DuckDB oracle can reason about the same
@@ -388,6 +442,8 @@ _TEMPLATES = {
     "osm_ways_base": _OSM_WAYS,
     "osm_nodes_base": _OSM_NODES,
     "osm_rel_members_base": _OSM_RELS,
+    "osm_way_segments_base": _OSM_SEGMENTS,
+    "taxlots_base": _TAXLOTS,
     "media_base": _MEDIA,
 }
 
@@ -407,6 +463,7 @@ _DIALECT = {
         "TS_PAGE": "timestampadd(SECOND, CAST(page_id % 86400 AS INT), TIMESTAMP '2024-01-01 00:00:00')",
         "CROSS_REP": f"LATERAL VIEW explode(sequence(0, {REP - 1})) r AS r",
         "CROSS_SLOT": "LATERAL VIEW explode(sequence(0, 3)) s AS s",
+        "CROSS_RING2": "LATERAL VIEW explode(sequence(0, 1)) rr AS rr",
     },
     "duckdb": {
         "STR": "VARCHAR",
@@ -414,6 +471,7 @@ _DIALECT = {
         "TS_PAGE": "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (page_id % 86400) SECOND",
         "CROSS_REP": f"CROSS JOIN (SELECT CAST(range AS BIGINT) AS r FROM range({REP})) r",
         "CROSS_SLOT": "CROSS JOIN (SELECT CAST(range AS BIGINT) AS s FROM range(4)) s",
+        "CROSS_RING2": "CROSS JOIN (SELECT CAST(range AS BIGINT) AS rr FROM range(2)) rr",
     },
 }
 
@@ -475,7 +533,7 @@ def register_views_cached(spark, sf_dir: str) -> None:
     temp-view names are global per session, so if the *current* views
     belong to a different sf_dir they must be re-registered (an
     alternating-SF caller would otherwise silently read the wrong scale)."""
-    key = id(spark)
+    key = session_token(spark)
     if _REGISTERED.get(key) == sf_dir:
         return
     register_views(spark, sf_dir)

@@ -88,6 +88,51 @@ def test_pip_join_shuffle_path_matches_broadcast(spark):
     assert bc == sh
 
 
+def test_pip_join_manifest_fed_hot_cells(spark, tmp_path):
+    """Shuffle path planned from ingest-manifest skew stats: the stage
+    manifest records hot cells at ingest (StageRunner hot_col), pip_join
+    consumes them via hot_cells=... — same pairs as the broadcast path,
+    with NO planning scan of the point side at join time."""
+    from pdxbldgimport_spark.operators.pip_join import cell_expr
+    from pdxbldgimport_spark.plans.manifest import StageRunner
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    polys = [(i, [_star(rng, int(rng.integers(3, 7)))]) for i in range(20)]
+    cx, cy = C.LON_W + 0.41 * C.SPAN_X, C.LAT_S + 0.59 * C.SPAN_Y
+    npts = 20_000
+    # half the points piled into one tiny neighborhood → hot cells
+    px = np.concatenate([
+        C.LON_W + rng.random(npts // 2) * C.SPAN_X,
+        cx + (rng.random(npts // 2) - 0.5) * 0.002,
+    ])
+    py = np.concatenate([
+        C.LAT_S + rng.random(npts // 2) * C.SPAN_Y,
+        cy + (rng.random(npts // 2) - 0.5) * 0.002,
+    ])
+    raw = spark.createDataFrame(pd.DataFrame({"pt": np.arange(npts), "lon": px, "lat": py}))
+    pdf_polys = spark.createDataFrame(polys, POLY_SCHEMA)
+
+    r = StageRunner(spark, str(tmp_path / "ckpt"), inputs_token="t")
+    pts = r.stage(
+        "pts_ingest", [],
+        lambda: raw.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), C.RES_JOIN)),
+        hot_col="cell", hot_threshold=500,
+    )
+    hot = r.hot_cells("pts_ingest")
+    assert hot  # the pile-up produced at least one hot cell
+
+    bc = {(r2["pt"], r2["poly"]) for r2 in pip_join(raw, pdf_polys, "pt", "poly").collect()}
+    sh = {
+        (r2["pt"], r2["poly"])
+        for r2 in pip_join(
+            pts, pdf_polys, "pt", "poly",
+            broadcast_max_polys=0, hot_cells=hot,
+        ).collect()
+    }
+    assert bc == sh
+
+
 def test_pip_join_exact_fallback_many_edges(spark):
     """A polygon with dozens of vertices inside one cell overflows the
     slot budget → the exact numpy/HOF fallback branch must carry it, on

@@ -6,7 +6,10 @@ from __future__ import annotations
 
 import pytest
 
-from pdxbldgimport_spark import queries as Q
+# the aggregate registry, NOT queries: parametrize evaluates at import
+# time, and importing only the base module would silently shrink the
+# oracle sweep to whatever other test files happened to import first
+from pdxbldgimport_spark import registry as Q
 from tests.conftest import SF_ORACLE, compare
 
 

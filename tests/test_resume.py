@@ -56,22 +56,49 @@ def test_pipeline_resume_lifecycle(spark, tmp_path):
     assert _payloads(spark, root) == out1
 
 
+def _build_a(spark, n):
+    # shared factories so every run presents IDENTICAL build source —
+    # the code token (getsource of the callable) is part of the
+    # staleness fingerprint, and getsource on an inline lambda captures
+    # its whole enclosing statement (r1/r2 variable names included)
+    return lambda: spark.range(n)
+
+
+def _build_b(a):
+    return lambda: a.selectExpr("id * 2 AS id2")
+
+
 def test_stage_runner_detects_stale_inputs(spark, tmp_path):
     """inputs_token change (source snapshot moved) invalidates every
     stage — the updated_at-newer-than semantics of the reference DAG."""
     root = str(tmp_path / "ckpt")
     r1 = StageRunner(spark, root, inputs_token="v1")
-    a = r1.stage("a", [], lambda: spark.range(10))
-    r1.stage("b", ["a"], lambda: a.selectExpr("id * 2 AS id2"))
+    a = r1.stage("a", [], _build_a(spark, 10))
+    r1.stage("b", ["a"], _build_b(a))
     assert r1.run_report() == {"built": ["a", "b"], "skipped": []}
 
     r2 = StageRunner(spark, root, inputs_token="v1")
-    a2 = r2.stage("a", [], lambda: spark.range(20))  # fresh → skipped
-    r2.stage("b", ["a"], lambda: a2.selectExpr("id * 2 AS id2"))
+    a = r2.stage("a", [], _build_a(spark, 10))  # fresh → skipped
+    r2.stage("b", ["a"], _build_b(a))
     assert r2.run_report() == {"built": [], "skipped": ["a", "b"]}
 
     r3 = StageRunner(spark, root, inputs_token="v2")  # inputs changed
-    a3 = r3.stage("a", [], lambda: spark.range(20))
-    r3.stage("b", ["a"], lambda: a3.selectExpr("id * 2 AS id2"))
+    a = r3.stage("a", [], _build_a(spark, 20))
+    r3.stage("b", ["a"], _build_b(a))
     assert r3.run_report() == {"built": ["a", "b"], "skipped": []}
     assert spark.read.parquet(os.path.join(root, "b", "data")).count() == 20
+
+
+def test_stage_runner_detects_stale_code(spark, tmp_path):
+    """Editing a stage's build logic (same name, same inputs) must
+    invalidate its checkpoint — the engine-fingerprint ADVICE item."""
+    root = str(tmp_path / "ckpt")
+    r1 = StageRunner(spark, root, inputs_token="v1")
+    r1.stage("a", [], lambda: spark.range(10))
+    assert r1.run_report() == {"built": ["a"], "skipped": []}
+
+    r2 = StageRunner(spark, root, inputs_token="v1")
+    r2.stage("a", [], lambda: spark.range(10).selectExpr("id + 1 AS id"))
+    assert r2.run_report() == {"built": ["a"], "skipped": []}  # code changed
+    got = spark.read.parquet(os.path.join(root, "a", "data"))
+    assert got.agg({"id": "min"}).collect()[0][0] == 1

@@ -59,6 +59,37 @@ def test_incremental_tile_counts_match_batch(spark, tmp_path):
     assert total_partials == sum(want2.values())
 
 
+def test_tile_counts_survive_sink_commit_crash(spark, tmp_path):
+    """foreachBatch is at-least-once: crash AFTER the sink write but
+    BEFORE the checkpoint commit replays the batch on resume. Simulate
+    the exact window by deleting the newest ckpt/commits entry (the sink
+    output stays on disk), then resume — the replayed batch must land on
+    its deterministic batch_id dir, not append a second copy."""
+    views(spark, SF)
+    pages = spark.table("pages")
+    schema = pages.schema
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    _dump(pages, f"{src}/d1", 0, 4000)
+    S.stream_tile_counts(spark, f"{src}/*", schema, ckpt, out)
+    want = {r["tile_id"]: r["page_count"] for r in S.read_tile_counts(spark, out).collect()}
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))  # crash window
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # hadoop checksum shadow of the commit file
+        os.remove(crc)
+
+    S.stream_tile_counts(spark, f"{src}/*", schema, ckpt, out)  # resume → replay
+    got = {r["tile_id"]: r["page_count"] for r in S.read_tile_counts(spark, out).collect()}
+    assert got == want  # idempotent replay: totals not inflated
+
+
 def test_streaming_url_dedup_first_seen_wins(spark, tmp_path):
     views(spark, SF)
     pages = spark.table("pages")
