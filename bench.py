@@ -44,6 +44,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # the N-vs-4N runs recorded in BENCH/BASELINE.md; default 1 = driver mode.
 REP_MULT = int(os.environ.get("SPARK_GRAFT_REP_MULT", "1"))
 SKIP_SWEEP = os.environ.get("SPARK_GRAFT_SKIP_SWEEP", "") == "1"
+# The sandbox VM has sporadic degraded phases (multi-second page-fault
+# stalls — see BENCH/BASELINE.md caveats) that can inflate a single
+# measurement 10-60×; each timing is the min of RUNS attempts.
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
 
 # Per-query bench set: the headline spatial family + the conflation chain
 # + training-data ops. (multi_addrs exercises the full chain implicitly
@@ -96,7 +100,11 @@ def main() -> None:
         params.update(synth._DIALECT["spark"])
         big_rep = int(params["REP"]) * REP_MULT
         params["REP"] = str(big_rep)
-        params["CROSS_REP"] = f"LATERAL VIEW explode(sequence(0, {big_rep - 1})) r AS r"
+        # range() emits rows without materializing the sequence: at this
+        # REP an explode(sequence(...)) allocates a multi-MB array per
+        # doc (G1 humongous allocations — measured as allocation-stall
+        # collapse in degraded host phases)
+        params["CROSS_REP"] = f"CROSS JOIN (SELECT id AS r FROM range({big_rep})) r"
         pages = spark.sql(synth._force_double(synth._PAGES.format(**params)))
 
     n_pages = pages.count()
@@ -106,27 +114,32 @@ def main() -> None:
     # untimed — the reference likewise builds its GiST indexes at
     # table-build time, not per query.
     bc = base.prepared_fp_cover(spark, SF_DIR)
-    t0 = time.time()
+    from pyspark.sql import types as T
+
     pts = pages.select(
         "page_id", "lon", "lat",
         tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id"),
     )
-    from pyspark.sql import types as T
-
-    out = pip_join(
-        pts, None, "page_id", "fp_id",
-        carry=[("tile_id", T.LongType())], prebuilt=bc,
-    )
-    _run(out)
-    headline_s = time.time() - t0
+    headline_s = float("inf")
+    for _ in range(max(RUNS, 1)):
+        t0 = time.time()
+        out = pip_join(
+            pts, None, "page_id", "fp_id",
+            carry=[("tile_id", T.LongType())], prebuilt=bc,
+        )
+        _run(out)
+        headline_s = min(headline_s, time.time() - t0)
     docs_per_sec = n_pages / headline_s
 
     timings: dict[str, float] = {}
     for name in [] if SKIP_SWEEP else BENCH_QUERIES:
         fn = Q.QUERIES[name]
-        t0 = time.time()
-        _run(fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(max(RUNS, 1)):
+            t0 = time.time()
+            _run(fn(spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
@@ -139,6 +152,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": SF_DIR,
                 "cpus": CPUS,
+                "runs_per_timing": max(RUNS, 1),
             }
         )
     )

@@ -39,6 +39,21 @@ SPAN_Y = LAT_N - LAT_S
 RES_TILE = 5  # 32×32 tiles over the extent (~842 consolidated tiles in ref)
 RES_JOIN = 9  # 512×512 cells; edge ≈ 0.003° ≈ 245 m — footprint scale
 
+
+def res_for_polygons(mean_dx: float, mean_dy: float, target_cells: float = 6.0) -> int:
+    """Cover-resolution picker (north_rule): the res where an average
+    ``mean_dx × mean_dy``-degree polygon covers ~``target_cells`` cells.
+    RES_JOIN is right for footprint-scale geometry; big polygons
+    (taxlots, districts) at RES_JOIN each cover hundreds of cells —
+    cover size, broadcast size, and join fan-in all scale with it, so
+    the picker keeps cells-per-polygon bounded instead."""
+    import math
+
+    dx = max(mean_dx, 1e-12)
+    dy = max(mean_dy, 1e-12)
+    r = 0.5 * math.log2(target_cells * (SPAN_X * SPAN_Y) / (dx * dy))
+    return max(3, min(RES_JOIN, int(r)))
+
 _RES_SHIFT = 56
 _Y_SHIFT = 28
 _XY_MASK = (1 << 28) - 1

@@ -43,6 +43,14 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from ..geo import cells as C
 from ..geo.core import RingSet, points_in_polygons_pairs
 
+
+def _DISK_ONLY():
+    # heap-neutral checkpoint blocks (see queries.stage for the measured
+    # session-aging rationale)
+    from pyspark import StorageLevel
+
+    return StorageLevel.DISK_ONLY
+
 # Exploded polygon-side row count below which we broadcast.
 BROADCAST_MAX_ROWS = 2_000_000
 # Points per (cell) above which the shuffle path salts that cell.
@@ -525,7 +533,7 @@ def pip_join(
     # the ray-cast HOF on their own (small) branch.
     cover = polygon_cover_slots(
         polys, poly_id, rings_col, res
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY())
     has_exact = cover.where(F.col("exact")).limit(1).count() > 0
 
     def salted(cov: DataFrame, pts_in: DataFrame):

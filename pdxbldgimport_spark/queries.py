@@ -48,10 +48,20 @@ def stage(spark: SparkSession, key: tuple, df_fn) -> DataFrame:
     upstream chain at every reference (the plan grows combinatorially
     through self-joins). ``localCheckpoint`` truncates lineage — on a real
     cluster this is the per-stage Iceberg write + snapshot-id manifest
-    (SURVEY.md §2.9 resumability note)."""
+    (SURVEY.md §2.9 resumability note).
+
+    DISK_ONLY: checkpoint blocks default to MEMORY_AND_DESERIALIZED in
+    the driver heap, and a session that has run the full query sweep
+    accumulates enough of them that G1 pressure taxes EVERY later stage
+    (measured: the same ANN query 47 s late in a sweep vs 6.9 s after
+    unpersist+gc). Disk blocks are served by the OS page cache at local
+    scale and by shuffle-class storage on a cluster — the heap stays
+    flat no matter how many stages a session materializes."""
+    from pyspark import StorageLevel
+
     df = _PREP_CACHE.get(key)
     if df is None:
-        df = df_fn().localCheckpoint(eager=True)
+        df = df_fn().localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         _PREP_CACHE[key] = df
     return df
 
@@ -399,7 +409,12 @@ def prepared_taxlot_cover(spark: SparkSession, sf_dir: str):
                 "array(array(tx0,ty0, tx1,ty0, tx1,ty1, tx0,ty1, tx0,ty0))"
             ).alias("rings"),
         )
-        bc = build_broadcast_cover(tax, "pid")
+        # taxlots are parcel-scale (~0.06°×0.12°), not footprint-scale:
+        # at RES_JOIN each would cover ~1000 cells (260k-row cover for
+        # the grid); the picker chooses the res where one parcel covers
+        # a handful of cells.
+        res = C.res_for_polygons(synth.PW, synth.PH)
+        bc = build_broadcast_cover(tax, "pid", res=res)
         _PREP_CACHE[key] = bc
     return bc
 

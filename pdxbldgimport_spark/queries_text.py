@@ -421,10 +421,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------------
 # Similarity search over embeddings — quantized-integer variants (exact
-# cross-engine). All corpus- and pair-side arithmetic is flat
-# element_at sums (operators/vectors.py): whole-stage codegen, no HOFs,
-# no Python on the hot path; the one Arrow pass is the IVF centroid
-# assignment (numpy matmul replacing an explode-16× + window shuffle).
+# cross-engine). Per-PAIR arithmetic is the zip_with/aggregate HOF (the
+# measured per-pair winner — see operators/vectors.py:dot_expr); the
+# per-VECTOR work (LSH signature, IVF centroid assignment, squared
+# norms) runs once per corpus as numpy matmul batch kernels,
+# stage-materialized. The scale lever is the bucketing that keeps the
+# pair count small, never all-pairs.
 from .operators import vectors as V  # noqa: E402
 
 N_QUERIES = 10
@@ -568,12 +570,7 @@ def _eq_with_clones(spark: SparkSession) -> DataFrame:
         )
         .select(
             (F.col("vec_id") + 100000).alias("vec_id"),
-            F.array(
-                *[
-                    F.element_at(F.col("q"), i + 1) + F.col("d")
-                    for i in range(V.DIMS)
-                ]
-            ).alias("q"),
+            F.transform(F.col("q"), lambda x: x + F.col("d")).alias("q"),
         )
     )
     return eq.unionByName(clones)
