@@ -580,3 +580,96 @@ def multi_addrs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = mb_all.where(F.col("no_addrs") > 1).select("bldg_id", "rings")
     inside_pairs = pip_join(pts, target, "address_id", "bldg_id")
     return CF.multi_addrs(mb_all, addrs, inside_pairs)
+
+
+# ----------------------------------------------------------------------
+# Raster↔vector tiler (north_star; vector half of G10's tile dissolve):
+# footprints RASTERIZE to their cell cover, each quarter-section tile's
+# cell set VECTORIZES back into dissolved outline rings
+# (geo/raster.py). The emitted stats are derived from the traced VECTOR
+# rings (shoelace area, ring perimeter); the oracle recomputes them
+# from raster set algebra (COUNT, 4n − 2·adjacencies) — a wrong trace
+# cannot match. Ring geometry itself is property-tested in
+# tests/test_raster.py.
+@register(
+    "tile_dissolve",
+    synth.oracle_with("footprints_base")
+    + f"""
+    , cov AS (
+      SELECT DISTINCT gx.range AS ix, gy.range AS iy
+      FROM (
+        SELECT {_ix_sql('x0', 9)} AS ix0, {_ix_sql('x1', 9)} AS ix1,
+               {_iy_sql('y0', 9)} AS iy0, {_iy_sql('y1', 9)} AS iy1
+        FROM footprints_base WHERE fp_id % 97 <> 5
+      ) b
+      JOIN range(512) gx ON gx.range BETWEEN b.ix0 AND b.ix1
+      JOIN range(512) gy ON gy.range BETWEEN b.iy0 AND b.iy1
+    ), tiled AS (
+      SELECT ix, iy, (iy // 16) * 32 + (ix // 16) AS tile_no FROM cov
+    ), hadj AS (
+      SELECT a.tile_no, COUNT(*) AS h
+      FROM tiled a JOIN tiled b
+        ON b.ix = a.ix + 1 AND b.iy = a.iy AND b.tile_no = a.tile_no
+      GROUP BY a.tile_no
+    ), vadj AS (
+      SELECT a.tile_no, COUNT(*) AS v
+      FROM tiled a JOIN tiled b
+        ON b.ix = a.ix AND b.iy = a.iy + 1 AND b.tile_no = a.tile_no
+      GROUP BY a.tile_no
+    ), cnt AS (
+      SELECT tile_no, COUNT(*) AS n FROM tiled GROUP BY tile_no
+    )
+    SELECT c.tile_no,
+           CAST(c.n AS BIGINT) AS n_cells,
+           CAST(4 * c.n - 2 * COALESCE(h.h, 0) - 2 * COALESCE(v.v, 0)
+                AS BIGINT) AS boundary_edges
+    FROM cnt c
+    LEFT JOIN hadj h ON h.tile_no = c.tile_no
+    LEFT JOIN vadj v ON v.tile_no = c.tile_no
+    """,
+)
+def q_tile_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .geo.raster import ring_stats, trace_cells
+    from .operators.pip_join import polygon_cover_cells
+
+    views(spark, sf_dir)
+    fps = prepared_footprints(spark, sf_dir)  # invalid rings dropped
+    cov = polygon_cover_cells(
+        fps.select("fp_id", "rings"), "fp_id", include_rings=False,
+        res=C.RES_JOIN,
+    )
+    mask = (1 << 28) - 1
+    cells = (
+        cov.select(
+            F.col("cell").bitwiseAND(F.lit(mask)).alias("ix"),
+            F.shiftright(F.col("cell"), 28).bitwiseAND(F.lit(mask)).alias("iy"),
+        )
+        .distinct()
+        .withColumn(
+            "tile_no",
+            F.shiftright(F.col("iy"), 4) * 32 + F.shiftright(F.col("ix"), 4),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("tile_no", T.LongType()),
+            T.StructField("n_cells", T.LongType()),
+            T.StructField("boundary_edges", T.LongType()),
+        ]
+    )
+
+    def dissolve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = trace_cells(pdf["ix"].to_numpy(), pdf["iy"].to_numpy())
+        area, perim, _ = ring_stats(rings)
+        return pd.DataFrame(
+            {
+                "tile_no": [int(key[0])],
+                "n_cells": [area],
+                "boundary_edges": [perim],
+            }
+        )
+
+    return cells.groupBy("tile_no").applyInPandas(dissolve, schema)

@@ -1,0 +1,92 @@
+"""Raster↔vector kernel: property tests (vectorized outline vs raster
+set algebra on random cell sets) + the oracle-gated tile_dissolve query
+shape."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pdxbldgimport_spark.geo.raster import ring_stats, trace_cells
+
+
+def _stats_bruteforce(cells: set) -> tuple[int, int]:
+    """(n_cells, boundary_edges) straight from set algebra."""
+    n = len(cells)
+    h = sum(1 for (x, y) in cells if (x + 1, y) in cells)
+    v = sum(1 for (x, y) in cells if (x, y + 1) in cells)
+    return n, 4 * n - 2 * h - 2 * v
+
+
+def _check(cells: set) -> None:
+    ix = np.array([c[0] for c in cells])
+    iy = np.array([c[1] for c in cells])
+    rings = trace_cells(ix, iy)
+    area, perim, n_rings = ring_stats(rings)
+    want_n, want_b = _stats_bruteforce(cells)
+    assert area == want_n          # shoelace(vector) == |raster set|
+    assert perim == want_b         # ring perimeter == boundary edges
+    assert n_rings >= 1
+    for r in rings:
+        xs, ys = r[0::2], r[1::2]
+        assert xs[0] == xs[-1] and ys[0] == ys[-1]      # closed
+        assert len(xs) >= 5                              # ≥ a square
+        dx, dy = xs[1:] - xs[:-1], ys[1:] - ys[:-1]
+        assert np.all((dx == 0) | (dy == 0))             # rectilinear
+        assert np.all((dx != 0) | (dy != 0))             # no dup points
+        # collinear runs merged: consecutive edges never same direction
+        sx = np.sign(dx)
+        sy = np.sign(dy)
+        assert not np.any((sx[1:] == sx[:-1]) & (sy[1:] == sy[:-1]))
+
+
+def test_single_cell():
+    _check({(3, 4)})
+
+
+def test_rect_block():
+    _check({(x, y) for x in range(4) for y in range(3)})
+
+
+def test_donut_has_hole_ring():
+    cells = {(x, y) for x in range(4) for y in range(4)} - {(1, 1), (2, 1), (1, 2), (2, 2)}
+    ix = np.array([c[0] for c in cells])
+    iy = np.array([c[1] for c in cells])
+    rings = trace_cells(ix, iy)
+    area, perim, n_rings = ring_stats(rings)
+    assert n_rings == 2 and area == 12  # 16 − 4-cell hole
+    _check(cells)
+
+
+def test_diagonal_pinch():
+    # two cells touching only at a corner: two simple rings
+    cells = {(0, 0), (1, 1)}
+    ix = np.array([0, 1])
+    iy = np.array([0, 1])
+    rings = trace_cells(ix, iy)
+    assert len(rings) == 2
+    _check(cells)
+
+
+def test_two_components():
+    _check({(0, 0), (0, 1), (5, 5)})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_random_cell_sets(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 60))
+    pts = {(int(x), int(y)) for x, y in rng.integers(0, 8, size=(n, 2))}
+    _check(pts)
+
+
+def test_tile_dissolve_query(spark):
+    from pdxbldgimport_spark.queries import q_tile_dissolve
+
+    got = q_tile_dissolve(spark, "/root/testdata/sf0.001").collect()
+    assert got
+    for r in got:
+        assert r["n_cells"] > 0
+        assert r["boundary_edges"] >= 4
+        assert r["boundary_edges"] % 2 == 0
