@@ -411,10 +411,9 @@ def prepared_taxlot_cover(spark: SparkSession, sf_dir: str):
         )
         # taxlots are parcel-scale (~0.06°×0.12°), not footprint-scale:
         # at RES_JOIN each would cover ~1000 cells (260k-row cover for
-        # the grid); the picker chooses the res where one parcel covers
-        # a handful of cells.
-        res = C.res_for_polygons(synth.PW, synth.PH)
-        bc = build_broadcast_cover(tax, "pid", res=res)
+        # the grid). res=None → build_broadcast_cover auto-picks the
+        # res where one parcel covers a handful of cells.
+        bc = build_broadcast_cover(tax, "pid")
         _PREP_CACHE[key] = bc
     return bc
 
