@@ -113,7 +113,7 @@ def main() -> None:
     # Ingest prep (footprint enrichment + the broadcast spatial index) is
     # untimed — the reference likewise builds its GiST indexes at
     # table-build time, not per query.
-    bc = base.prepared_fp_cover(spark, SF_DIR)
+    base.prepared_fp_cover(spark, SF_DIR)  # build the index untimed
     from pyspark.sql import types as T
 
     pts = pages.select(
@@ -123,9 +123,8 @@ def main() -> None:
     headline_s = float("inf")
     for _ in range(max(RUNS, 1)):
         t0 = time.time()
-        out = pip_join(
-            pts, None, "page_id", "fp_id",
-            carry=[("tile_id", T.LongType())], prebuilt=bc,
+        out = base.pip_fp_join(
+            spark, SF_DIR, pts, "page_id", carry=[("tile_id", T.LongType())],
         )
         _run(out)
         headline_s = min(headline_s, time.time() - t0)

@@ -32,6 +32,13 @@ from .pip_join import tile_expr
 RES_KNN = 5   # 32×32 grid: edge_x = 0.05°, edge_y = 0.0375°
 K_RING = 2    # 5×5 ring → guarantee radius 2*min_edge = 0.075°
 
+# Exploded candidate-ring rows (|candidates| × (2k+1)²) above which the
+# ring side must NOT be broadcast: at 100× the candidate side for
+# knn_unassigned is every footprint × 25 ring cells — billions of rows —
+# and a forced broadcast OOMs driver and executors. Mirrors
+# pip_join.broadcast_max_polys: small side → broadcast, else shuffle.
+BROADCAST_MAX_RING_ROWS = 2_000_000
+
 
 def ring_cells(
     cents: DataFrame,
@@ -70,22 +77,38 @@ def knn_join(
     top_k: int = 1,
     lon_col: str = "centroid_lon",
     lat_col: str = "centroid_lat",
+    broadcast_max_ring_rows: int = BROADCAST_MAX_RING_ROWS,
+    cands_count: int | None = None,
 ) -> DataFrame:
     """(point_id, cand_id, rn) for each point's ``top_k`` ring-nearest
     candidates by squared planar degree distance. ``points`` needs
-    (point_id, lon, lat); ``cents`` needs (cand_id, lon_col, lat_col)."""
+    (point_id, lon, lat); ``cents`` needs (cand_id, lon_col, lat_col).
+
+    Planner: when the exploded ring side (|cands| × (2k+1)²) fits under
+    ``broadcast_max_ring_rows``, the ring is broadcast and the point side
+    never shuffles before the distance window. Above the gate the join
+    runs un-hinted — Catalyst/AQE shuffle both sides on ``cell`` (with
+    skew-join splitting for hot point cells); the window's point_id
+    exchange follows either way, so the shuffle path adds exactly one
+    bounded exchange of the (already-bounded) ring side.
+    ``cands_count`` may be passed (e.g. from a stage manifest) to skip
+    the planning count of the candidate side."""
     ring = ring_cells(
         cents.select(cand_id, lon_col, lat_col), lon_col, lat_col, res, k_ring
     )
     pts = points.select(point_id, "lon", "lat").withColumn(
         "cell", tile_expr(F.col("lon"), F.col("lat"), res)
     )
+    if cands_count is None:
+        cands_count = cents.count()  # JVM-only count of the SMALL side
+    ring_rows = cands_count * (2 * k_ring + 1) ** 2
+    ring_side = F.broadcast(ring) if ring_rows <= broadcast_max_ring_rows else ring
     d2: Column = (F.col("lon") - F.col(lon_col)) ** 2 + (
         F.col("lat") - F.col(lat_col)
     ) ** 2
     w = Wnd.partitionBy(point_id).orderBy(d2.asc(), F.col(cand_id).asc())
     return (
-        pts.join(F.broadcast(ring), "cell")
+        pts.join(ring_side, "cell")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= top_k)
         .select(point_id, cand_id, "rn")

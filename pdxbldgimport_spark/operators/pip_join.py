@@ -51,7 +51,10 @@ def _DISK_ONLY():
 
     return StorageLevel.DISK_ONLY
 
-# Exploded polygon-side row count below which we broadcast.
+# Exploded slot-cover row count above which build_broadcast_cover
+# refuses to broadcast (returns None → caller routes to the shuffle
+# path). Second gate after broadcast_max_polys: a few big polygons can
+# explode to a huge cover even when the polygon COUNT is small.
 BROADCAST_MAX_ROWS = 2_000_000
 # Points per (cell) above which the shuffle path salts that cell.
 HOT_CELL_POINTS = 200_000
@@ -421,9 +424,18 @@ def build_broadcast_cover(
     rings_col: str = "rings",
     res: int | None = None,
     k_max: int = 12,
+    max_polys: int | None = None,
+    polys_count: int | None = None,
 ) -> BroadcastCover | None:
     """Collect the (small) polygon side and build its slot cover +
-    out-of-band geometry broadcast. Returns None for an empty side.
+    out-of-band geometry broadcast. Returns None for an empty side, a
+    side over ``max_polys`` rows, or a cover over BROADCAST_MAX_ROWS
+    exploded rows — callers MUST treat None as "route this join through
+    the shuffle path" (at 100× footprints an ungated collect here dies
+    at the driver with no fallback; the gate is a cheap JVM count that
+    never materializes geometry driver-side when it fails).
+    ``polys_count`` may be passed (e.g. from a stage manifest) to skip
+    the planning count.
 
     ``res=None`` auto-picks the cover resolution from the mean polygon
     bbox (geo.cells.res_for_polygons). Measured at 1.31B points,
@@ -433,6 +445,11 @@ def build_broadcast_cover(
     memory-latency-bound at full parallelism; res 6 over-coarsens
     (28 s: too many candidates per point). Exactness is res-invariant
     (the slot refine is the full ray-cast at any resolution)."""
+    if max_polys is not None:
+        if polys_count is None:
+            polys_count = polys.count()  # JVM count — no geometry moves
+        if polys_count > max_polys:
+            return None
     geom = polys.select(poly_id, rings_col).collect()
     if not geom:
         return None
@@ -446,6 +463,8 @@ def build_broadcast_cover(
         x0, y0, x1, y1 = poly_bbox(rs)
         res = C.res_for_polygons(float(np.mean(x1 - x0)), float(np.mean(y1 - y0)))
     cover_pdf, K, any_exact = _slot_cover(ids, rs, poly_id, res, k_max)
+    if len(cover_pdf) > BROADCAST_MAX_ROWS:
+        return None  # cover too wide to broadcast → shuffle path
     cover = spark.createDataFrame(cover_pdf)
     b_geom = (
         spark.sparkContext.broadcast((ids, rs)) if any_exact else None
@@ -522,18 +541,20 @@ def pip_join(
         polys_count = polys.count()  # JVM-only count on the small side
     out_cols = [point_id, poly_id, *(c for c, _ in carry)]
 
+    if polys_count == 0:
+        schema = T.StructType(
+            [
+                T.StructField(point_id, T.LongType()),
+                T.StructField(poly_id, T.LongType()),
+                *(T.StructField(c, t) for c, t in carry),
+            ]
+        )
+        return points.sparkSession.createDataFrame([], schema)
     if polys_count <= broadcast_max_polys:
-        bc = build_broadcast_cover(polys, poly_id, rings_col, res)  # None → auto
-        if bc is None:
-            schema = T.StructType(
-                [
-                    T.StructField(point_id, T.LongType()),
-                    T.StructField(poly_id, T.LongType()),
-                    *(T.StructField(c, t) for c, t in carry),
-                ]
-            )
-            return points.sparkSession.createDataFrame([], schema)
-        return pip_join_with_cover(points, bc, point_id, carry)
+        bc = build_broadcast_cover(polys, poly_id, rings_col, res)  # res None → auto
+        if bc is not None:
+            return pip_join_with_cover(points, bc, point_id, carry)
+        # cover exceeded BROADCAST_MAX_ROWS → fall through to shuffle
 
     if res is None:
         res = C.RES_JOIN  # shuffle path: no driver-side stats to auto-pick from

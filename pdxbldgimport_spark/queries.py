@@ -80,19 +80,45 @@ def prepared_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Polygon-count gate shared by the prepared broadcast covers: above
+# this the cover builder returns None and every caller routes its PIP
+# join through the shuffle path instead (the driver never collects an
+# unboundedly large polygon side). Monkeypatched to 0 by
+# tests/test_cover_gate.py to force the fallback end-to-end.
+COVER_MAX_POLYS = 100_000
+
+
 def prepared_fp_cover(spark: SparkSession, sf_dir: str):
     """Ingest-time broadcast spatial index over the footprints (the
     reference builds its GiST indexes at table-build time,
     add_spatial_index sites — every PIP query against the footprints
-    reuses this instead of re-deriving cover cells)."""
+    reuses this instead of re-deriving cover cells). Returns None when
+    the footprint side exceeds COVER_MAX_POLYS — callers fall back to
+    the shuffle PIP path (see ``pip_fp_join``)."""
     key = (session_token(spark), sf_dir, "fp_cover")
-    bc = _PREP_CACHE.get(key)
-    if bc is None:
+    if key not in _PREP_CACHE:
         from .operators.pip_join import build_broadcast_cover
 
-        bc = build_broadcast_cover(prepared_footprints(spark, sf_dir), "fp_id")
-        _PREP_CACHE[key] = bc
-    return bc
+        _PREP_CACHE[key] = build_broadcast_cover(
+            prepared_footprints(spark, sf_dir), "fp_id",
+            max_polys=COVER_MAX_POLYS,
+        )
+    return _PREP_CACHE[key]
+
+
+def pip_fp_join(spark: SparkSession, sf_dir: str, points: DataFrame,
+                point_id: str, carry=None) -> DataFrame:
+    """PIP join of ``points`` against the footprints through the
+    prepared broadcast cover when it exists, else the salted shuffle
+    path (broadcast_max_polys=0 skips re-counting a side already known
+    to be over the gate)."""
+    bc = prepared_fp_cover(spark, sf_dir)
+    if bc is not None:
+        return pip_join(points, None, point_id, "fp_id", prebuilt=bc, carry=carry)
+    fps = prepared_footprints(spark, sf_dir).select("fp_id", "rings")
+    return pip_join(
+        points, fps, point_id, "fp_id", broadcast_max_polys=0, carry=carry
+    )
 
 
 def valid_footprints(spark: SparkSession) -> DataFrame:
@@ -153,9 +179,7 @@ def conflation_addrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    pages = spark.table("pages")
-    bc = prepared_fp_cover(spark, sf_dir)
-    return pip_join(pages, None, "page_id", "fp_id", prebuilt=bc)
+    return pip_fp_join(spark, sf_dir, spark.table("pages"), "page_id")
 
 
 # A4 tile counts over points: pages per quarter-section-analog tile
@@ -293,8 +317,7 @@ def q_knn_unassigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     pages = spark.table("pages")
     fps = prepared_footprints(spark, sf_dir)
-    bc = prepared_fp_cover(spark, sf_dir)
-    assigned = pip_join(pages, None, "page_id", "fp_id", prebuilt=bc).select("page_id")
+    assigned = pip_fp_join(spark, sf_dir, pages, "page_id").select("page_id")
     un = pages.join(assigned, "page_id", "left_anti")
     cents = fps.select("fp_id", "centroid_lon", "centroid_lat")
     return knn_join(un, cents, "page_id", "fp_id").select(
@@ -397,25 +420,42 @@ def q_taxlot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against ONE prebuilt broadcast taxlot index (the add_spatial_index
 # analog); the oracle recomputes membership with scalar rectangle
 # predicates.
+def _taxlot_rings(spark: SparkSession) -> DataFrame:
+    return spark.table("taxlots_base").select(
+        "pid",
+        F.expr(
+            "array(array(tx0,ty0, tx1,ty0, tx1,ty1, tx0,ty1, tx0,ty0))"
+        ).alias("rings"),
+    )
+
+
 def prepared_taxlot_cover(spark: SparkSession, sf_dir: str):
     from .operators.pip_join import build_broadcast_cover
 
     key = (session_token(spark), sf_dir, "taxlot_cover")
-    bc = _PREP_CACHE.get(key)
-    if bc is None:
-        tax = spark.table("taxlots_base").select(
-            "pid",
-            F.expr(
-                "array(array(tx0,ty0, tx1,ty0, tx1,ty1, tx0,ty1, tx0,ty0))"
-            ).alias("rings"),
-        )
+    if key not in _PREP_CACHE:
         # taxlots are parcel-scale (~0.06°×0.12°), not footprint-scale:
         # at RES_JOIN each would cover ~1000 cells (260k-row cover for
         # the grid). res=None → build_broadcast_cover auto-picks the
-        # res where one parcel covers a handful of cells.
-        bc = build_broadcast_cover(tax, "pid")
-        _PREP_CACHE[key] = bc
-    return bc
+        # res where one parcel covers a handful of cells. Count-gated
+        # like the footprint cover: None → shuffle fallback.
+        _PREP_CACHE[key] = build_broadcast_cover(
+            _taxlot_rings(spark), "pid", max_polys=COVER_MAX_POLYS
+        )
+    return _PREP_CACHE[key]
+
+
+def pip_taxlot_join(spark: SparkSession, sf_dir: str, points: DataFrame,
+                    point_id: str) -> DataFrame:
+    """Point-in-taxlot join via the prepared broadcast cover, falling
+    back to the salted shuffle path when the taxlot side is over the
+    cover gate."""
+    cover = prepared_taxlot_cover(spark, sf_dir)
+    if cover is not None:
+        return pip_join(points, None, point_id, "pid", prebuilt=cover)
+    return pip_join(
+        points, _taxlot_rings(spark), point_id, "pid", broadcast_max_polys=0
+    )
 
 
 @register(
@@ -453,15 +493,14 @@ def prepared_taxlot_cover(spark: SparkSession, sf_dir: str):
 )
 def q_clark_one_addr_bldgs(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    cover = prepared_taxlot_cover(spark, sf_dir)
     bpts = spark.table("cbldg").select(
         "bldg_id",
         F.expr("(bx0 + bx1) / 2e0").alias("lon"),
         F.expr("(by0 + by1) / 2e0").alias("lat"),
     )
     apts = spark.table("caddr").select("address_id", "lon", "lat")
-    b2t = pip_join(bpts, None, "bldg_id", "pid", prebuilt=cover)
-    a2t = pip_join(apts, None, "address_id", "pid", prebuilt=cover)
+    b2t = pip_taxlot_join(spark, sf_dir, bpts, "bldg_id")
+    a2t = pip_taxlot_join(spark, sf_dir, apts, "address_id")
     nb = b2t.groupBy("pid").agg(F.count(F.lit(1)).alias("no_bldgs"))
     na = a2t.groupBy("pid").agg(F.count(F.lit(1)).alias("no_addrs"))
     one = (

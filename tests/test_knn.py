@@ -89,6 +89,40 @@ def test_knn_ring_vs_bruteforce(spark, seed):
             assert got.get(pid) == global_best[pid], (pid, d)
 
 
+def test_knn_shuffle_path_matches_broadcast(spark):
+    """Planner-choice invariance for the size gate: forcing the shuffle
+    path (broadcast_max_ring_rows=0) yields exactly the broadcast-path
+    result — the gate only changes the physical join, never the pairs."""
+    rng = np.random.default_rng(5)
+    n_pts, n_cand = 500, 60
+    pts = pd.DataFrame(
+        {
+            "page_id": np.arange(n_pts, dtype=np.int64),
+            "lon": rng.uniform(C.LON_W, C.LON_E, n_pts),
+            "lat": rng.uniform(C.LAT_S, C.LAT_N, n_pts),
+        }
+    )
+    cents = pd.DataFrame(
+        {
+            "fp_id": np.arange(n_cand, dtype=np.int64),
+            "centroid_lon": rng.uniform(C.LON_W, C.LON_E, n_cand),
+            "centroid_lat": rng.uniform(C.LAT_S, C.LAT_N, n_cand),
+        }
+    )
+    sp, sc = spark.createDataFrame(pts), spark.createDataFrame(cents)
+    bc = {
+        (r["page_id"], r["fp_id"], r["rn"])
+        for r in knn_join(sp, sc, "page_id", "fp_id", top_k=2).collect()
+    }
+    sh = {
+        (r["page_id"], r["fp_id"], r["rn"])
+        for r in knn_join(
+            sp, sc, "page_id", "fp_id", top_k=2, broadcast_max_ring_rows=0
+        ).collect()
+    }
+    assert bc == sh and len(bc) > 0
+
+
 def test_knn_top_k_ranks(spark):
     pts = pd.DataFrame({"page_id": [1], "lon": [-122.5], "lat": [45.4]})
     cents = pd.DataFrame(

@@ -51,6 +51,35 @@ def test_metro_join_ships_no_rings_through_cell_exchange(spark):
         assert "__rings" not in m.group(0)
 
 
-def test_knn_plan_is_broadcastable_candidates(spark):
+def test_knn_plan_broadcast_is_size_conditional(spark):
+    """The kNN candidate ring is broadcast ONLY under the size gate: a
+    small candidate side broadcasts (zero point-side shuffle before the
+    window); a side over the gate must NOT force a broadcast — at 100×
+    the exploded ring is billions of rows and a forced broadcast OOMs.
+    Both shapes asserted so neither regression (forced broadcast, or
+    never-broadcast) survives."""
+    import pandas as pd
+
+    from pdxbldgimport_spark.operators.knn import knn_join
+
+    # small candidates at sf0.001 → under the gate → broadcast plan
     plan = _plan(Q.QUERIES["knn_unassigned"](spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"page_id": [1, 2], "lon": [-122.5, -122.6], "lat": [45.4, 45.5]})
+    )
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {"fp_id": [1], "centroid_lon": [-122.5], "centroid_lat": [45.4]}
+        )
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = _plan(
+            knn_join(pts, cents, "page_id", "fp_id", broadcast_max_ring_rows=0)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in forced  # gate respected → shuffle join
