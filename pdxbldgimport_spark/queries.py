@@ -699,7 +699,7 @@ def q_tile_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def dissolve(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def dissolve(key, pdf):  # no hints: applyInPandas infers (key, pdf)
         rings = trace_cells(pdf["ix"].to_numpy(), pdf["iy"].to_numpy())
         area, perim, _ = ring_stats(rings)
         return pd.DataFrame(

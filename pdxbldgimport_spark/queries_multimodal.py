@@ -112,6 +112,65 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real-codec decode, oracle-gated (BMP): the engine encodes each image
+# grid as a real 8-bit BMP and decodes it back with the independent
+# header-walk parser (operators/multimodal.decode_bmp); the oracle
+# predicts the decoded grid's stats (incl. the row-order-sensitive
+# weighted sum — a decoder skipping BMP's bottom-up flip fails) and the
+# exact container size (headers + 256-entry palette + 4-byte-padded
+# rows) from the ASCII twin.
+@register(
+    "media_bmp_decode",
+    _MEDIA_ORACLE
+    + """
+    , imgs AS (SELECT * FROM media_base WHERE kind = 'image')
+    , cells AS (
+      SELECT i.doc_id, i.width, i.height, r.i AS r,
+             ascii(substr(i.payload_str,
+                          CAST(r.i * i.width + c.i + 1 AS BIGINT), 1)) AS b
+      FROM imgs i, range(0, 16) r(i), range(0, 32) c(i)
+      WHERE r.i < i.height AND c.i < i.width
+    )
+    SELECT doc_id,
+           CAST(MAX(width) AS INT) AS bmp_w,
+           CAST(MAX(height) AS INT) AS bmp_h,
+           CAST(14 + 40 + 1024
+                + MAX(height) * ((MAX(width) + 3) // 4 * 4) AS BIGINT) AS bmp_bytes,
+           CAST(SUM(b) AS BIGINT) AS pix_sum,
+           CAST(SUM((r + 1) * b) AS BIGINT) AS row_weighted_sum
+    FROM cells GROUP BY doc_id
+    """,
+)
+def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return MM.bmp_roundtrip(spark.table("media"))
+
+
+# Real-codec decode, oracle-gated (WAV): 8-bit PCM encode → RIFF chunk
+# walk decode; the oracle predicts the decoded sample rate, count,
+# energy, and the 44-byte-header container size.
+@register(
+    "media_wav_decode",
+    _MEDIA_ORACLE
+    + _CHARS
+    + """
+    , stats AS (
+      SELECT doc_id, COUNT(*) AS n_samples, CAST(SUM(b * b) AS BIGINT) AS energy
+      FROM chars WHERE kind = 'audio' GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(m.sample_rate AS INT) AS wav_rate,
+           CAST(44 + s.n_samples AS BIGINT) AS wav_bytes,
+           CAST(s.n_samples AS BIGINT) AS n_samples,
+           s.energy AS energy
+    FROM stats s JOIN media_base m ON m.doc_id = s.doc_id
+    """,
+)
+def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return MM.wav_energy(spark.table("media"))
+
+
 # Audio energy: integer sum-of-squares + mean-square in milli-units.
 @register(
     "media_audio_energy",

@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
 
 from . import oracles_conflation as OC
@@ -440,6 +442,42 @@ def tile_export_df(pdx: DataFrame) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("line")), "\n").alias("payload"),
         )
     )
+
+
+# S6/S7 under the driver's gate: the ACTUAL artifact writer (simplify →
+# XML serialize → sha256 → atomic rename) runs, and its manifest's
+# per-tile feature AND node counts are oracle-checked. The input rings
+# are 4-densified rectangles (exactly-collinear inserted vertices,
+# exports.densified_rect_rings_expr), so the export's G5 simplify step
+# is load-bearing: the oracle expects exactly 4 nodes per feature —
+# a broken tolerance leaves 16, a broken collapse guard drops below 4,
+# and a serializer regression changes n_features. Byte-level sha256
+# stability is pinned by pytest (tests/test_exports.py); the
+# driver-visible projection is the DuckDB-computable subset.
+@register(
+    "tile_artifacts",
+    OC.with_prefix(OC.PDX_BLDGS_CTES)
+    + """
+    SELECT qtrsec,
+           CAST(COUNT(*) AS INT) AS n_features,
+           CAST(4 * COUNT(*) AS BIGINT) AS n_nodes
+    FROM pdx_bldgs
+    GROUP BY qtrsec
+    """,
+)
+def q_tile_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import tempfile
+
+    from .exports import pdx_tile_artifacts
+
+    views(spark, sf_dir)
+    out_dir = _os.path.join(
+        tempfile.gettempdir(),
+        "pdxbldg_artifacts_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    manifest = pdx_tile_artifacts(spark, sf_dir, out_dir, densify_k=4)
+    return manifest.select("qtrsec", "n_features", "n_nodes")
 
 
 # S9 changeset batching (scripts/add_addrs.rb:26-57): one ordered batch

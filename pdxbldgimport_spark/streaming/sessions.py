@@ -4,7 +4,13 @@ stateful operators"; the batch twin is queries_events.q_events_sessions,
 re-expressing the reference's timestamp-DAG incrementality over the
 webtext events table).
 
-Semantics match the batch query exactly: a session is a maximal run of a
+Semantics match the batch query exactly **when source dumps are
+time-ordered across files** (true for this pipeline's ledger-style
+dumps): with the default ``watermark='0 seconds'`` an event arriving in
+a later micro-batch with ts below the current watermark is dropped
+before the stateful operator, so out-of-order-across-files sources need
+a nonzero ``watermark`` (accepting correspondingly later session
+closure) to keep batch equivalence. A session is a maximal run of a
 user's events where each microsecond-exact gap ≤ ``gap_s``. State per
 user = the open session (start_us, last_us, n_events). A micro-batch
 may close sessions intra-batch (gap inside the batch) — those emit

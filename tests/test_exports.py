@@ -46,6 +46,86 @@ def test_tile_artifacts_deterministic_and_complete(spark, tmp_path):
     assert got == want
 
 
+def test_multipolygon_hole_round_trips_inner_ring(spark, tmp_path):
+    """G8: a feature whose rings array carries a hole serializes as an
+    OSM multipolygon relation (outer way + inner way + typed relation,
+    tags on the relation), the inner ring's coordinates round-trip, and
+    the bytes stay deterministic."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pdxbldgimport_spark.exports import write_tile_artifacts
+
+    outer = [0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0]
+    inner = [1.0, 1.0, 2.0, 1.0, 2.0, 2.0, 1.0, 2.0, 1.0, 1.0]
+    simple = [10.0, 0.0, 11.0, 0.0, 11.0, 1.0, 10.0, 1.0, 10.0, 0.0]
+    schema = T.StructType(
+        [
+            T.StructField("qtrsec", T.LongType()),
+            T.StructField("bldg_id", T.LongType()),
+            T.StructField("rings", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("housenumber", T.StringType()),
+            T.StructField("street", T.StringType()),
+            T.StructField("postcode", T.StringType()),
+            T.StructField("city", T.StringType()),
+            T.StructField("levels", T.IntegerType()),
+            T.StructField("ele", T.DoubleType()),
+            T.StructField("height", T.DoubleType()),
+            T.StructField("bldg_type", T.StringType()),
+        ]
+    )
+    rows = [
+        (7, 1, [outer, inner], "12", "A St", None, None, 2, None, None, "yes"),
+        (7, 2, [simple], "14", "A St", None, None, None, None, None, "house"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    def run(name):
+        out = str(tmp_path / name)
+        write_tile_artifacts(df, out).collect()
+        return open(os.path.join(out, "7.osm"), "rb").read()
+
+    b1, b2 = run("h1"), run("h2")
+    assert b1 == b2  # byte determinism with relations present
+
+    root = ET.fromstring(b1.decode())
+    ways = {w.get("id"): w for w in root.findall("way")}
+    rels = root.findall("relation")
+    assert len(ways) == 3 and len(rels) == 1
+    rel = rels[0]
+    assert int(rel.get("id")) < 0
+    members = rel.findall("member")
+    assert [m.get("role") for m in members] == ["outer", "inner"]
+    tags = {t.get("k"): t.get("v") for t in rel.findall("tag")}
+    assert tags["type"] == "multipolygon" and tags["building"] == "yes"
+    # inner ring coordinates round-trip through the inner member way
+    nodes = {n.get("id"): (float(n.get("lon")), float(n.get("lat")))
+             for n in root.findall("node")}
+    inner_way = ways[members[1].get("ref")]
+    assert not inner_way.findall("tag")  # tags live on the relation
+    got = [nodes[nd.get("ref")] for nd in inner_way.findall("nd")]
+    want = [(inner[i], inner[i + 1]) for i in range(0, len(inner), 2)]
+    assert got == want
+    # the simple feature stays a plain tagged way
+    tagged_ways = [w for w in ways.values() if w.findall("tag")]
+    assert len(tagged_ways) == 1
+    assert {t.get("k"): t.get("v") for t in tagged_ways[0].findall("tag")}[
+        "building"
+    ] == "house"
+
+
+def test_densified_export_restores_corner_count(spark, tmp_path):
+    """G5 at export: 4-densified rectangle rings must simplify back to
+    exactly 4 nodes per feature in the artifact."""
+    from pdxbldgimport_spark.exports import pdx_tile_artifacts
+
+    out = str(tmp_path / "dens")
+    m = pdx_tile_artifacts(spark, SF_SMOKE, out, densify_k=4).toPandas()
+    assert (m.n_nodes == 4 * m.n_features).all()
+
+
 def test_tile_artifacts_are_parseable_osm(spark, tmp_path):
     import xml.etree.ElementTree as ET
 

@@ -1,6 +1,6 @@
 """Multimodal plumbing tests: BinaryType schema round-trip, Arrow batch
-shapes, kernel math vs independent per-row Python, and the gated real
-decoder (round instructions: decode stubbed, Spark plumbing real)."""
+shapes, kernel math vs independent per-row Python, and the real BMP/WAV
+codecs (header walk, stride padding, bottom-up rows, RIFF chunks)."""
 
 from __future__ import annotations
 
@@ -11,9 +11,47 @@ from pdxbldgimport_spark.operators import multimodal as MM
 from pdxbldgimport_spark.queries import views
 
 
-def test_decode_real_is_gated():
-    with pytest.raises(NotImplementedError):
-        MM.decode_real(b"\x89PNG...", "image")
+def test_bmp_roundtrip_odd_width_stride():
+    """Width 5 → stride 8: the decoder must strip padding and undo the
+    bottom-up row order."""
+    rng = np.random.default_rng(0)
+    grid = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    bmp = MM.encode_bmp(grid)
+    assert bmp[:2] == b"BM" and len(bmp) == 14 + 40 + 1024 + 7 * 8
+    assert np.array_equal(MM.decode_bmp(bmp), grid)
+
+
+def test_bmp_decode_top_down_and_offsets():
+    """A hand-built TOP-DOWN BMP (negative height) with the standard
+    offset must decode identically — exercises the h<0 branch the
+    encoder never produces."""
+    import struct
+
+    grid = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    stride = 4
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 1024 + 3 * stride, 0, 0, 14 + 40 + 1024)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, -3, 1, 8, 0, 3 * stride, 0, 0, 256, 0)
+    palette = bytes(1024)
+    bmp = hdr + info + palette + grid.tobytes()
+    assert np.array_equal(MM.decode_bmp(bmp), grid)
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"PNG" + bmp)
+
+
+def test_wav_roundtrip_and_extra_chunk():
+    samples = np.arange(37, dtype=np.uint8)  # odd length → pad byte rule
+    wav = MM.encode_wav(samples, 8200)
+    got, rate = MM.decode_wav(wav)
+    assert rate == 8200 and np.array_equal(got, samples)
+    # tolerate an extra odd-sized chunk before fmt/data
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    wav2 = wav[:12] + extra + wav[12:]
+    riff_sz = len(wav2) - 8
+    wav2 = wav2[:4] + riff_sz.to_bytes(4, "little") + wav2[8:]
+    got2, rate2 = MM.decode_wav(wav2)
+    assert rate2 == 8200 and np.array_equal(got2, samples)
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"FFIR" + wav[4:])
 
 
 def test_media_schema_binary(spark):
