@@ -81,6 +81,65 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_streaming(spark) -> dict:
+    """§2.9 perf evidence: drain the events table through the stateful
+    sessionization stream (availableNow, 4 time-ordered dumps) and
+    report wall time, events/sec, state-store rows, and the batch twin's
+    wall time on the same input."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from pdxbldgimport_spark.queries_events import q_events_sessions
+    from pdxbldgimport_spark.streaming import sessions as SS
+
+    ev = spark.table("events").select(
+        "event_id", F2.col("ts").cast("timestamp_ntz").alias("ts"), "user_id"
+    )
+    n_events = ev.count()
+    root = tempfile.mkdtemp(prefix="bench_sessions_")
+    try:
+        src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+        us = F2.unix_micros(F2.col("ts").cast("timestamp"))
+        bounds = [
+            int(q)
+            for q in ev.agg(
+                F2.expr(
+                    "percentile(unix_micros(cast(ts as timestamp)),"
+                    " array(0.25e0, 0.5e0, 0.75e0))"
+                )
+            ).collect()[0][0]
+        ]
+        lo = [None, *bounds]
+        hi = [*bounds, None]
+        for i, (a, b) in enumerate(zip(lo, hi)):
+            part = ev
+            if a is not None:
+                part = part.where(us > a)
+            if b is not None:
+                part = part.where(us <= b)
+            part.coalesce(1).write.parquet(f"{src}/d{i}")
+        t0 = time.time()
+        prog = SS.stream_sessions(spark, f"{src}/*", ev.schema, ckpt, out)
+        stream_s = time.time() - t0
+        state_rows = None
+        if prog and prog.get("stateOperators"):
+            state_rows = prog["stateOperators"][0].get("numRowsTotal")
+        t0 = time.time()
+        _run(q_events_sessions(spark, SF_DIR))
+        batch_s = time.time() - t0
+        return {
+            "events": n_events,
+            "stream_sec": round(stream_s, 3),
+            "stream_events_per_sec": round(n_events / stream_s, 1),
+            "state_rows": state_rows,
+            "batch_twin_sec": round(batch_s, 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench", cores=CPUS)
     ship(spark)
@@ -140,6 +199,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    streaming = None if SKIP_SWEEP else _bench_streaming(spark)
+
     print(
         json.dumps(
             {
@@ -149,6 +210,7 @@ def main() -> None:
                 "headline_sec": round(headline_s, 3),
                 "n_docs": n_pages,
                 "queries": timings,
+                "streaming_sessions": streaming,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "runs_per_timing": max(RUNS, 1),

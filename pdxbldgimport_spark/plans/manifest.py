@@ -173,15 +173,43 @@ class StageRunner:
 def run_pipeline(spark: SparkSession, sf_dir: str, root: str) -> dict:
     """The full conflation pipeline as a resumable checkpointed DAG —
     the reference's `rake default` entry point (Rakefile:28-30) over the
-    webtext world. Returns the run report (built/skipped stages)."""
+    webtext world. Returns the run report (built/skipped stages).
+
+    Join planning is fully manifest-fed: the pages ingest stage records
+    the per-cell skew histogram (hot_col) and the footprint ingest
+    records its row count, so the pip_assign stage plans its
+    broadcast-vs-shuffle choice AND its salting without any extra scan
+    of either side (at 10^12 docs a planning scan is a full extra pass;
+    tests/test_plans.py asserts the no-scan property directly)."""
     from .. import queries as Q
     from ..operators import conflation as CF
-    from ..operators.pip_join import tile_expr
+    from ..operators.pip_join import cell_expr, pip_join, tile_expr
     from ..geo import cells as C
     from ..queries_osm import tile_export_df
 
     Q.views(spark, sf_dir)
     r = StageRunner(spark, root, inputs_token=sf_dir)
+
+    pages_ing = r.stage(
+        "pages_ingest", [],
+        lambda: spark.table("pages").select(
+            "page_id", "lon", "lat",
+            cell_expr(F.col("lon"), F.col("lat"), C.RES_JOIN).alias("cell"),
+        ),
+        hot_col="cell",
+    )
+    fps_ing = r.stage(
+        "footprints_ingest", [],
+        lambda: Q.prepared_footprints(spark, sf_dir).select("fp_id", "rings"),
+    )
+    r.stage(
+        "pip_assign", ["pages_ingest", "footprints_ingest"],
+        lambda: pip_join(
+            pages_ing, fps_ing, "page_id", "fp_id",
+            polys_count=r.read_manifest("footprints_ingest")["row_count"],
+            hot_cells=r.hot_cells("pages_ingest"),
+        ),
+    )
 
     cbldg = r.stage(
         "cbldg_enriched", [],

@@ -118,10 +118,11 @@ def stream_sessions(
     out_dir: str,
     gap_s: int = SESSION_GAP_S,
     watermark: str = "0 seconds",
-) -> None:
+) -> dict | None:
     """Drain available event dumps, maintaining per-user session state
     across micro-batches and runs (checkpointed state store); closed
-    sessions append to ``out_dir``."""
+    sessions append to ``out_dir``. Returns the final progress dict
+    (state-store rows, batch metrics) for bench/ops visibility."""
     ev = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -152,6 +153,7 @@ def stream_sessions(
         .start()
     )
     q.awaitTermination()
+    return q.lastProgress
 
 
 def read_sessions(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -51,6 +51,89 @@ def test_metro_join_ships_no_rings_through_cell_exchange(spark):
         assert "__rings" not in m.group(0)
 
 
+def test_tile_export_partial_final_agg(spark):
+    """Per-tile payload build: map-side partial ObjectHashAggregate +
+    final around ONE exchange, no Python anywhere — the collect_list
+    payload assembly must not devolve to a pandas group apply."""
+    plan = _plan(Q.QUERIES["tile_export"](spark, SF))
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_taxlot_stats_partial_final_agg(spark):
+    """A6 parcel stats: partial+final hash agg over the materialized
+    ingest stage — one exchange, zero Python (area already computed at
+    ingest, not per-query)."""
+    plan = _plan(Q.QUERIES["taxlot_stats"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_minhash_lsh_is_pure_codegen(spark):
+    """MinHash+LSH dedup: signatures (one md5 per shingle + affine
+    permutations), banding, bucket join, and refine must ALL stay
+    JVM-side — any Python operator here re-introduces the r1 interpreted
+    hot path (58.7 s → 5.4 s fix)."""
+    plan = _plan(Q.QUERIES["dedup_minhash_lsh"](spark, SF))
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+
+
+def _boom_points(spark):
+    """A points DataFrame whose ANY evaluation raises — proves a code
+    path never ran a Spark job over the point side."""
+    def boom(_):
+        raise RuntimeError("point side scanned at planning time")
+
+    rdd = spark.sparkContext.parallelize(range(8), 2).map(boom)
+    return spark.createDataFrame(rdd, schema="pt long, lon double, lat double")
+
+
+def test_shuffle_pip_plans_without_scanning_points_when_manifest_fed(spark):
+    """With manifest-fed hot_cells (and polys_count), building the
+    shuffle PIP join runs ZERO jobs over the point side — the planning
+    scan (a full extra pass at 10^12 docs) only happens in the
+    documented hot_cells=None fallback. Asserted with a booby-trapped
+    point side: plan construction must not touch it; executing the plan
+    (sanity) must."""
+    import pandas as pd
+    import pytest
+
+    from pdxbldgimport_spark.operators.pip_join import pip_join
+
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "poly": [1],
+                "rings": [[[-122.5, 45.4, -122.4, 45.4, -122.4, 45.5,
+                            -122.5, 45.5, -122.5, 45.4]]],
+            }
+        )
+    )
+    pts = _boom_points(spark)
+    # manifest-fed: no job over pts during join construction
+    out = pip_join(
+        pts, polys, "pt", "poly",
+        broadcast_max_polys=0, polys_count=1, hot_cells=[123],
+    )
+    # sanity: the trap is live — executing the joined plan does scan pts
+    with pytest.raises(Exception):
+        out.collect()
+    # fallback path: planning itself scans the point side (documented)
+    with pytest.raises(Exception):
+        pip_join(
+            pts, polys, "pt", "poly",
+            broadcast_max_polys=0, polys_count=1, hot_cells=None,
+        )
+
+
 def test_knn_plan_broadcast_is_size_conditional(spark):
     """The kNN candidate ring is broadcast ONLY under the size gate: a
     small candidate side broadcasts (zero point-side shuffle before the

@@ -27,7 +27,7 @@ def test_pipeline_resume_lifecycle(spark, tmp_path):
 
     # 1. cold run: everything builds
     rep1 = run_pipeline(spark, SF, root)
-    assert rep1["skipped"] == [] and len(rep1["built"]) == 7
+    assert rep1["skipped"] == [] and len(rep1["built"]) == 10
     out1 = _payloads(spark, root)
     assert out1  # produced tiles
 
@@ -41,15 +41,26 @@ def test_pipeline_resume_lifecycle(spark, tmp_path):
 
     # 3. warm run: everything fresh → all skipped, outputs unchanged
     rep2 = run_pipeline(spark, SF, root)
-    assert rep2["built"] == [] and len(rep2["skipped"]) == 7
+    assert rep2["built"] == [] and len(rep2["skipped"]) == 10
     assert _payloads(spark, root) == out1
+
+    # 3b. ingest manifests carry the planning stats the joins consume
+    with open(os.path.join(root, "pages_ingest", "manifest.json")) as f:
+        pm = json.load(f)
+    assert "hot_cells" in pm and pm["hot_threshold"] > 0
+    with open(os.path.join(root, "footprints_ingest", "manifest.json")) as f:
+        fm = json.load(f)
+    assert fm["row_count"] > 0
 
     # 4. crash mid-run: stages after 'addr_bldg_counts' never committed
     # (manifest write is atomic — a killed stage leaves no manifest)
     for stage in ["house_and_garage", "pdx_bldg_view", "pdx_bldgs", "tile_export"]:
         shutil.rmtree(os.path.join(root, stage))
     rep3 = run_pipeline(spark, SF, root)
-    assert set(rep3["skipped"]) == {"cbldg_enriched", "pdx_addrs", "addr_bldg_counts"}
+    assert set(rep3["skipped"]) == {
+        "pages_ingest", "footprints_ingest", "pip_assign",
+        "cbldg_enriched", "pdx_addrs", "addr_bldg_counts",
+    }
     assert rep3["built"] == [
         "house_and_garage", "pdx_bldg_view", "pdx_bldgs", "tile_export",
     ]
