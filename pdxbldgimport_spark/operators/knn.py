@@ -10,8 +10,10 @@ Re-expresses the reference's distance-ordered candidate scan
    Chebyshev distance ``k_ring`` — the k-ring lives on the SMALL side, so
    the fan-out is (2k+1)² × |candidates|, never × |points|;
 3. equi-join on the point's single cell (broadcast when the exploded
-   candidate side is small), then a distance window picks the nearest
-   ``top_k`` per point, ties pinned by candidate id.
+   candidate side is small); nearest-only (top_k=1) resolves via a
+   partial-aggregatable struct-min (map-side combine — no candidate
+   pair ever shuffles), top_k>1 via a distance window; ties pinned by
+   candidate id in both.
 
 Semantics are ring-bounded: a point with no candidate inside its k-ring
 produces no row. The guarantee making this a true nearest-neighbor: any
@@ -106,10 +108,37 @@ def knn_join(
     d2: Column = (F.col("lon") - F.col(lon_col)) ** 2 + (
         F.col("lat") - F.col(lat_col)
     ) ** 2
+    joined = pts.join(ring_side, "cell")
+    if top_k == 1:
+        # Nearest-only (the north-star resolver's case) is a
+        # partial-aggregatable MIN of (d2, cand_id) structs: the map-side
+        # combine collapses each point's ≤(2k+1)²-candidate fan-in to ONE
+        # row BEFORE the exchange. The window alternative shuffles AND
+        # sorts every candidate pair on point_id — at 10^12 points that
+        # is the dominant shuffle of the whole query. Struct comparison
+        # is lexicographic by field order, so min(struct(d2, cand))
+        # reproduces ORDER BY d2, cand_id exactly (tie pinned).
+        # Struct agg buffers plan as SortAggregate (not hash), but the
+        # partial agg still combines map-side; measured at 181M pairs,
+        # local[32]: struct-min 2.9 s vs window 22.2 s vs
+        # min(d2)-then-rejoin two-pass hash agg 34.4 s.
+        best = (
+            joined.groupBy(point_id)
+            .agg(
+                F.min(
+                    F.struct(d2.alias("d2"), F.col(cand_id).alias("c"))
+                ).alias("b")
+            )
+            .select(
+                point_id,
+                F.col("b.c").alias(cand_id),
+                F.lit(1).alias("rn"),
+            )
+        )
+        return best
     w = Wnd.partitionBy(point_id).orderBy(d2.asc(), F.col(cand_id).asc())
     return (
-        pts.join(ring_side, "cell")
-        .withColumn("rn", F.row_number().over(w))
+        joined.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= top_k)
         .select(point_id, cand_id, "rn")
     )

@@ -145,9 +145,16 @@ def test_knn_plan_broadcast_is_size_conditional(spark):
 
     from pdxbldgimport_spark.operators.knn import knn_join
 
-    # small candidates at sf0.001 → under the gate → broadcast plan
+    # small candidates at sf0.001 → under the gate → broadcast plan;
+    # nearest-only resolves via partial+final SortAggregate (struct-min
+    # buffers aren't hash-aggregatable, but the PARTIAL agg still
+    # combines map-side — measured 2.9 s vs 22.2 s window vs 34.4 s
+    # two-pass-hash at 181M pairs, local[32]), never a window sort that
+    # shuffles every candidate pair
     plan = _plan(Q.QUERIES["knn_unassigned"](spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") >= 2
 
     pts = spark.createDataFrame(
         pd.DataFrame({"page_id": [1, 2], "lon": [-122.5, -122.6], "lat": [45.4, 45.5]})
