@@ -610,8 +610,19 @@ def q_consolidated_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_osm_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
+    return G.with_bbox(
+        osm_relations_assembled(spark), "relation_id"
+    ).drop("rings")
+
+
+def osm_relations_assembled(spark: SparkSession) -> DataFrame:
+    """Building relations with their assembled multi-ring polygon:
+    outer first, holes after, pinned by seq (collect_list order is not
+    deterministic — sort_array over (seq, ring) structs makes it
+    total). Shared by osm_relations (stats) and rel_artifacts (the
+    hole-carrying export)."""
     members = spark.table("osm_rel_members").where(F.col("t_building") != "")
-    assembled = (
+    return (
         members.groupBy("relation_id")
         .agg(
             F.first("t_building").alias("building"),
@@ -626,16 +637,72 @@ def q_osm_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ",",
             ).alias("members"),
-            # the assembled multi-ring polygon: outer first, holes after,
-            # pinned by seq (collect_list order is not deterministic —
-            # sort_array over (seq, ring) structs makes it total)
             F.transform(
                 F.sort_array(F.collect_list(F.struct("seq", "ring"))),
                 lambda s: s["ring"][0],
             ).alias("rings"),
         )
     )
-    return G.with_bbox(assembled, "relation_id").drop("rings")
+
+
+# The hole-carrying export under the driver's gate: assembled
+# multipolygon relations (outer + inner rings) run through the REAL
+# artifact serializer — multi-ring features emit OSM multipolygon
+# relations (exports.py G8 path), so every inner ring contributes its
+# 4 simplified corners to the artifact's node count. The oracle
+# predicts per-tile features and nodes (4 per member rectangle) from
+# the relational member table; a serializer that drops holes loses
+# 4·n_inner nodes and fails.
+@register(
+    "rel_artifacts",
+    synth.oracle_with("osm_rel_members_base")
+    + f"""
+    , rel AS (
+      SELECT relation_id, COUNT(*) AS n_rings,
+             MIN(rx0) AS x0, MIN(ry0) AS y0, MAX(rx1) AS x1, MAX(ry1) AS y1
+      FROM osm_rel_members_base
+      WHERE t_building <> ''
+      GROUP BY relation_id
+    )
+    SELECT
+      CAST(LEAST(GREATEST(FLOOR(((y0 + y1) / 2e0 - ({C.LAT_S!r})) / {C.SPAN_Y!r} * 32e0), 0), 31) AS BIGINT) * 32
+      + CAST(LEAST(GREATEST(FLOOR(((x0 + x1) / 2e0 - ({C.LON_W!r})) / {C.SPAN_X!r} * 32e0), 0), 31) AS BIGINT) AS qtrsec,
+      CAST(COUNT(*) AS INT) AS n_features,
+      CAST(SUM(4 * n_rings) AS BIGINT) AS n_nodes
+    FROM rel
+    GROUP BY 1
+    """,
+)
+def q_rel_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import tempfile
+
+    from .exports import write_tile_artifacts
+
+    views(spark, sf_dir)
+    rel = G.with_bbox(osm_relations_assembled(spark), "relation_id")
+    feats = rel.select(
+        tile_expr(
+            (F.col("x0") + F.col("x1")) / 2, (F.col("y0") + F.col("y1")) / 2,
+            C.RES_TILE,
+        ).alias("qtrsec"),
+        F.col("relation_id").alias("bldg_id"),
+        "rings",
+        F.lit(None).cast("string").alias("housenumber"),
+        F.lit(None).cast("string").alias("street"),
+        F.lit(None).cast("string").alias("postcode"),
+        F.lit(None).cast("string").alias("city"),
+        F.lit(None).cast("int").alias("levels"),
+        F.lit(None).cast("double").alias("ele"),
+        F.lit(None).cast("double").alias("height"),
+        F.col("building").alias("bldg_type"),
+    )
+    out_dir = _os.path.join(
+        tempfile.gettempdir(),
+        "pdxbldg_rel_artifacts_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    manifest = write_tile_artifacts(feats, out_dir)
+    return manifest.select("qtrsec", "n_features", "n_nodes")
 
 
 # ----------------------------------------------------------------------
