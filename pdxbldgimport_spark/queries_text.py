@@ -769,3 +769,66 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("n_stop") > 0, F.lit(100000)).otherwise(F.lit(0))
         ).cast("long").alias("quality_ppm"),
     )
+
+
+# ----------------------------------------------------------------------
+# Language-ID via a character-n-gram profile (round instructions: the
+# n-gram heuristic, distinct from text_stats' stopword shortcut). Hit
+# counts per profile bigram come from the non-overlapping
+# length-minus-replace identity — identical semantics in Spark and
+# DuckDB, so the counts (and the integer-ppm score and the decision)
+# are exact cross-engine. Pure JVM expressions over the documents scan:
+# at 100 TB this is one codegen'd projection pass, no Python, no
+# shuffle before the (optional) aggregation by the caller.
+_LANG_BIGRAMS = ["th", "he", "in", "er", "an"]
+_LANG_PPM_THRESHOLD = 20_000  # ≥2% of char positions hit the profile
+
+
+def _bigram_hits_sql(col: str) -> str:
+    terms = [
+        f"(length({col}) - length(replace({col}, '{b}', ''))) / 2"
+        for b in _LANG_BIGRAMS
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "lang_ngram_id",
+    f"""
+    SELECT doc_id,
+           lang,
+           CAST({_bigram_hits_sql('text')} AS BIGINT) AS gram_hits,
+           CAST(CAST({_bigram_hits_sql('text')} AS BIGINT) * 1000000
+                // (length(text) - 1) AS BIGINT) AS gram_ppm,
+           CASE WHEN CAST({_bigram_hits_sql('text')} AS BIGINT) * 1000000
+                     // (length(text) - 1) >= {_LANG_PPM_THRESHOLD}
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM documents
+    WHERE length(text) > 1
+    """,
+)
+def q_lang_ngram_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    t = F.col("text")
+    hits = None
+    for b in _LANG_BIGRAMS:
+        term = (F.length(t) - F.length(F.replace(t, F.lit(b), F.lit("")))) / 2
+        hits = term if hits is None else hits + term
+    hits = hits.cast("long")
+    ppm = F.expr(
+        f"CAST({_bigram_hits_sql('text')} AS BIGINT) * 1000000L"
+        " DIV (length(text) - 1)"
+    )
+    return (
+        spark.table("documents")
+        .where(F.length(t) > 1)
+        .select(
+            "doc_id",
+            "lang",
+            hits.alias("gram_hits"),
+            ppm.alias("gram_ppm"),
+            F.when(ppm >= _LANG_PPM_THRESHOLD, F.lit("en"))
+            .otherwise(F.lit("unk"))
+            .alias("pred_lang"),
+        )
+    )
