@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "rel_ring_stats",
     "clark_one_addr_bldgs",
+    "tile_artifacts",
+    "rel_artifacts",
+    "lang_ngram_id",
+    "media_bmp_decode",
+    "media_wav_decode",
 ]
 
 

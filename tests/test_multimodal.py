@@ -38,6 +38,34 @@ def test_bmp_decode_top_down_and_offsets():
         MM.decode_bmp(b"PNG" + bmp)
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 41), h=st.integers(1, 23),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_bmp_roundtrip_property(w, h, seed):
+        """Any width (every stride-padding residue) × any height ×
+        arbitrary bytes round-trips exactly."""
+        grid = np.random.default_rng(seed).integers(0, 256, (h, w), np.uint8)
+        assert np.array_equal(MM.decode_bmp(MM.encode_bmp(grid)), grid)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(0, 513), rate=st.integers(1, 192_000),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, rate, seed):
+        samples = np.random.default_rng(seed).integers(0, 256, n, np.uint8)
+        got, got_rate = MM.decode_wav(MM.encode_wav(samples, rate))
+        assert got_rate == rate and np.array_equal(got, samples)
+
+except ImportError:  # pragma: no cover - hypothesis ships in this env
+    pass
+
+
 def test_wav_roundtrip_and_extra_chunk():
     samples = np.arange(37, dtype=np.uint8)  # odd length → pad byte rule
     wav = MM.encode_wav(samples, 8200)
