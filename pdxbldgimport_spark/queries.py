@@ -7,7 +7,7 @@ derivation in both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import oracles_conflation as OC
 from . import synth

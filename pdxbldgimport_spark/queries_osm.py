@@ -16,9 +16,6 @@ from .operators.poly_join import intersects_join
 from .operators.pip_join import tile_expr
 from .session import session_token
 from .queries import (
-    ORACLES,
-    QUERIES,
-    _PREP_CACHE,
     prepared_cbldg,
     prepared_footprints,
     pdx_bldgs_df,
