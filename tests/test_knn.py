@@ -123,6 +123,28 @@ def test_knn_shuffle_path_matches_broadcast(spark):
     assert bc == sh and len(bc) > 0
 
 
+def test_knn_exact_tie_breaks_by_candidate_id(spark):
+    """Two candidates at bit-identical distance: the winner must be the
+    lower id on BOTH strategies (struct-min top_k=1, window top_k>1) —
+    the pinned ORDER BY d2, cand_id semantics."""
+    pts = pd.DataFrame({"page_id": [1], "lon": [-122.5], "lat": [45.4]})
+    # symmetric offsets → identical squared distance
+    cents = pd.DataFrame(
+        {
+            "fp_id": [20, 7],
+            "centroid_lon": [-122.5 + 0.003, -122.5 - 0.003],
+            "centroid_lat": [45.4, 45.4],
+        }
+    )
+    sp, sc = spark.createDataFrame(pts), spark.createDataFrame(cents)
+    top1 = knn_join(sp, sc, "page_id", "fp_id").collect()
+    assert [(r["page_id"], r["fp_id"], r["rn"]) for r in top1] == [(1, 7, 1)]
+    top2 = sorted(
+        (r["rn"], r["fp_id"]) for r in knn_join(sp, sc, "page_id", "fp_id", top_k=2).collect()
+    )
+    assert top2 == [(1, 7), (2, 20)]
+
+
 def test_knn_top_k_ranks(spark):
     pts = pd.DataFrame({"page_id": [1], "lon": [-122.5], "lat": [45.4]})
     cents = pd.DataFrame(
