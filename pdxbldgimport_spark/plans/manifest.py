@@ -202,7 +202,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, root: str) -> dict:
         "footprints_ingest", [],
         lambda: Q.prepared_footprints(spark, sf_dir).select("fp_id", "rings"),
     )
-    r.stage(
+    pip = r.stage(
         "pip_assign", ["pages_ingest", "footprints_ingest"],
         lambda: pip_join(
             pages_ing, fps_ing, "page_id", "fp_id",
@@ -210,6 +210,23 @@ def run_pipeline(spark: SparkSession, sf_dir: str, root: str) -> dict:
             hot_cells=r.hot_cells("pages_ingest"),
         ),
     )
+    # the north-star ambiguity resolver, also planned purely from
+    # manifests: candidate count from the footprint ingest manifest →
+    # the kNN broadcast gate decides without scanning either side.
+    from ..operators.knn import knn_join
+
+    def build_knn():
+        cents = Q.prepared_footprints(spark, sf_dir).select(
+            "fp_id", "centroid_lon", "centroid_lat"
+        )
+        un = pages_ing.join(pip.select("page_id"), "page_id", "left_anti")
+        return knn_join(
+            un, cents, "page_id", "fp_id",
+            cands_count=r.read_manifest("footprints_ingest")["row_count"],
+        )
+
+    r.stage("knn_unassigned", ["pages_ingest", "footprints_ingest", "pip_assign"],
+            build_knn)
 
     cbldg = r.stage(
         "cbldg_enriched", [],

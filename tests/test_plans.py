@@ -132,6 +132,17 @@ def test_shuffle_pip_plans_without_scanning_points_when_manifest_fed(spark):
             pts, polys, "pt", "poly",
             broadcast_max_polys=0, polys_count=1, hot_cells=None,
         )
+    # kNN with a manifest-fed candidate count also plans without jobs
+    from pdxbldgimport_spark.operators.knn import knn_join
+
+    cents = spark.createDataFrame(
+        pd.DataFrame(
+            {"fp": [1], "centroid_lon": [-122.45], "centroid_lat": [45.45]}
+        )
+    )
+    out2 = knn_join(pts, cents, "pt", "fp", cands_count=1)
+    with pytest.raises(Exception):
+        out2.collect()
 
 
 def test_knn_plan_broadcast_is_size_conditional(spark):

@@ -27,7 +27,7 @@ def test_pipeline_resume_lifecycle(spark, tmp_path):
 
     # 1. cold run: everything builds
     rep1 = run_pipeline(spark, SF, root)
-    assert rep1["skipped"] == [] and len(rep1["built"]) == 10
+    assert rep1["skipped"] == [] and len(rep1["built"]) == 11
     out1 = _payloads(spark, root)
     assert out1  # produced tiles
 
@@ -41,7 +41,7 @@ def test_pipeline_resume_lifecycle(spark, tmp_path):
 
     # 3. warm run: everything fresh → all skipped, outputs unchanged
     rep2 = run_pipeline(spark, SF, root)
-    assert rep2["built"] == [] and len(rep2["skipped"]) == 10
+    assert rep2["built"] == [] and len(rep2["skipped"]) == 11
     assert _payloads(spark, root) == out1
 
     # 3b. ingest manifests carry the planning stats the joins consume
@@ -58,7 +58,7 @@ def test_pipeline_resume_lifecycle(spark, tmp_path):
         shutil.rmtree(os.path.join(root, stage))
     rep3 = run_pipeline(spark, SF, root)
     assert set(rep3["skipped"]) == {
-        "pages_ingest", "footprints_ingest", "pip_assign",
+        "pages_ingest", "footprints_ingest", "pip_assign", "knn_unassigned",
         "cbldg_enriched", "pdx_addrs", "addr_bldg_counts",
     }
     assert rep3["built"] == [
