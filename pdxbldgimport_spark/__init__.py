@@ -20,4 +20,4 @@ Architecture (Spark-first, NOT a port):
   functional recompositions (join + coalesce / filter splits).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

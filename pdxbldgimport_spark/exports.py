@@ -31,12 +31,25 @@ from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .geo.simplify import simplify_ring
+
+
+def artifact_dir(prefix: str, sf_dir: str) -> str:
+    """Scratch artifact directory keyed by input AND engine version —
+    a code change lands in a fresh directory, so a run's on-disk
+    artifact set can never silently mix tiles written by two engine
+    revisions (the manifest already masks stale files, but the bytes on
+    disk should be self-consistent too)."""
+    from . import __version__
+
+    token = hashlib.md5(f"{sf_dir}|{__version__}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{token}")
 
 SIMPLIFY_TOL = 1e-6  # reference tolerance, tasks/pdx_bldgs.rake:60
 
@@ -73,6 +86,18 @@ def _fmt(v) -> str:
     if isinstance(v, (float, np.floating)):
         return repr(round(float(v), 2))
     return str(v).strip()
+
+
+def _sweep_tmp(out_dir: str) -> None:
+    """Remove orphaned ``*.tmp`` attempt files from killed prior runs
+    (driver-side, before tasks launch — live attempts use fresh
+    pid-suffixed names, so this never races an in-flight writer)."""
+    for fn in os.listdir(out_dir):
+        if fn.endswith(".tmp"):
+            try:
+                os.remove(os.path.join(out_dir, fn))
+            except OSError:
+                pass
 
 
 class _Ids:
@@ -150,6 +175,7 @@ def write_tile_artifacts(bldgs: DataFrame, out_dir: str) -> DataFrame:
     per-tile re-query (the reference re-runs its export SQL once per
     tile, metro_output.rake:25-44)."""
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_tmp(out_dir)
 
     def per_tile(key, pdf):  # no hints: applyInPandas infers (key, pdf)
         qtrsec = int(key[0])

@@ -80,12 +80,16 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
-    """uint8 sample vector → 8-bit PCM mono WAV (RIFF/fmt/data)."""
+    """uint8 sample vector → 8-bit PCM mono WAV (RIFF/fmt/data). An
+    odd-length data chunk gets RIFF's pad byte (chunks align to even
+    offsets) and the pad is counted in the RIFF size, so strict external
+    readers accept the container; decode_wav already skips it."""
     n = len(samples)
-    riff = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    pad = b"\x00" if n % 2 else b""
+    riff = b"RIFF" + struct.pack("<I", 36 + n + len(pad)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
     data = b"data" + struct.pack("<I", n)
-    return riff + fmt + data + np.asarray(samples, np.uint8).tobytes()
+    return riff + fmt + data + np.asarray(samples, np.uint8).tobytes() + pad
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:

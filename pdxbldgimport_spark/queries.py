@@ -99,9 +99,11 @@ def prepared_fp_cover(spark: SparkSession, sf_dir: str):
     if key not in _PREP_CACHE:
         from .operators.pip_join import build_broadcast_cover
 
+        fps = prepared_footprints(spark, sf_dir)
+        n = fps.count()  # one JVM count, shared with the shuffle fallback
+        _PREP_CACHE[(session_token(spark), sf_dir, "fp_count")] = n
         _PREP_CACHE[key] = build_broadcast_cover(
-            prepared_footprints(spark, sf_dir), "fp_id",
-            max_polys=COVER_MAX_POLYS,
+            fps, "fp_id", max_polys=COVER_MAX_POLYS, polys_count=n,
         )
     return _PREP_CACHE[key]
 
@@ -110,14 +112,16 @@ def pip_fp_join(spark: SparkSession, sf_dir: str, points: DataFrame,
                 point_id: str, carry=None) -> DataFrame:
     """PIP join of ``points`` against the footprints through the
     prepared broadcast cover when it exists, else the salted shuffle
-    path (broadcast_max_polys=0 skips re-counting a side already known
-    to be over the gate)."""
+    path. The footprint count from the gate is threaded through as
+    ``polys_count`` so the over-gate side is never counted twice."""
     bc = prepared_fp_cover(spark, sf_dir)
     if bc is not None:
         return pip_join(points, None, point_id, "fp_id", prebuilt=bc, carry=carry)
     fps = prepared_footprints(spark, sf_dir).select("fp_id", "rings")
+    n = _PREP_CACHE.get((session_token(spark), sf_dir, "fp_count"))
     return pip_join(
-        points, fps, point_id, "fp_id", broadcast_max_polys=0, carry=carry
+        points, fps, point_id, "fp_id", broadcast_max_polys=0,
+        polys_count=n, carry=carry,
     )
 
 

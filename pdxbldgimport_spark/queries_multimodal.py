@@ -73,9 +73,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.doc_id, CAST(f.i AS INT) AS frame_idx,
            substr(m.payload_str, CAST(1 + f.i * m.frame_len AS BIGINT),
                   CAST(m.frame_len AS BIGINT)) AS frame_text
-    FROM media_base m, range(0, 16, 2) f(i)
+    FROM media_base m, range(0, {MAX_F}, 2) f(i)
     WHERE m.kind = 'video' AND f.i < m.n_frames
-    """,
+    """.format(MAX_F=synth.MEDIA_MAX_FRAMES + 1),
 )
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
@@ -92,7 +92,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     , cells AS (
       SELECT i.doc_id, i.width, r.i AS r, c.i AS c,
              substr(i.payload_str, CAST(r.i * i.width + c.i + 1 AS BIGINT), 1) AS px
-      FROM imgs i, range(0, 16, 2) r(i), range(0, 32, 2) c(i)
+      FROM imgs i, range(0, {MAX_H}, 2) r(i), range(0, {MAX_W}, 2) c(i)
       WHERE r.i < i.height AND c.i < i.width
     )
     SELECT doc_id,
@@ -101,7 +101,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(ascii(px)) AS BIGINT) AS out_sum,
            md5(string_agg(px, '' ORDER BY r, c)) AS out_md5
     FROM cells GROUP BY doc_id
-    """,
+    """.format(MAX_H=synth.MEDIA_MAX_H + 1, MAX_W=synth.MEDIA_MAX_W + 1),
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
@@ -128,7 +128,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT i.doc_id, i.width, i.height, r.i AS r,
              ascii(substr(i.payload_str,
                           CAST(r.i * i.width + c.i + 1 AS BIGINT), 1)) AS b
-      FROM imgs i, range(0, 16) r(i), range(0, 32) c(i)
+      FROM imgs i, range(0, {MAX_H}) r(i), range(0, {MAX_W}) c(i)
       WHERE r.i < i.height AND c.i < i.width
     )
     SELECT doc_id,
@@ -139,7 +139,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(b) AS BIGINT) AS pix_sum,
            CAST(SUM((r + 1) * b) AS BIGINT) AS row_weighted_sum
     FROM cells GROUP BY doc_id
-    """,
+    """.format(MAX_H=synth.MEDIA_MAX_H + 1, MAX_W=synth.MEDIA_MAX_W + 1),
 )
 def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
@@ -160,7 +160,7 @@ def q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id,
            CAST(m.sample_rate AS INT) AS wav_rate,
-           CAST(44 + s.n_samples AS BIGINT) AS wav_bytes,
+           CAST(44 + s.n_samples + s.n_samples % 2 AS BIGINT) AS wav_bytes,
            CAST(s.n_samples AS BIGINT) AS n_samples,
            s.energy AS energy
     FROM stats s JOIN media_base m ON m.doc_id = s.doc_id

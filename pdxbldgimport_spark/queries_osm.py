@@ -463,16 +463,10 @@ def tile_export_df(pdx: DataFrame) -> DataFrame:
     """,
 )
 def q_tile_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-    import tempfile
-
-    from .exports import pdx_tile_artifacts
+    from .exports import artifact_dir, pdx_tile_artifacts
 
     views(spark, sf_dir)
-    out_dir = _os.path.join(
-        tempfile.gettempdir(),
-        "pdxbldg_artifacts_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
-    )
+    out_dir = artifact_dir("pdxbldg_artifacts", sf_dir)
     manifest = pdx_tile_artifacts(spark, sf_dir, out_dir, densify_k=4)
     return manifest.select("qtrsec", "n_features", "n_nodes")
 
@@ -671,10 +665,7 @@ def osm_relations_assembled(spark: SparkSession) -> DataFrame:
     """,
 )
 def q_rel_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-    import tempfile
-
-    from .exports import write_tile_artifacts
+    from .exports import artifact_dir, write_tile_artifacts
 
     views(spark, sf_dir)
     rel = G.with_bbox(osm_relations_assembled(spark), "relation_id")
@@ -694,10 +685,7 @@ def q_rel_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("height"),
         F.col("building").alias("bldg_type"),
     )
-    out_dir = _os.path.join(
-        tempfile.gettempdir(),
-        "pdxbldg_rel_artifacts_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
-    )
+    out_dir = artifact_dir("pdxbldg_rel_artifacts", sf_dir)
     manifest = write_tile_artifacts(feats, out_dir)
     return manifest.select("qtrsec", "n_features", "n_nodes")
 

@@ -46,6 +46,27 @@ def session_token(spark: SparkSession) -> str:
     return f"{sc.applicationId}@{sc.startTime}"
 
 
+def _external_master() -> bool:
+    """True when a Spark master is already configured outside this
+    factory. Under ``spark-submit`` the Python driver is launched by the
+    JVM's PythonRunner (``PYSPARK_GATEWAY_PORT`` exported) and
+    spark-submit always sets ``spark.master`` on the JVM side, so the
+    builder must not override it. A plain ``python`` invocation has
+    neither signal, so local[N] remains the default. If a gateway is
+    already attached, the JVM conf is checked directly."""
+    if os.environ.get("MASTER") or os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return True
+    try:
+        from pyspark.conf import SparkConf
+        from pyspark.core.context import SparkContext
+
+        if SparkContext._jvm is not None:  # attached gateway: real conf
+            return SparkConf(loadDefaults=True).contains("spark.master")
+    except Exception:
+        pass
+    return False
+
+
 def get_spark(
     app_name: str = "pdxbldgimport_spark",
     cores: int | None = None,
@@ -64,9 +85,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    builder = SparkSession.builder
+    # Respect an externally-configured master (spark-submit --master /
+    # spark.master property): only default to local[N] when none is set,
+    # so the same entry point runs local in dev and distributed under a
+    # cluster manager instead of silently overriding it with local mode.
+    if not _external_master():
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

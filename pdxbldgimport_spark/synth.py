@@ -406,7 +406,18 @@ FROM (
 # bytes (DuckDB 1.0 has no BLOB substring/aggregation); the ENGINE reads
 # only the binary column. Image/video payloads are real width×height
 # byte grids (n_frames of them); audio is n_samples bytes.
-_MEDIA = """
+#
+# Dimension formulas are shared constants: oracle range() bounds in
+# queries_multimodal derive from MEDIA_MAX_* (a dimension bump here
+# cannot silently undercount oracle pixel enumerations). The _MEDIA
+# template below must use these same (BASE, MOD) pairs.
+MEDIA_W_BASE, MEDIA_W_MOD = 16, 16  # width  = 16 + doc_id % 16
+MEDIA_H_BASE, MEDIA_H_MOD = 8, 8    # height = 8 + doc_id % 8
+MEDIA_F_BASE, MEDIA_F_MOD = 4, 5    # n_frames = 4 + doc_id % 5
+MEDIA_MAX_W = MEDIA_W_BASE + MEDIA_W_MOD - 1
+MEDIA_MAX_H = MEDIA_H_BASE + MEDIA_H_MOD - 1
+MEDIA_MAX_FRAMES = MEDIA_F_BASE + MEDIA_F_MOD - 1
+_MEDIA = f"""
 SELECT *,
   CASE kind WHEN 'audio' THEN n_samples ELSE width * height END AS frame_len,
   repeat(
@@ -419,9 +430,12 @@ FROM (
     doc_id,
     text,
     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-    CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 16 + doc_id % 16 END AS width,
-    CASE WHEN doc_id % 3 = 1 THEN NULL ELSE 8 + doc_id % 8 END AS height,
-    CASE WHEN doc_id % 3 = 2 THEN 4 + doc_id % 5 ELSE NULL END AS n_frames,
+    CASE WHEN doc_id % 3 = 1 THEN NULL
+         ELSE {MEDIA_W_BASE} + doc_id % {MEDIA_W_MOD} END AS width,
+    CASE WHEN doc_id % 3 = 1 THEN NULL
+         ELSE {MEDIA_H_BASE} + doc_id % {MEDIA_H_MOD} END AS height,
+    CASE WHEN doc_id % 3 = 2 THEN {MEDIA_F_BASE} + doc_id % {MEDIA_F_MOD}
+         ELSE NULL END AS n_frames,
     CASE WHEN doc_id % 3 = 1 THEN 256 + doc_id % 128 ELSE NULL END AS n_samples,
     CASE WHEN doc_id % 3 = 1 THEN 8000 + 100 * (doc_id % 5) ELSE NULL END AS sample_rate
   FROM documents

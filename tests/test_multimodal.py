@@ -71,6 +71,9 @@ def test_wav_roundtrip_and_extra_chunk():
     wav = MM.encode_wav(samples, 8200)
     got, rate = MM.decode_wav(wav)
     assert rate == 8200 and np.array_equal(got, samples)
+    # strict container shape: padded to even, RIFF size covers the pad
+    assert len(wav) % 2 == 0
+    assert int.from_bytes(wav[4:8], "little") == len(wav) - 8
     # tolerate an extra odd-sized chunk before fmt/data
     extra = b"LIST" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
     wav2 = wav[:12] + extra + wav[12:]
