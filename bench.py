@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "rel_ring_stats",
+    "rel_ring_assembly",
     "clark_one_addr_bldgs",
     "tile_artifacts",
     "rel_artifacts",
@@ -84,6 +85,47 @@ BENCH_QUERIES = [
 def _run(df) -> None:
     # noop sink: full computation of every column, nothing collected.
     df.write.format("noop").mode("overwrite").save()
+
+
+# --- self-certifying timings (r3 verdict #1) -------------------------
+# The host has multi-hour degraded phases that can inflate a recorded
+# timing 2-10× on unchanged code. Defense recorded IN the JSON: any
+# query whose min-of-RUNS exceeds RETIME_FACTOR× its previous round's
+# recorded value is re-timed after the sweep, each retime annotated
+# with an interleaved pure-JVM probe reading (no Python, no Arrow, no
+# engine code — it bounds what ANY Spark job can do in that window).
+RETIME_FACTOR = 2.0
+PROBE_ROWS_PER_CPU = 250_000_000  # ≈2 s healthy at local[32]
+
+
+def _probe(spark) -> float:
+    """Pure-JVM control probe: range → sum(id%7 + id%13). Rows scale
+    with CPUS so the healthy reading is ~2 s at any width."""
+    t0 = time.time()
+    spark.range(0, PROBE_ROWS_PER_CPU * CPUS, 1, CPUS).selectExpr(
+        "sum(id % 7 + id % 13) as s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
+def _prev_round() -> dict:
+    """Per-query timings from the latest driver-recorded BENCH_r*.json
+    (the signal of record), for regression detection."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as f:
+            parsed = json.load(f).get("parsed") or {}
+        return {
+            "file": os.path.basename(paths[-1]),
+            "queries": parsed.get("queries") or {},
+            "headline_sec": parsed.get("headline_sec"),
+        }
+    except (OSError, ValueError):
+        return {}
 
 
 def _bench_streaming(spark) -> dict:
@@ -184,25 +226,66 @@ def main() -> None:
         "page_id", "lon", "lat",
         tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id"),
     )
-    headline_s = float("inf")
-    for _ in range(max(RUNS, 1)):
-        t0 = time.time()
-        out = base.pip_fp_join(
-            spark, SF_DIR, pts, "page_id", carry=[("tile_id", T.LongType())],
-        )
-        _run(out)
-        headline_s = min(headline_s, time.time() - t0)
-    docs_per_sec = n_pages / headline_s
+    def time_headline() -> float:
+        best = float("inf")
+        for _ in range(max(RUNS, 1)):
+            t0 = time.time()
+            out = base.pip_fp_join(
+                spark, SF_DIR, pts, "page_id",
+                carry=[("tile_id", T.LongType())],
+            )
+            _run(out)
+            best = min(best, time.time() - t0)
+        return best
 
-    timings: dict[str, float] = {}
-    for name in [] if SKIP_SWEEP else BENCH_QUERIES:
+    headline_s = time_headline()
+
+    def time_query(name: str) -> float:
         fn = Q.QUERIES[name]
         best = float("inf")
         for _ in range(max(RUNS, 1)):
             t0 = time.time()
             _run(fn(spark, SF_DIR))
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for name in [] if SKIP_SWEEP else BENCH_QUERIES:
+        timings[name] = time_query(name)
+
+    # Self-certification pass: re-time >RETIME_FACTOR× regressions vs
+    # the previous recorded round, annotating each with a probe reading
+    # taken immediately before the retime. A recovered retime replaces
+    # the noisy first reading; a still-slow retime with a slow probe is
+    # host-attributed in-record; still-slow with a HEALTHY probe is a
+    # real regression and stands.
+    retimes: dict[str, dict] = {}
+    prev = {} if SKIP_SWEEP else _prev_round()
+    for name, first in list(timings.items()):
+        p = (prev.get("queries") or {}).get(name)
+        if p and first > RETIME_FACTOR * p:
+            probe_s = _probe(spark)
+            again = time_query(name)
+            retimes[name] = {
+                "prev": p,
+                "first": first,
+                "retimed": again,
+                "probe_sec": probe_s,
+            }
+            timings[name] = min(first, again)
+
+    ph = prev.get("headline_sec") if prev else None
+    if ph and REP_MULT == 1 and headline_s > RETIME_FACTOR * ph:
+        probe_s = _probe(spark)
+        again = time_headline()
+        retimes["__headline__"] = {
+            "prev": ph,
+            "first": round(headline_s, 3),
+            "retimed": round(again, 3),
+            "probe_sec": probe_s,
+        }
+        headline_s = min(headline_s, again)
+    docs_per_sec = n_pages / headline_s
 
     streaming = None if SKIP_SWEEP else _bench_streaming(spark)
 
@@ -215,6 +298,13 @@ def main() -> None:
                 "headline_sec": round(headline_s, 3),
                 "n_docs": n_pages,
                 "queries": timings,
+                "retimes": retimes,
+                "retime_policy": {
+                    "factor": RETIME_FACTOR,
+                    "vs": prev.get("file") if prev else None,
+                    "probe": "range->sum(id%7+id%13), "
+                             f"{PROBE_ROWS_PER_CPU}*cpus rows, ~2s healthy",
+                },
                 "streaming_sessions": streaming,
                 "sf": SF_DIR,
                 "cpus": CPUS,

@@ -213,6 +213,102 @@ def write_tile_artifacts(bldgs: DataFrame, out_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# Second half of S7: the reference ships every tile as a PAIR of
+# artifacts — buildings (`<qtrsec>.osm`) AND standalone multi-address
+# nodes (`<qtrsec>_multi_addr.osm`, built at tasks/metro_output.rake:46-58,
+# uploaded by scripts/add_addrs.rb; golden sample
+# sample_osm_files/1n2e34d_multi_addr.osm). Address nodes carry addr:*
+# tags only — no ways, no relations.
+
+NODE_TAG_COLS = [
+    ("addr:housenumber", "housenumber"),
+    ("addr:street", "street"),
+    ("addr:postcode", "postcode"),
+    ("addr:city", "city"),
+    ("addr:state", "state"),
+]
+
+NODE_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("qtrsec", T.LongType()),
+        T.StructField("n_features", T.IntegerType()),
+        T.StructField("n_nodes", T.LongType()),
+        T.StructField("n_tags", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def _serialize_node_tile(pdf: pd.DataFrame) -> tuple[bytes, int]:
+    """One tile's address placements → (deterministic XML bytes, total
+    emitted tag count). Ids are -1, -2, ... in the caller-pinned order.
+    Per-row Python is bounded by the ~MAX_BLDGS-features-per-tile
+    consolidation contract, same as the building serializer."""
+    out = ['<osm version="0.6" generator="pdxbldgimport_spark">']
+    nid = 0
+    n_tags = 0
+    for row in pdf.itertuples(index=False):
+        nid -= 1
+        out.append(
+            f'  <node id="{nid}" lon="{float(row.lon)!r}"'
+            f' lat="{float(row.lat)!r}">'
+        )
+        for tag, col in NODE_TAG_COLS:
+            val = _fmt(getattr(row, col))
+            if val != "":
+                n_tags += 1
+                out.append(f'    <tag k="{tag}" v="{val}"/>')
+        out.append("  </node>")
+    out.append("</osm>")
+    return ("\n".join(out) + "\n").encode(), n_tags
+
+
+def write_node_artifacts(nodes: DataFrame, out_dir: str) -> DataFrame:
+    """Write one ``<qtrsec>_multi_addr.osm`` per tile under ``out_dir``;
+    returns the manifest (qtrsec, n_features, n_nodes, n_tags, n_bytes,
+    sha256). ``nodes`` needs qtrsec, pdx_bldg_id, lon, lat, and the
+    NODE_TAG_COLS sources. Same one-shuffle shape and atomic idempotent
+    writes as ``write_tile_artifacts``."""
+    os.makedirs(out_dir, exist_ok=True)
+    _sweep_tmp(out_dir)
+
+    def per_tile(key, pdf):
+        qtrsec = int(key[0])
+        # pinned total order (O1 analog; lon/lat break residual ties so
+        # byte output is input-partition-order independent)
+        pdf = pdf.sort_values(
+            ["street", "housenumber", "pdx_bldg_id", "lon", "lat"],
+            na_position="last",
+            kind="mergesort",
+        )
+        payload, n_tags = _serialize_node_tile(pdf)
+        path = os.path.join(out_dir, f"{qtrsec}_multi_addr.osm")
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "qtrsec": [qtrsec],
+                "n_features": [len(pdf)],
+                "n_nodes": [len(pdf)],
+                "n_tags": [n_tags],
+                "n_bytes": [len(payload)],
+                "sha256": [hashlib.sha256(payload).hexdigest()],
+            }
+        )
+
+    cols = ["qtrsec", "pdx_bldg_id", "lon", "lat"] + [c for _, c in NODE_TAG_COLS]
+    return (
+        nodes.select(*cols)
+        .repartition("qtrsec")
+        .groupBy("qtrsec")
+        .applyInPandas(per_tile, NODE_MANIFEST_SCHEMA)
+    )
+
+
 def densified_rect_rings_expr(k: int = 4) -> str:
     """SQL expression: the cbldg rectangle (bx0,by0,bx1,by1) as a single
     closed ring with every edge split into ``k`` exactly-collinear

@@ -624,6 +624,43 @@ def multi_addrs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CF.multi_addrs(mb_all, addrs, inside_pairs)
 
 
+# The multi-addr artifact flavor (second half of S7): the reference
+# ships every tile as a PAIR — buildings `<qtrsec>.osm` AND standalone
+# address nodes `<qtrsec>_multi_addr.osm` (tasks/metro_output.rake:46-58;
+# golden sample_osm_files/1n2e34d_multi_addr.osm; upload path
+# scripts/add_addrs.rb). The REAL node serializer runs (XML → sha256 →
+# atomic rename) and its manifest's per-tile feature/node/tag counts
+# are oracle-checked; node lon/lat are engine-kernel placements (gated
+# by multi_addrs' pytest determinism tests), so they shape the bytes
+# but not the oracle projection. Byte determinism is pinned by pytest
+# (tests/test_exports.py).
+@register(
+    "multi_addr_artifacts",
+    OC.with_prefix(OC.PDX_BLDGS_CTES, OC.MULTI_ADDRS_CTES)
+    + """
+    SELECT qtrsec,
+           CAST(COUNT(*) AS INT) AS n_features,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(
+             (CASE WHEN TRIM(COALESCE(housenumber, '')) <> '' THEN 1 ELSE 0 END)
+           + (CASE WHEN TRIM(COALESCE(street, ''))      <> '' THEN 1 ELSE 0 END)
+           + (CASE WHEN TRIM(COALESCE(postcode, ''))    <> '' THEN 1 ELSE 0 END)
+           + (CASE WHEN TRIM(COALESCE(city, ''))        <> '' THEN 1 ELSE 0 END)
+           + (CASE WHEN TRIM(COALESCE(state, ''))       <> '' THEN 1 ELSE 0 END)
+           ) AS BIGINT) AS n_tags
+    FROM multi_addrs
+    GROUP BY qtrsec
+    """,
+)
+def q_multi_addr_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .exports import artifact_dir, write_node_artifacts
+
+    views(spark, sf_dir)
+    out_dir = artifact_dir("pdxbldg_multi_addr", sf_dir)
+    manifest = write_node_artifacts(multi_addrs_df(spark, sf_dir), out_dir)
+    return manifest.select("qtrsec", "n_features", "n_nodes", "n_tags")
+
+
 # ----------------------------------------------------------------------
 # Raster↔vector tiler (north_star; vector half of G10's tile dissolve):
 # footprints RASTERIZE to their cell cover, each quarter-section tile's

@@ -45,10 +45,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Gap-based sessionization: per user, a new session starts when the gap
 # to the previous event exceeds SESSION_GAP_S (lag + running sum — the
-# W-series window machinery generalized to time).
-@register(
-    "events_sessions",
-    f"""
+# W-series window machinery generalized to time). The same oracle gates
+# the batch query AND the streamed twin below.
+_SESSIONS_ORACLE = f"""
     WITH gaps AS (
       SELECT user_id, event_id, ts,
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_S} * 1000000
@@ -63,8 +62,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_no, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM sess GROUP BY user_id, session_no
-    """,
-)
+    """
+
+
+@register("events_sessions", _SESSIONS_ORACLE)
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     ev = spark.table("events")
@@ -81,6 +82,69 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+# §2.9 under the driver gate: the STREAMED sessionizer (stateful
+# applyInPandasWithState, streaming/sessions.py) drained over the same
+# events and hash-checked against the batch window query's oracle. The
+# events table is dumped as time-ordered parquet files (ledger-style
+# continuous arrival) plus one far-future sentinel event for a fake
+# user — the sentinel advances the event-time watermark past every real
+# user's last+gap so all real sessions close and emit (the same
+# mechanism tests/test_streaming_sessions.py uses). The streamed
+# (start, end, count) tuples are re-keyed to the batch schema's
+# per-user session_no by start order; the sentinel user is dropped.
+@register("events_sessions_streamed", _SESSIONS_ORACLE)
+def q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from .streaming import sessions as SS
+
+    views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="sessions_gate_")
+    try:
+        src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+        os.makedirs(src)
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        mid, far = ev.agg(
+            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5e0)"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+        ).collect()[0]
+        ev.where(us <= int(mid)).coalesce(1).write.parquet(f"{src}/d1")
+        ev.where(us > int(mid)).coalesce(1).write.parquet(f"{src}/d2")
+        sentinel_us = int(far) + 10 * SS.SESSION_GAP_S * 1_000_000
+        spark.createDataFrame(
+            [(10**9, -1)], "event_id long, user_id long"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.lit(sentinel_us)).cast("timestamp_ntz").alias("ts"),
+            "user_id",
+        ).coalesce(1).write.parquet(f"{src}/d3")
+        SS.stream_sessions(spark, f"{src}/*", ev.schema, ckpt, out)
+        streamed = (
+            SS.read_sessions(spark, out)
+            .where(F.col("user_id") >= 0)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    w = Wnd.partitionBy("user_id").orderBy("session_start_us")
+    return streamed.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_no"),
+        F.col("n_events"),
+        F.timestamp_micros(F.col("session_start_us"))
+        .cast("timestamp_ntz").alias("session_start"),
+        F.timestamp_micros(F.col("session_end_us"))
+        .cast("timestamp_ntz").alias("session_end"),
     )
 
 

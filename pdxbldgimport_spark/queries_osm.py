@@ -691,24 +691,19 @@ def q_rel_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# G2 linemerge: relation outer rings arrive as OPEN way fragments in
-# scrambled order/orientation (reference: array_agg(ST_LineMerge(geom))
-# before ST_MakePolygon, tasks/osm_buildings.rake:40-52). The engine
-# stitches per relation (groupBy → applyInPandas over the tiny member
-# lists; geo/linemerge.py kernel) and reports stats OF THE ASSEMBLED
-# rings; the oracle derives the same stats assembly-free — n_vertices and
-# the per-edge-floored perimeter are invariant under stitching (each
-# fragment edge appears in exactly one assembled ring, length unchanged
-# by reversal), and the expected component count follows the synth
-# world's structure. A dropped, duplicated, or mis-joined fragment breaks
-# the match; ring-equality itself is property-tested in
-# tests/test_linemerge.py.
+# Ring stats, JVM-side (the r3 verdict's re-shape): n_vertices and the
+# per-edge-floored perimeter are EDGE-LOCAL — each fragment edge appears
+# in exactly one assembled ring with its length unchanged by reversal —
+# so the linear-in-data aggregation runs entirely in whole-stage codegen
+# (no Arrow crossing; plan-guarded in tests/test_plans.py). The
+# assembly-sensitive invariants (component counts, per-ring vertex
+# counts) live in ``rel_ring_assembly`` below, the one query that
+# genuinely needs the per-relation Python stitch.
 @register(
     "rel_ring_stats",
     synth.oracle_with("osm_way_segments_base")
     + """
     SELECT relation_id,
-      CAST(CASE WHEN relation_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_rings,
       CAST(COUNT(*) AS INT) AS n_vertices,
       CAST(SUM(CAST(FLOOR(SQRT(
         (bx - ax) * (bx - ax) * 1e12 + (by - ay) * (by - ay) * 1e12
@@ -718,7 +713,44 @@ def q_rel_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rel_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
+    views(spark, sf_dir)
+    segs = spark.table("osm_way_segments_base")
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    # identical IEEE expression tree to the oracle SQL: ((dx*dx)*1e12)
+    # left-assoc, floor before the integer sum
+    edge = F.floor(F.sqrt(dx * dx * F.lit(1e12) + dy * dy * F.lit(1e12)))
+    return segs.groupBy("relation_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_vertices"),
+        F.sum(edge.cast("long")).alias("perim_udeg"),
+    )
+
+
+# G2 linemerge: relation outer rings arrive as OPEN way fragments in
+# scrambled order/orientation (reference: array_agg(ST_LineMerge(geom))
+# before ST_MakePolygon, tasks/osm_buildings.rake:40-52). The engine
+# stitches per relation (groupBy → applyInPandas over the tiny member
+# lists; geo/linemerge.py kernel — chain extraction is one vectorized
+# to_numpy slice, no per-row Python) and reports the ASSEMBLY-sensitive
+# invariants: component count, open-chain count, per-ring vertex
+# bounds. The oracle predicts them from the synth world's structure
+# (doc_id%2=0 relations carry a second fragmented ring; every ring is a
+# 4-edge rectangle). A dropped, duplicated, or mis-joined fragment
+# changes n_rings/n_open/ring_nv and fails the gate; ring-equality
+# itself is property-tested in tests/test_linemerge.py.
+@register(
+    "rel_ring_assembly",
+    synth.oracle_with("osm_way_segments_base")
+    + """
+    SELECT relation_id,
+      CAST(CASE WHEN relation_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_rings,
+      CAST(0 AS INT) AS n_open,
+      CAST(4 AS INT) AS ring_nv_min,
+      CAST(4 AS INT) AS ring_nv_max
+    FROM (SELECT DISTINCT relation_id FROM osm_way_segments_base) r
+    """,
+)
+def q_rel_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -732,33 +764,23 @@ def q_rel_ring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             T.StructField("relation_id", T.LongType()),
             T.StructField("n_rings", T.IntegerType()),
-            T.StructField("n_vertices", T.IntegerType()),
-            T.StructField("perim_udeg", T.LongType()),
+            T.StructField("n_open", T.IntegerType()),
+            T.StructField("ring_nv_min", T.IntegerType()),
+            T.StructField("ring_nv_max", T.IntegerType()),
         ]
     )
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        chains = [
-            np.array([r.ax, r.ay, r.bx, r.by])
-            for r in pdf.itertuples(index=False)
-        ]
+        chains = list(pdf[["ax", "ay", "bx", "by"]].to_numpy())
         rings, opens = merge_chains(chains)
-        nv = 0
-        per = np.int64(0)
-        for ring in rings:
-            xs, ys = ring[0::2], ring[1::2]
-            nv += len(xs) - 1
-            dx, dy = xs[1:] - xs[:-1], ys[1:] - ys[:-1]
-            # same IEEE expression tree as the oracle SQL
-            per += np.floor(np.sqrt(dx * dx * 1e12 + dy * dy * 1e12)).astype(np.int64).sum()
-        for ch in opens:  # a failed stitch still counts its edges...
-            nv += len(ch) // 2  # ...but shifts n_vertices/n_rings → gate fails
+        nvs = [len(r) // 2 - 1 for r in rings]
         return pd.DataFrame(
             {
                 "relation_id": [int(key[0])],
                 "n_rings": [len(rings)],
-                "n_vertices": [nv],
-                "perim_udeg": [int(per)],
+                "n_open": [len(opens)],
+                "ring_nv_min": [min(nvs) if nvs else 0],
+                "ring_nv_max": [max(nvs) if nvs else 0],
             }
         )
 

@@ -142,3 +142,42 @@ def test_tile_artifacts_are_parseable_osm(spark, tmp_path):
             assert len(nds) >= 4 and nds[0].get("ref") == nds[-1].get("ref")
             assert any(t.get("k") == "building" for t in w.findall("tag"))
     assert total_ways == int(manifest.n_features.sum())
+
+
+def test_multi_addr_artifacts_deterministic(spark, tmp_path):
+    """Second half of S7: the per-tile `<qtrsec>_multi_addr.osm`
+    standalone-node artifact is byte-deterministic across runs, one
+    file per tile, sha matches bytes, and every feature is a tagged
+    <node> (no ways/relations)."""
+    import xml.etree.ElementTree as ET
+
+    from pdxbldgimport_spark.exports import write_node_artifacts
+    from pdxbldgimport_spark.queries import multi_addrs_df
+
+    nodes = multi_addrs_df(spark, SF_SMOKE)
+
+    def run(name):
+        out = str(tmp_path / name)
+        manifest = write_node_artifacts(nodes, out).toPandas()
+        files = {
+            f: open(os.path.join(out, f), "rb").read()
+            for f in sorted(os.listdir(out))
+        }
+        return manifest.sort_values("qtrsec").reset_index(drop=True), files
+
+    m1, f1 = run("run1")
+    m2, f2 = run("run2")
+    assert f1 == f2
+    assert m1.equals(m2)
+    assert set(f1) == {f"{q}_multi_addr.osm" for q in m1.qtrsec}
+    total_nodes = 0
+    for _, row in m1.iterrows():
+        payload = f1[f"{row.qtrsec}_multi_addr.osm"]
+        assert hashlib.sha256(payload).hexdigest() == row.sha256
+        root = ET.fromstring(payload.decode())
+        xml_nodes = root.findall("node")
+        assert not root.findall("way") and not root.findall("relation")
+        assert len(xml_nodes) == row.n_nodes == row.n_features
+        assert all(int(n.get("id")) < 0 for n in xml_nodes)
+        total_nodes += len(xml_nodes)
+    assert total_nodes == nodes.count()

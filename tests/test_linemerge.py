@@ -93,15 +93,28 @@ def test_branching_junction_never_merged_through():
     assert len(opens) == 3
 
 
-def test_rel_ring_stats_matches_structure(spark):
+def test_rel_ring_assembly_matches_structure(spark):
     """Engine assembly over the synth fragment world: every relation
-    closes into the structural ring count (1, or 2 for even ids)."""
-    from pdxbldgimport_spark.queries_osm import q_rel_ring_stats
+    closes into the structural ring count (1, or 2 for even ids) with
+    no open chains and 4-vertex rings; the edge-local stats query
+    agrees on vertex counts."""
+    from pdxbldgimport_spark.queries_osm import (
+        q_rel_ring_assembly,
+        q_rel_ring_stats,
+    )
 
-    got = q_rel_ring_stats(spark, "/root/testdata/sf0.001").collect()
+    got = q_rel_ring_assembly(spark, "/root/testdata/sf0.001").collect()
     assert got
     for r in got:
         want = 2 if r["relation_id"] % 2 == 0 else 1
         assert r["n_rings"] == want
-        assert r["n_vertices"] == 4 * want
-        assert r["perim_udeg"] > 0
+        assert r["n_open"] == 0
+        assert r["ring_nv_min"] == r["ring_nv_max"] == 4
+    stats = {
+        r["relation_id"]: r
+        for r in q_rel_ring_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    for r in got:
+        s = stats[r["relation_id"]]
+        assert s["n_vertices"] == 4 * r["n_rings"]
+        assert s["perim_udeg"] > 0

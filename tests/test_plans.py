@@ -86,6 +86,21 @@ def test_minhash_lsh_is_pure_codegen(spark):
         assert marker not in plan, marker
 
 
+def test_rel_ring_stats_is_pure_codegen(spark):
+    """r3 verdict re-shape: the edge-local ring stats (n_vertices,
+    perim_udeg) must aggregate JVM-side — the all-segments Arrow
+    crossing lives only in rel_ring_assembly, where the stitch is
+    genuinely needed. A FlatMapGroupsInPandas here re-introduces the
+    one linear-in-data Python channel the verdict flagged."""
+    plan = _plan(Q.QUERIES["rel_ring_stats"](spark, SF))
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+    assert plan.count("HashAggregate") >= 2  # partial+final map-side combine
+
+
 def _boom_points(spark):
     """A points DataFrame whose ANY evaluation raises — proves a code
     path never ran a Spark job over the point side."""
