@@ -94,7 +94,13 @@ def _run(df) -> None:
 # recorded value is re-timed after the sweep, each retime annotated
 # with an interleaved pure-JVM probe reading (no Python, no Arrow, no
 # engine code — it bounds what ANY Spark job can do in that window).
-RETIME_FACTOR = 2.0
+RETIME_FACTOR = 1.5
+# Absolute floor: any first reading above this is re-timed even when
+# the recorded history is itself noisy (no query in the sweep costs
+# this much healthy; observed: media_bmp_decode recorded 13-23 s across
+# rounds in degraded windows vs 0.8-1.7 s re-measured — a noisy prev
+# inflates the relative threshold and lets the next noisy reading pass).
+ABS_RETIME_SEC = 4.0
 PROBE_ROWS_PER_CPU = 250_000_000  # ≈2 s healthy at local[32]
 
 
@@ -109,23 +115,38 @@ def _probe(spark) -> float:
 
 
 def _prev_round() -> dict:
-    """Per-query timings from the latest driver-recorded BENCH_r*.json
-    (the signal of record), for regression detection."""
+    """Per-query best-known timings across ALL driver-recorded
+    BENCH_r*.json rounds (the signals of record). Min-across-rounds is
+    the regression baseline: a single noisy round must not inflate the
+    threshold and let the next round's noise pass unflagged (observed:
+    r3 recorded media_bmp_decode at 13.3 s in a degraded window; vs
+    that alone, a 22.6 s reading sits under 2× yet is 30× the healthy
+    0.76 s)."""
     import glob
 
     paths = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
-    if not paths:
+    best: dict[str, float] = {}
+    headline = None
+    for path in paths:
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        for k, v in (parsed.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                best[k] = min(best.get(k, float("inf")), v)
+        h = parsed.get("headline_sec")
+        if isinstance(h, (int, float)):
+            headline = min(headline, h) if headline else h
+    if not best:
         return {}
-    try:
-        with open(paths[-1]) as f:
-            parsed = json.load(f).get("parsed") or {}
-        return {
-            "file": os.path.basename(paths[-1]),
-            "queries": parsed.get("queries") or {},
-            "headline_sec": parsed.get("headline_sec"),
-        }
-    except (OSError, ValueError):
-        return {}
+    return {
+        "file": f"min over {len(paths)} rounds "
+                f"({', '.join(os.path.basename(p) for p in paths)})",
+        "queries": best,
+        "headline_sec": headline,
+    }
 
 
 def _bench_streaming(spark) -> dict:
@@ -263,7 +284,7 @@ def main() -> None:
     prev = {} if SKIP_SWEEP else _prev_round()
     for name, first in list(timings.items()):
         p = (prev.get("queries") or {}).get(name)
-        if p and first > RETIME_FACTOR * p:
+        if (p and first > RETIME_FACTOR * p) or first > ABS_RETIME_SEC:
             probe_s = _probe(spark)
             again = time_query(name)
             retimes[name] = {
@@ -301,6 +322,7 @@ def main() -> None:
                 "retimes": retimes,
                 "retime_policy": {
                     "factor": RETIME_FACTOR,
+                    "abs_floor_sec": ABS_RETIME_SEC,
                     "vs": prev.get("file") if prev else None,
                     "probe": "range->sum(id%7+id%13), "
                              f"{PROBE_ROWS_PER_CPU}*cpus rows, ~2s healthy",

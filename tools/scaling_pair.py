@@ -1,0 +1,80 @@
+"""Interleaved N↔4N scaling-pair legs with pure-JVM probe annotations
+(north_rule evidence; BENCH/BASELINE.md methodology).
+
+One leg per invocation (the sandbox runner caps command wall time), each
+appending one JSON line to the log so a pair is assembled from
+back-to-back invocations:
+
+    python tools/scaling_pair.py probe 8      # pure-JVM control, local[8]
+    python tools/scaling_pair.py probe 32
+    python tools/scaling_pair.py bench 8      # headline PIP at REP_MULT
+    python tools/scaling_pair.py bench 32
+    ...
+
+Probe = range -> sum(id%7 + id%13), rows scaled per-cpu (~2 s healthy at
+any width): no Python, no Arrow, no engine code — it reads the HOST's
+current width-dependent compute health in the same window as the engine
+legs, so a recorded pair self-certifies whether a sub-0.8 ratio is
+host-side. Bench legs run bench.py (SKIP_SWEEP, RUNS=1) in a fresh
+process so each width gets its own JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.environ.get("PAIR_LOG", os.path.join(REPO, "BENCH", "pairs_r4.jsonl"))
+REP_MULT = os.environ.get("PAIR_REP_MULT", "16384")  # 320k * 16384 = 5.24B pages
+PROBE_ROWS_PER_CPU = 250_000_000
+
+
+def log_line(rec: dict) -> None:
+    rec["t_wall"] = round(time.time(), 1)
+    os.makedirs(os.path.dirname(LOG), exist_ok=True)
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+def probe(cpus: int) -> None:
+    sys.path.insert(0, REPO)
+    from pdxbldgimport_spark.session import get_spark
+
+    spark = get_spark(app_name="pair_probe", cores=cpus)
+    rows = PROBE_ROWS_PER_CPU * cpus
+    # one warm pass (codegen compile), then the timed reading
+    spark.range(0, rows // 8, 1, cpus).selectExpr("sum(id % 7 + id % 13)").collect()
+    t0 = time.time()
+    spark.range(0, rows, 1, cpus).selectExpr("sum(id % 7 + id % 13)").collect()
+    dt = round(time.time() - t0, 3)
+    log_line({"kind": "probe", "cpus": cpus, "rows": rows, "sec": dt,
+              "rows_per_cpu_sec": round(rows / dt / cpus / 1e6, 1)})
+
+
+def bench(cpus: int) -> None:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_REP_MULT=REP_MULT,
+        SPARK_GRAFT_SKIP_SWEEP="1",
+        SPARK_GRAFT_RUNS=os.environ.get("PAIR_RUNS", "1"),
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    log_line({"kind": "bench", "cpus": cpus, "rep_mult": int(REP_MULT),
+              "n_docs": d["n_docs"], "headline_sec": d["headline_sec"],
+              "docs_per_sec": d["value"]})
+
+
+if __name__ == "__main__":
+    kind, cpus = sys.argv[1], int(sys.argv[2])
+    (probe if kind == "probe" else bench)(cpus)
