@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "tile_export",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_stats",
     "ann_bruteforce_topk",

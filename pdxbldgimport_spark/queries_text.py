@@ -258,6 +258,98 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# n-gram Jaccard near-dup (round instructions name it as its own dedup
+# family, distinct from the MinHash approximation): EXACT shingle-set
+# Jaccard with rare-gram blocking — candidate pairs are docs sharing a
+# shingle whose document frequency is tiny (df ≤ RARE_DF_MAX). The
+# classic exact-dedup shape for 100-TB scale: the inverted index emits
+# at most (df choose 2) ≤ 3 pairs per rare gram (bounded fan-out — no
+# quadratic blowup on common grams), and near-dup pairs are recalled
+# because near-identical documents share many grams that appear nowhere
+# else. Complements MinHash-LSH: exact similarity, recall limited to
+# rare-gram-sharing pairs rather than signature-collision pairs.
+RARE_DF_MAX = 3
+NGRAM_JACCARD_PPM_MIN = 300_000
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + f"""
+    , dsh AS (SELECT DISTINCT doc_id, sh FROM shingles)
+    , rare AS (
+      SELECT sh FROM dsh GROUP BY sh
+      HAVING COUNT(*) BETWEEN 2 AND {RARE_DF_MAX}
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dsh a JOIN rare r ON a.sh = r.sh
+      JOIN dsh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+    )
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id)
+    , jac AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
+             sa.n + sb.n - COUNT(*) AS uni
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.doc_a
+      JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(inter * 1000000e0 / uni) AS BIGINT) AS jacc_ppm
+    FROM jac
+    WHERE CAST(FLOOR(inter * 1000000e0 / uni) AS BIGINT)
+          >= {NGRAM_JACCARD_PPM_MIN}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    dsh = _dsh_df(spark, sf_dir)  # shared distinct-shingle stage
+    rare = (
+        dsh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, RARE_DF_MAX))
+        .select("sh")
+    )
+    blocked = dsh.join(rare, "sh")  # tiny: rare grams only
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = dsh.select(F.col("doc_id").alias("doc_b"), "sh")
+    jac = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn(
+            "jacc_ppm",
+            F.floor(F.col("inter") * F.lit(1000000.0) / F.col("uni"))
+            .cast("long"),
+        )
+    )
+    return (
+        jac.where(F.col("jacc_ppm") >= NGRAM_JACCARD_PPM_MIN)
+        .select("doc_a", "doc_b", "jacc_ppm")
+    )
+
+
+# ----------------------------------------------------------------------
 # SimHash (60-bit, md5-nibble hyperplanes), banded near-dup pairs.
 # Bit b of token t is bit b of h60(md5(t)) — the SAME values as round 1's
 # per-bit nibble arithmetic (nibble n sits at bits [4n, 4n+4)), but md5 +

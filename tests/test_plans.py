@@ -86,6 +86,18 @@ def test_minhash_lsh_is_pure_codegen(spark):
         assert marker not in plan, marker
 
 
+def test_ngram_jaccard_is_pure_codegen(spark):
+    """Rare-gram-blocked exact Jaccard: inverted-index blocking, pair
+    generation, and the set-intersection refine are all joins +
+    hash aggregations — no Python operator anywhere."""
+    plan = _plan(Q.QUERIES["dedup_ngram_jaccard"](spark, SF))
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+
+
 def test_rel_ring_stats_is_pure_codegen(spark):
     """r3 verdict re-shape: the edge-local ring stats (n_vertices,
     perim_udeg) must aggregate JVM-side — the all-segments Arrow
