@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "decontam_ngram",
+    "vocab_topk",
     "dedup_simhash",
     "text_stats",
     "ann_bruteforce_topk",

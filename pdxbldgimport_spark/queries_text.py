@@ -350,6 +350,108 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Benchmark decontamination: flag training documents whose n-grams
+# overlap an evaluation set's n-grams (the standard leakage check every
+# web-scale training pipeline runs before a corpus ships). The eval set
+# is synthesized deterministically from the same table — docs with
+# doc_id % EVAL_DOC_MOD == 0 play the benchmark — so no external data.
+# 100-TB shape: the eval n-gram set is FIXED-SIZE (benchmarks are a few
+# thousand docs regardless of corpus size), so it broadcasts and the
+# corpus probes it map-side — the only shuffle is the per-doc partial
+# aggregation; the 100 TB never re-partitions by n-gram.
+EVAL_DOC_MOD = 29
+
+
+@register(
+    "decontam_ngram",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + f"""
+    , dsh AS (SELECT DISTINCT doc_id, sh FROM shingles)
+    , eval_sh AS (
+      SELECT DISTINCT sh FROM dsh WHERE doc_id % {EVAL_DOC_MOD} = 0
+    )
+    , probe AS (
+      SELECT d.doc_id, COUNT(*) AS n_shingles, COUNT(e.sh) AS n_contaminated
+      FROM dsh d LEFT JOIN eval_sh e ON d.sh = e.sh
+      WHERE d.doc_id % {EVAL_DOC_MOD} <> 0
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(n_contaminated * 1000000 // n_shingles AS BIGINT) AS contam_ppm
+    FROM probe
+    """,
+)
+def q_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    dsh = _dsh_df(spark, sf_dir)
+    eval_sh = (
+        dsh.where(F.col("doc_id") % EVAL_DOC_MOD == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = dsh.where(F.col("doc_id") % EVAL_DOC_MOD != 0)
+    return (
+        corpus.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.floor(F.col("n_contaminated") * F.lit(1000000.0) / F.col("n_shingles"))
+            .cast("long")
+            .alias("contam_ppm"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Corpus vocabulary top-K (tokenizer-training prep): global term and
+# document frequencies, keeping the K most frequent terms under a total
+# order (tf DESC, then term — ties pinned so the cut is deterministic).
+# 100-TB shape: partial+final hash aggregation for the counts, then
+# Spark's sort+limit becomes TakeOrderedAndProject — each partition
+# keeps its local top-K heap and the driver merges K·P rows; no global
+# sort, no single-partition window. K=20 binds below the synth
+# vocabulary size so the ordered cut (and its tie-break) is live in the
+# driver gate.
+K_VOCAB = 20
+
+
+@register(
+    "vocab_topk",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + f"""
+    SELECT w, COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM tokens GROUP BY w
+    ORDER BY tf DESC, w LIMIT {K_VOCAB}
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return (
+        _tokens(spark)
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("w"))
+        .limit(K_VOCAB)
+    )
+
+
+# ----------------------------------------------------------------------
 # SimHash (60-bit, md5-nibble hyperplanes), banded near-dup pairs.
 # Bit b of token t is bit b of h60(md5(t)) — the SAME values as round 1's
 # per-bit nibble arithmetic (nibble n sits at bits [4n, 4n+4)), but md5 +

@@ -98,6 +98,32 @@ def test_ngram_jaccard_is_pure_codegen(spark):
         assert marker not in plan, marker
 
 
+def test_decontam_is_broadcast_probe(spark):
+    """Decontamination: the fixed-size eval n-gram set must broadcast —
+    the corpus probes it map-side and never re-partitions by n-gram.
+    A shuffled join here re-partitions 100 TB by shingle."""
+    plan = _plan(Q.QUERIES["decontam_ngram"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Vocabulary top-K: sort+limit must plan as TakeOrderedAndProject
+    (per-partition top-K heaps, driver merges K·P rows) — a global Sort
+    exchange here materializes the full vocabulary ordered."""
+    plan = _plan(Q.QUERIES["vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+
+
 def test_rel_ring_stats_is_pure_codegen(spark):
     """r3 verdict re-shape: the edge-local ring stats (n_vertices,
     perim_udeg) must aggregate JVM-side — the all-segments Arrow
