@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "decontam_ngram",
     "vocab_topk",
+    "events_asof_join",
+    "events_range_join",
     "dedup_simhash",
     "text_stats",
     "ann_bruteforce_topk",

@@ -148,6 +148,128 @@ def q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# As-of join — the canonical temporal operator Spark lacks natively:
+# each 'click' event is matched to the same user's most recent
+# strictly-prior 'view' (prior under the total order (ts, event_id), so
+# ties are pinned cross-engine). Spark-first shape: ONE shuffle by
+# user_id, then last(view, ignoreNulls) over a rows-frame ending at the
+# preceding row — no per-pair join, no pandas merge_asof crossing; at
+# 100 TB the cost is the same single user-keyed exchange the
+# sessionizer already pays, with per-user skew bounded by per-user
+# event counts. The oracle is a genuinely different formulation
+# (LEFT JOIN LATERAL top-1 lookback) so the window algebra is checked,
+# not mirrored.
+@register(
+    "events_asof_join",
+    """
+    SELECT c.event_id AS click_id, c.user_id, v.view_id,
+           epoch_us(c.ts) - v.vus AS gap_us
+    FROM events c LEFT JOIN LATERAL (
+      SELECT v.event_id AS view_id, epoch_us(v.ts) AS vus
+      FROM events v
+      WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        AND (v.ts < c.ts OR (v.ts = c.ts AND v.event_id < c.event_id))
+      ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) v ON TRUE
+    WHERE c.event_type = 'click'
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_id", us.alias("us"), "event_type"
+    )
+    w = (
+        Wnd.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Wnd.unboundedPreceding, -1)
+    )
+    view_struct = F.when(
+        F.col("event_type") == "view",
+        F.struct(F.col("us").alias("vus"), F.col("event_id").alias("view_id")),
+    )
+    return (
+        base.withColumn("prior_view", F.last(view_struct, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("prior_view.view_id").alias("view_id"),
+            (F.col("us") - F.col("prior_view.vus")).alias("gap_us"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Range (interval) join — the other operator the round instructions
+# name: per 'error' event, aggregate the view/click events landing in
+# [error_ts, error_ts + RANGE_WINDOW_S). A range-only predicate plans
+# as BroadcastNestedLoopJoin in Spark — quadratic at scale — so the
+# engine quantizes time into buckets of exactly the window width: each
+# error registers in its bucket and the next (a fixed-width interval
+# touches at most 2), probes equi-join on their single bucket, and the
+# exact predicate refines the candidates. One shuffle on the bucket
+# key, candidate fan-out bounded by events-per-2-buckets; plan-guarded
+# against the nested-loop shape. Value sums are quantized to integer
+# cents (float SUM is order-sensitive cross-engine).
+RANGE_WINDOW_S = 300
+
+
+@register(
+    "events_range_join",
+    f"""
+    SELECT e.event_id AS error_id,
+           COUNT(x.ts) AS n_hits,
+           CAST(COALESCE(SUM(CAST(ROUND(x.value * 100) AS BIGINT)), 0) AS BIGINT)
+             AS cents_sum
+    FROM events e LEFT JOIN events x
+      ON x.event_type IN ('view', 'click')
+     AND epoch_us(x.ts) >= epoch_us(e.ts)
+     AND epoch_us(x.ts) < epoch_us(e.ts) + {RANGE_WINDOW_S} * 1000000
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    wus = RANGE_WINDOW_S * 1_000_000
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), us.alias("eus")
+    )
+    probes = ev.where(F.col("event_type").isin("view", "click")).select(
+        us.alias("xus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # integer bucket math (`div`) — float division can misplace exact
+    # bucket-boundary timestamps
+    e2 = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(F.expr(f"eus div {wus}"), F.expr(f"eus div {wus}") + 1)
+        ),
+    )
+    p2 = probes.withColumn("bucket", F.expr(f"xus div {wus}"))
+    hits = (
+        e2.join(p2, "bucket")
+        .where((F.col("xus") >= F.col("eus")) & (F.col("xus") < F.col("eus") + wus))
+        .groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return errors.select("error_id").join(hits, "error_id", "left").select(
+        "error_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("cents_sum", F.lit(0)).alias("cents_sum"),
+    )
+
+
 # JSON props extraction (scalar-function coverage over semi-structured
 # payloads): props is a JSON string; pull k as an integer.
 @register(

@@ -124,6 +124,32 @@ def test_vocab_topk_is_take_ordered(spark):
         assert marker not in plan, marker
 
 
+def test_asof_join_single_exchange(spark):
+    """As-of join: one user-keyed shuffle feeding the lookback window —
+    no per-pair join, no Python. A second exchange or a join operator
+    here means the formulation regressed to the pair-join shape."""
+    plan = _plan(Q.QUERIES["events_asof_join"](spark, SF))
+    assert plan.count("Exchange") == 1
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython", "SortMergeJoin", "BroadcastHashJoin",
+    ):
+        assert marker not in plan, marker
+
+
+def test_range_join_is_bucketed_not_nested_loop(spark):
+    """Range join: the bucket equi-join + refine must never plan as the
+    nested-loop shape Spark gives a raw range predicate (quadratic at
+    scale)."""
+    plan = _plan(Q.QUERIES["events_range_join"](spark, SF))
+    for marker in (
+        "BroadcastNestedLoopJoin", "CartesianProduct",
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+
+
 def test_rel_ring_stats_is_pure_codegen(spark):
     """r3 verdict re-shape: the edge-local ring stats (n_vertices,
     perim_udeg) must aggregate JVM-side — the all-segments Arrow
