@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "vocab_topk",
     "events_asof_join",
     "events_range_join",
+    "text_repetition",
+    "corpus_sample",
     "dedup_simhash",
     "text_stats",
     "ann_bruteforce_topk",

@@ -324,9 +324,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
-    y = dsh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # Prune the refine's inputs to candidate documents before the big
+    # joins: docs in any candidate pair are typically a sliver of the
+    # corpus, so the full dsh shuffles once (semi-join) instead of twice
+    # at full width; AQE broadcasts cand_docs when it is actually small.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dsh_cand = dsh.join(cand_docs, "doc_id", "left_semi")
+    sizes = dsh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = dsh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
     jac = (
         cand.join(x, "doc_a")
         .join(y, ["doc_b", "sh"])
@@ -448,6 +458,113 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tf").desc(), F.col("w"))
         .limit(K_VOCAB)
+    )
+
+
+# ----------------------------------------------------------------------
+# Within-document repetition stats (the Gopher/MassiveText-style
+# repetition filters): duplicate-shingle share (how much of the doc is
+# repeated 3-grams — near-template text scores high) and top-bigram
+# coverage (share of all bigrams taken by the single most frequent one
+# — boilerplate loops score high). Integer-ppm outputs, two per-doc
+# hash aggregations, no pair joins — embarrassingly parallel at 100 TB.
+@register(
+    "text_repetition",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + """
+    , bigrams AS (
+      SELECT doc_id, w || ' ' || lead(w, 1) OVER win AS bg
+      FROM tokens
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 1) OVER win IS NOT NULL
+    )
+    , bg_counts AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+    )
+    , bg_doc AS (
+      SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bg
+      FROM bg_counts GROUP BY doc_id
+    )
+    , sh_doc AS (
+      SELECT doc_id, COUNT(*) AS n_sh, COUNT(DISTINCT sh) AS n_dsh
+      FROM shingles GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST((s.n_sh - s.n_dsh) * 1000000 // s.n_sh AS BIGINT) AS dup_shingle_ppm,
+           CAST(b.max_bg * 1000000 // b.n_bg AS BIGINT) AS top_bigram_ppm
+    FROM sh_doc s JOIN bg_doc b ON s.doc_id = b.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    t = _tokens(spark)
+    w = Wnd.partitionBy("doc_id").orderBy("pos")
+    big = (
+        t.withColumn("w1", F.lead("w", 1).over(w))
+        .where(F.col("w1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1").alias("bg"))
+    )
+    bg_doc = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"), F.sum("c").alias("n_bg"))
+    )
+    sh_doc = _shingles(spark).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.countDistinct("sh").alias("n_dsh"),
+    )
+    return sh_doc.join(bg_doc, "doc_id").select(
+        "doc_id",
+        F.floor((F.col("n_sh") - F.col("n_dsh")) * F.lit(1000000.0) / F.col("n_sh"))
+        .cast("long")
+        .alias("dup_shingle_ppm"),
+        F.floor(F.col("max_bg") * F.lit(1000000.0) / F.col("n_bg"))
+        .cast("long")
+        .alias("top_bigram_ppm"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Deterministic stratified sampling (language rebalancing): keep each
+# document iff a stable hash of its id lands under its language's
+# per-mille rate — reproducible across runs, machines, and engines (no
+# RNG), and a pure scan-level filter: zero shuffles, zero joins, so at
+# 100 TB it costs one pass and prunes at the parquet scan.
+SAMPLE_RATES_PMIL = {"en": 400, "de": 800, "fr": 800, "es": 800, "zh": 1000}
+_SAMPLE_DEFAULT_PMIL = 600
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES_PMIL.items())
+    )
+    return f"CASE lang {whens} ELSE {_SAMPLE_DEFAULT_PMIL} END"
+
+
+@register(
+    "corpus_sample",
+    f"""
+    SELECT doc_id, lang, source,
+           {_h60_sql("md5(CAST(doc_id AS VARCHAR))", "strpos")} % 1000 AS bucket
+    FROM documents
+    WHERE {_h60_sql("md5(CAST(doc_id AS VARCHAR))", "strpos")} % 1000
+          < {_rate_case_sql()}
+    """,
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    h = F.expr(
+        _h60_sql("md5(cast(cast(doc_id as string) as binary))", "instr")
+    )
+    rate = F.expr(_rate_case_sql())
+    return (
+        spark.table("documents")
+        .select("doc_id", "lang", "source", (h % 1000).alias("bucket"), rate.alias("r"))
+        .where(F.col("bucket") < F.col("r"))
+        .drop("r")
     )
 
 

@@ -124,6 +124,35 @@ def test_vocab_topk_is_take_ordered(spark):
         assert marker not in plan, marker
 
 
+def test_corpus_sample_is_scan_level_filter(spark):
+    """Deterministic sampling must stay a pure scan+filter — no keyed
+    shuffle, no join, and the predicate evaluated below the view's
+    round-robin repartition (i.e. at the scan) so the 100-TB cost is
+    one pruning pass."""
+    plan = _plan(Q.QUERIES["corpus_sample"](spark, SF))
+    assert "hashpartitioning" not in plan
+    for marker in (
+        "Join", "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+    # the filter must sit below the repartition exchange, directly over
+    # the file scan
+    if "Exchange" in plan:
+        assert plan.index("Filter") > plan.index("Exchange")
+
+
+def test_text_repetition_is_pure_codegen(spark):
+    """Repetition filters: per-doc windows + hash aggregations only —
+    no Python operator, no pair joins."""
+    plan = _plan(Q.QUERIES["text_repetition"](spark, SF))
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+
+
 def test_asof_join_single_exchange(spark):
     """As-of join: one user-keyed shuffle feeding the lookback window —
     no per-pair join, no Python. A second exchange or a join operator
