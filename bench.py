@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "text_repetition",
     "corpus_sample",
+    "distinct_sketch_fm",
     "dedup_simhash",
     "text_stats",
     "ann_bruteforce_topk",

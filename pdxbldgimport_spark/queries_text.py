@@ -462,6 +462,108 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Distributed cardinality sketch (Flajolet-Martin with stochastic
+# averaging — the LogLog family's integer core): per source, distinct
+# shingle hashes are spread over FM_BUCKETS buckets (h % m) and each
+# bucket keeps MAX(trailing-zero rank of h div m). That MAX is
+# partial-aggregatable, so at 100 TB the sketch is one map-side-combined
+# hash aggregation over the scan — O(m) state per group, no sort, no
+# global top-k — exactly why engines ship HLL instead of KMV. Everything
+# here is integer/string arithmetic (no transcendentals, no library
+# sketch), so Spark and DuckDB produce bit-identical sketches and the
+# driver hash-gates them; estimate_pow2 is the crude integer-shift
+# estimate 64·2^(sum_maxr div 64) derived from the sketch (exact-int,
+# order-of-magnitude quality — the sketch fields are the product,
+# n_exact sits alongside as the expensive ground truth).
+FM_BUCKETS = 64
+# h < 2^60, so h div 64 < 2^54: an all-zero suffix ranks 54
+# ({hi} = the dialect's integer division `h div 64` / `h // 64`)
+_FM_R_SQL = (
+    "CASE WHEN {hi} = 0 THEN 54 "
+    "ELSE length(bin({hi})) - length({rtrim}) END"
+)
+
+
+@register(
+    "distinct_sketch_fm",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             UNNEST(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ), sh AS (
+      SELECT source, doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      FROM toks
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), dh AS (
+      SELECT DISTINCT source, {_h60_sql("md5(s)", "strpos")} AS h FROM sh
+    ), br AS (
+      SELECT source, h % {FM_BUCKETS} AS bucket,
+             {_FM_R_SQL.format(hi="(h // 64)", rtrim="rtrim(bin(h // 64), '0')")} AS r
+      FROM dh
+    ), bmax AS (
+      SELECT source, bucket, MAX(r) AS maxr FROM br GROUP BY source, bucket
+    ), nex AS (
+      SELECT source, COUNT(*) AS n_exact FROM dh GROUP BY source
+    )
+    SELECT b.source,
+           CAST(n.n_exact AS BIGINT) AS n_exact,
+           CAST(SUM(b.maxr) AS BIGINT) AS sum_maxr,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST({FM_BUCKETS} * (1::BIGINT << (CAST(SUM(b.maxr) AS BIGINT) // {FM_BUCKETS}))
+                AS BIGINT) AS estimate_pow2
+    FROM bmax b JOIN nex n ON b.source = n.source
+    GROUP BY b.source, n.n_exact
+    """,
+)
+def q_distinct_sketch_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    w = Wnd.partitionBy("doc_id").orderBy("pos")
+    t = spark.table("documents").select(
+        "source", "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    sh = (
+        t.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .where(F.col("w2").isNotNull())
+        .select("source", F.concat_ws(" ", "w", "w1", "w2").alias("s"))
+    )
+    dh = sh.select(
+        "source", F.expr(_h60_sql("md5(cast(s as binary))", "instr")).alias("h")
+    ).distinct()
+    br = dh.select(
+        "source",
+        (F.col("h") % FM_BUCKETS).alias("bucket"),
+        F.expr(
+            _FM_R_SQL.format(hi="(h div 64)", rtrim="rtrim('0', bin(h div 64))")
+        ).alias("r"),
+    )
+    bmax = br.groupBy("source", "bucket").agg(F.max("r").alias("maxr"))
+    nex = dh.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        bmax.groupBy("source")
+        .agg(
+            F.sum("maxr").alias("sum_maxr"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .join(nex, "source")
+        .select(
+            "source",
+            "n_exact",
+            "sum_maxr",
+            "n_buckets",
+            F.expr(
+                f"cast({FM_BUCKETS} as bigint) * "
+                f"shiftleft(cast(1 as bigint), cast(sum_maxr div {FM_BUCKETS} as int))"
+            ).alias("estimate_pow2"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Within-document repetition stats (the Gopher/MassiveText-style
 # repetition filters): duplicate-shingle share (how much of the doc is
 # repeated 3-grams — near-template text scores high) and top-bigram

@@ -124,6 +124,19 @@ def test_vocab_topk_is_take_ordered(spark):
         assert marker not in plan, marker
 
 
+def test_fm_sketch_is_partial_aggregated_codegen(spark):
+    """FM cardinality sketch: the per-bucket MAX must partial-aggregate
+    (map-side combine — the whole point of the FM/LogLog family over
+    KMV/top-k) and the rank arithmetic stays JVM-side."""
+    plan = _plan(Q.QUERIES["distinct_sketch_fm"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+        "BatchEvalPython",
+    ):
+        assert marker not in plan, marker
+
+
 def test_corpus_sample_is_scan_level_filter(spark):
     """Deterministic sampling must stay a pure scan+filter — no keyed
     shuffle, no join, and the predicate evaluated below the view's
