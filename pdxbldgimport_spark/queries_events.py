@@ -148,6 +148,75 @@ def q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The watermarked built-in windowed aggregation under the driver gate:
+# the same events are dumped as time-ordered parquet files plus one
+# far-future sentinel (3 h past the last event) whose arrival advances
+# the event-time watermark past every real window's end, so append mode
+# finalizes and emits them all; the sentinel's own window stays open
+# (the watermark halts 1 h short of it) and never appears. The drained
+# parquet is hash-checked against the batch `events_hourly` oracle —
+# the built-in-window twin of the stateful-sessionizer gate above.
+_SENTINEL_TYPE = "zz_watermark_sentinel"
+
+
+@register(
+    "events_hourly_streamed",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100e0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from .streaming import windows as SW
+
+    views(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="hourly_gate_")
+    try:
+        src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
+        os.makedirs(src)
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        mid, far = ev.agg(
+            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5e0)"),
+            F.max(us),
+        ).collect()[0]
+        ev.where(us <= int(mid)).coalesce(1).write.parquet(f"{src}/d1")
+        ev.where(us > int(mid)).coalesce(1).write.parquet(f"{src}/d2")
+        sentinel_us = int(far) + 3 * 3600 * 1_000_000
+        spark.createDataFrame(
+            [(_SENTINEL_TYPE, 0.0)], "event_type string, value double"
+        ).select(
+            F.timestamp_micros(F.lit(sentinel_us)).cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            "value",
+        ).coalesce(1).write.parquet(f"{src}/d3")
+        SW.stream_hourly_counts(spark, f"{src}/*", ev.schema, ckpt, out)
+        drained = (
+            SW.read_hourly(spark, out)
+            .where(F.col("event_type") != _SENTINEL_TYPE)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return drained.select(
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
 # ----------------------------------------------------------------------
 # As-of join — the canonical temporal operator Spark lacks natively:
 # each 'click' event is matched to the same user's most recent
