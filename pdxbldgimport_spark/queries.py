@@ -257,6 +257,45 @@ def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Host-level corpus rollup (Common-Crawl-style per-domain stats over the
+# webtext ingest): pages keyed by the url's host component, one hash
+# aggregation — COUNT/SUM/MIN/MAX combine map-side, and the two
+# COUNT(DISTINCT)s expand to a two-phase partial/final agg, so the only
+# exchange carries one row per (host, doc_id|lang) partial. At 10^12
+# pages hosts are the natural skew axis (crawls are host-heavy-tailed);
+# the plan stays safe because partial aggregation collapses each
+# executor's share of a hot host before the shuffle.
+@register(
+    "host_stats",
+    synth.oracle_with("pages")
+    + """
+    SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+           COUNT(*) AS n_pages,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(warc_ts) AS first_ts,
+           MAX(warc_ts) AS last_ts
+    FROM pages
+    GROUP BY 1
+    """,
+)
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return (
+        spark.table("pages")
+        .groupBy(F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.length("text")).alias("text_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+    )
+
+
 # J10 per-cell kNN with k-ring expansion (north_star; reference
 # distance-ordered scan, tasks/metro_quarter_secs.rake:80-86): pages not
 # contained by any footprint resolve to the nearest footprint centroid

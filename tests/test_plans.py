@@ -37,6 +37,18 @@ def test_page_tile_counts_partial_final_agg(spark):
     assert "MapInPandas" not in plan
 
 
+def test_host_stats_partial_final_agg_no_join(spark):
+    plan = _plan(Q.QUERIES["host_stats"](spark, SF))
+    # per-host rollup is one (expanded, for the two distincts) hash
+    # aggregation: partial levels before the host exchange, no join
+    # anywhere, nothing in Python.
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_metro_join_ships_no_rings_through_cell_exchange(spark):
     """intersects_join: the cell-join exchanges carry ids+cells only;
     ring geometry is re-attached after pair dedup. If rings rode the
