@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "tile_export",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_ngram_jaccard",
     "decontam_ngram",
     "vocab_topk",

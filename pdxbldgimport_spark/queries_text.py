@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
 
+from .operators import components as C
 from .queries import register, stage, views
 from .session import session_token
 
@@ -255,6 +256,48 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.where(F.col("jacc_ppm") >= JACCARD_PPM_MIN).select("doc_a", "doc_b", "jacc_ppm")
+
+
+# ----------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the verified minhash-LSH
+# pair graph (alternating large-star/small-star — see
+# operators/components.py). Output is one row per document labeled with
+# its component's min doc_id, so canonical-per-cluster selection is
+# `doc_id = component_id`. The oracle computes the same fixpoint as a
+# recursive transitive closure over the symmetric pair edges — an
+# algorithm-independent formulation (closure vs star-contraction), so a
+# hash match certifies the component semantics, not the implementation.
+@register(
+    "dedup_components",
+    "WITH RECURSIVE "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + _MINHASH_DUCK
+    + _LSH_DUCK
+    + f"""
+, pairs AS (
+  SELECT doc_a, doc_b FROM jac
+  WHERE CAST(FLOOR(inter * 1000000e0 / uni) AS BIGINT) >= {JACCARD_PPM_MIN}
+)
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+)
+, reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+)
+SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    nodes = spark.table("documents").select("doc_id")
+    return C.connected_components(nodes, pairs)
 
 
 # ----------------------------------------------------------------------
