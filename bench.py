@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
+    "host_stats",
     "dedup_ngram_jaccard",
     "decontam_ngram",
     "vocab_topk",
