@@ -10,8 +10,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
 
 from .queries import register, views
+from .session import session_token
 
 SESSION_GAP_S = 600  # 10-minute inactivity splits a session
+
+# ----------------------------------------------------------------------
+# GATE-ONLY plumbing (not a production path): the two streamed gates
+# below need the events table on disk as parquet "arrival" files for
+# readStream. One dump per (session, sf_dir), shared by both gates and
+# by bench.py's streaming drain; the write is PARTITIONED (parallel
+# tasks, no coalesce(1) — nothing serializes through one task even at
+# gate scale). A single far-future sentinel row (fake user -1 / fake
+# event_type) rides in its own file: its arrival advances the event-time
+# watermark past every real session's last+gap AND every real window's
+# end, so availableNow's final no-data batch flushes all real output
+# while the sentinel's own state stays open and is filtered out. In
+# production the sources are the real ledger dumps and no sentinel is
+# needed — the watermark advances with ordinary arrivals.
+_SENTINEL_TYPE = "zz_watermark_sentinel"
+_SENTINEL_MARGIN_S = 4 * 3600  # > max(10*gap, window + watermark)
+_DUMP_CACHE: dict = {}
+
+
+def _events_dump(spark: SparkSession, sf_dir: str) -> str:
+    """Dump events (all columns both gates need) once per (session,
+    sf_dir); returns the src glob. Cleaned up at process exit."""
+    key = (session_token(spark), sf_dir)
+    hit = _DUMP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import atexit
+    import shutil
+    import tempfile
+
+    ev = spark.table("events").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    far = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    root = tempfile.mkdtemp(prefix="events_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ev.write.parquet(f"{root}/data")
+    sentinel_us = int(far) + _SENTINEL_MARGIN_S * 1_000_000
+    spark.createDataFrame(
+        [(10**9, -1, _SENTINEL_TYPE, 0.0)],
+        "event_id long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(sentinel_us)).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.parquet(f"{root}/sentinel")
+    _DUMP_CACHE[key] = f"{root}/*"
+    return _DUMP_CACHE[key]
 
 
 # Tumbling 1-hour windows per event_type: count + value sum in integer
@@ -88,49 +145,39 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.9 under the driver gate: the STREAMED sessionizer (stateful
 # applyInPandasWithState, streaming/sessions.py) drained over the same
 # events and hash-checked against the batch window query's oracle. The
-# events table is dumped as time-ordered parquet files (ledger-style
-# continuous arrival) plus one far-future sentinel event for a fake
-# user — the sentinel advances the event-time watermark past every real
-# user's last+gap so all real sessions close and emit (the same
-# mechanism tests/test_streaming_sessions.py uses). The streamed
-# (start, end, count) tuples are re-keyed to the batch schema's
-# per-user session_no by start order; the sentinel user is dropped.
+# shared partitioned dump + sentinel (see _events_dump) drains in ONE
+# data batch (order-insensitive) plus the watermark-flush batch; the
+# multi-batch / restart / late-data semantics are pytest-covered
+# (tests/test_streaming_sessions.py). The streamed (start, end, count)
+# tuples are re-keyed to the batch schema's per-user session_no by
+# start order; the sentinel user is dropped.
 @register("events_sessions_streamed", _SESSIONS_ORACLE)
 def q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
     import tempfile
 
     from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
     from .streaming import sessions as SS
 
     views(spark, sf_dir)
-    ev = spark.table("events").select(
-        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id"
+    src = _events_dump(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+        ]
     )
     root = tempfile.mkdtemp(prefix="sessions_gate_")
     try:
-        src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
-        os.makedirs(src)
-        us = F.unix_micros(F.col("ts").cast("timestamp"))
-        mid, far = ev.agg(
-            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5e0)"),
-            F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
-        ).collect()[0]
-        ev.where(us <= int(mid)).coalesce(1).write.parquet(f"{src}/d1")
-        ev.where(us > int(mid)).coalesce(1).write.parquet(f"{src}/d2")
-        sentinel_us = int(far) + 10 * SS.SESSION_GAP_S * 1_000_000
-        spark.createDataFrame(
-            [(10**9, -1)], "event_id long, user_id long"
-        ).select(
-            "event_id",
-            F.timestamp_micros(F.lit(sentinel_us)).cast("timestamp_ntz").alias("ts"),
-            "user_id",
-        ).coalesce(1).write.parquet(f"{src}/d3")
-        SS.stream_sessions(spark, f"{src}/*", ev.schema, ckpt, out)
+        SS.stream_sessions(
+            spark, src, schema, f"{root}/ckpt", f"{root}/out",
+            max_files_per_trigger=None,
+        )
         streamed = (
-            SS.read_sessions(spark, out)
+            SS.read_sessions(spark, f"{root}/out")
             .where(F.col("user_id") >= 0)
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
@@ -149,16 +196,12 @@ def q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The watermarked built-in windowed aggregation under the driver gate:
-# the same events are dumped as time-ordered parquet files plus one
-# far-future sentinel (3 h past the last event) whose arrival advances
-# the event-time watermark past every real window's end, so append mode
-# finalizes and emits them all; the sentinel's own window stays open
-# (the watermark halts 1 h short of it) and never appears. The drained
-# parquet is hash-checked against the batch `events_hourly` oracle —
-# the built-in-window twin of the stateful-sessionizer gate above.
-_SENTINEL_TYPE = "zz_watermark_sentinel"
-
-
+# the shared dump's far-future sentinel advances the event-time
+# watermark past every real window's end, so append mode finalizes and
+# emits them all; the sentinel's own window stays open (the watermark
+# halts 1 h short of it) and never appears. The drained parquet is
+# hash-checked against the batch `events_hourly` oracle — the
+# built-in-window twin of the stateful-sessionizer gate above.
 @register(
     "events_hourly_streamed",
     """
@@ -170,40 +213,31 @@ _SENTINEL_TYPE = "zz_watermark_sentinel"
     """,
 )
 def q_events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
     import tempfile
 
     from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
     from .streaming import windows as SW
 
     views(spark, sf_dir)
-    ev = spark.table("events").select(
-        F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value"
+    src = _events_dump(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
     )
     root = tempfile.mkdtemp(prefix="hourly_gate_")
     try:
-        src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
-        os.makedirs(src)
-        us = F.unix_micros(F.col("ts").cast("timestamp"))
-        mid, far = ev.agg(
-            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5e0)"),
-            F.max(us),
-        ).collect()[0]
-        ev.where(us <= int(mid)).coalesce(1).write.parquet(f"{src}/d1")
-        ev.where(us > int(mid)).coalesce(1).write.parquet(f"{src}/d2")
-        sentinel_us = int(far) + 3 * 3600 * 1_000_000
-        spark.createDataFrame(
-            [(_SENTINEL_TYPE, 0.0)], "event_type string, value double"
-        ).select(
-            F.timestamp_micros(F.lit(sentinel_us)).cast("timestamp_ntz").alias("ts"),
-            "event_type",
-            "value",
-        ).coalesce(1).write.parquet(f"{src}/d3")
-        SW.stream_hourly_counts(spark, f"{src}/*", ev.schema, ckpt, out)
+        SW.stream_hourly_counts(
+            spark, src, schema, f"{root}/ckpt", f"{root}/out",
+            max_files_per_trigger=None,
+        )
         drained = (
-            SW.read_hourly(spark, out)
+            SW.read_hourly(spark, f"{root}/out")
             .where(F.col("event_type") != _SENTINEL_TYPE)
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )

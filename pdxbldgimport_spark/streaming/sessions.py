@@ -118,15 +118,24 @@ def stream_sessions(
     out_dir: str,
     gap_s: int = SESSION_GAP_S,
     watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = 1,
 ) -> dict | None:
     """Drain available event dumps, maintaining per-user session state
     across micro-batches and runs (checkpointed state store); closed
     sessions append to ``out_dir``. Returns the final progress dict
-    (state-store rows, batch metrics) for bench/ops visibility."""
+    (state-store rows, batch metrics) for bench/ops visibility.
+
+    ``max_files_per_trigger=None`` drains everything in ONE data batch
+    (plus availableNow's watermark-flush batch): with ``watermark='0
+    seconds'`` nothing is dropped intra-batch regardless of file order,
+    so unordered partitioned dumps are safe on this path — the
+    time-ordered-files requirement in the module docstring applies only
+    to multi-batch drains."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_glob)
+        reader.parquet(src_glob)
         # parquet ts is NTZ; watermark/timeout machinery wants TIMESTAMP
         # (session tz is pinned UTC, so the cast is a no-op re-label)
         .select(

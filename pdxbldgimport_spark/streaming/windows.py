@@ -31,13 +31,18 @@ def stream_hourly_counts(
     ckpt_dir: str,
     out_dir: str,
     watermark: str = WATERMARK,
+    max_files_per_trigger: int | None = 1,
 ) -> dict | None:
     """Drain available event dumps through a watermarked 1-hour tumbling
-    window per event_type; finalized windows append to ``out_dir``."""
+    window per event_type; finalized windows append to ``out_dir``.
+    ``max_files_per_trigger=None`` → one data batch (order-insensitive:
+    within a batch the watermark filter uses the PREVIOUS batch's
+    watermark, so nothing is late on a cold single-batch drain)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_glob)
+        reader.parquet(src_glob)
         # parquet ts is NTZ; the window/watermark machinery wants
         # TIMESTAMP (session tz pinned UTC — no-op re-label)
         .select(
