@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
+    "components_chain",
     "host_stats",
     "dedup_ngram_jaccard",
     "decontam_ngram",
@@ -131,91 +132,121 @@ def _prev_round() -> dict:
     threshold and let the next round's noise pass unflagged (observed:
     r3 recorded media_bmp_decode at 13.3 s in a degraded window; vs
     that alone, a 22.6 s reading sits under 2× yet is 30× the healthy
-    0.76 s)."""
+    0.76 s). Only rounds recorded at THIS run's config (cpus / sf /
+    rep_mult — rounds before r5 didn't record rep_mult; they all ran at
+    1) are comparable: a past round at a different scale would make the
+    baseline meaningless and every comparison spurious."""
     import glob
 
     paths = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
     best: dict[str, float] = {}
+    used: list[str] = []
     headline = None
+    stream_sec = None
     for path in paths:
         try:
             with open(path) as f:
                 parsed = json.load(f).get("parsed") or {}
         except (OSError, ValueError):
             continue
+        if (
+            parsed.get("cpus") != CPUS
+            or parsed.get("sf") != SF_DIR
+            or parsed.get("rep_mult", 1) != REP_MULT
+        ):
+            continue
+        used.append(os.path.basename(path))
         for k, v in (parsed.get("queries") or {}).items():
             if isinstance(v, (int, float)):
                 best[k] = min(best.get(k, float("inf")), v)
         h = parsed.get("headline_sec")
         if isinstance(h, (int, float)):
             headline = min(headline, h) if headline else h
+        s = (parsed.get("streaming_sessions") or {}).get("stream_sec")
+        if isinstance(s, (int, float)):
+            stream_sec = min(stream_sec, s) if stream_sec else s
     if not best:
         return {}
     return {
-        "file": f"min over {len(paths)} rounds "
-                f"({', '.join(os.path.basename(p) for p in paths)})",
+        "file": f"min over {len(used)} config-matched rounds "
+                f"({', '.join(used)})",
         "queries": best,
         "headline_sec": headline,
+        "stream_sec": stream_sec,
     }
 
 
-def _bench_streaming(spark) -> dict:
+def _bench_streaming(spark, prev: dict) -> dict:
     """§2.9 perf evidence: drain the events table through the stateful
-    sessionization stream (availableNow, 4 time-ordered dumps) and
-    report wall time, events/sec, state-store rows, and the batch twin's
-    wall time on the same input."""
+    sessionization stream (availableNow over the shared partitioned
+    dump — one data batch + the watermark-flush batch, the same drain
+    the `events_sessions_streamed` gate runs) and report wall time,
+    events/sec, state-store rows, and the batch twin's wall time on the
+    same input. The drain is inside the retime+probe policy: a reading
+    over RETIME_FACTOR× the best recorded round (or the absolute floor)
+    is re-drained from a fresh checkpoint with a pure-JVM probe
+    annotation, exactly like the per-query sweep."""
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F2
+    from pyspark.sql import types as T2
 
-    from pdxbldgimport_spark.queries_events import q_events_sessions
+    from pdxbldgimport_spark.queries_events import _events_dump, q_events_sessions
     from pdxbldgimport_spark.streaming import sessions as SS
 
-    ev = spark.table("events").select(
-        "event_id", F2.col("ts").cast("timestamp_ntz").alias("ts"), "user_id"
-    )
-    n_events = ev.count()
-    root = tempfile.mkdtemp(prefix="bench_sessions_")
-    try:
-        src, ckpt, out = f"{root}/src", f"{root}/ckpt", f"{root}/out"
-        us = F2.unix_micros(F2.col("ts").cast("timestamp"))
-        bounds = [
-            int(q)
-            for q in ev.agg(
-                F2.expr(
-                    "percentile(unix_micros(cast(ts as timestamp)),"
-                    " array(0.25e0, 0.5e0, 0.75e0))"
-                )
-            ).collect()[0][0]
+    n_events = spark.table("events").count()
+    src = _events_dump(spark, SF_DIR)
+    schema = T2.StructType(
+        [
+            T2.StructField("event_id", T2.LongType()),
+            T2.StructField("ts", T2.TimestampNTZType()),
+            T2.StructField("user_id", T2.LongType()),
         ]
-        lo = [None, *bounds]
-        hi = [*bounds, None]
-        for i, (a, b) in enumerate(zip(lo, hi)):
-            part = ev
-            if a is not None:
-                part = part.where(us > a)
-            if b is not None:
-                part = part.where(us <= b)
-            part.coalesce(1).write.parquet(f"{src}/d{i}")
-        t0 = time.time()
-        prog = SS.stream_sessions(spark, f"{src}/*", ev.schema, ckpt, out)
-        stream_s = time.time() - t0
-        state_rows = None
-        if prog and prog.get("stateOperators"):
-            state_rows = prog["stateOperators"][0].get("numRowsTotal")
-        t0 = time.time()
-        _run(q_events_sessions(spark, SF_DIR))
-        batch_s = time.time() - t0
-        return {
-            "events": n_events,
-            "stream_sec": round(stream_s, 3),
-            "stream_events_per_sec": round(n_events / stream_s, 1),
-            "state_rows": state_rows,
-            "batch_twin_sec": round(batch_s, 3),
+    )
+
+    def drain() -> tuple[float, int | None]:
+        root = tempfile.mkdtemp(prefix="bench_sessions_")
+        try:
+            t0 = time.time()
+            prog = SS.stream_sessions(
+                spark, src, schema, f"{root}/ckpt", f"{root}/out",
+                max_files_per_trigger=None,
+            )
+            dt = time.time() - t0
+            rows = None
+            if prog and prog.get("stateOperators"):
+                rows = prog["stateOperators"][0].get("numRowsTotal")
+            return dt, rows
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    stream_s, state_rows = drain()
+    retime = None
+    p = prev.get("stream_sec")
+    if (p and stream_s > RETIME_FACTOR * p) or stream_s > ABS_RETIME_SEC:
+        probe_s = _probe(spark)
+        again, rows2 = drain()
+        retime = {
+            "prev": p,
+            "first": round(stream_s, 3),
+            "retimed": round(again, 3),
+            "probe_sec": probe_s,
         }
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if again < stream_s:
+            stream_s, state_rows = again, rows2
+    t0 = time.time()
+    _run(q_events_sessions(spark, SF_DIR))
+    batch_s = time.time() - t0
+    out = {
+        "events": n_events,
+        "stream_sec": round(stream_s, 3),
+        "stream_events_per_sec": round(n_events / stream_s, 1),
+        "state_rows": state_rows,
+        "batch_twin_sec": round(batch_s, 3),
+    }
+    if retime:
+        out["retime"] = retime
+    return out
 
 
 def main() -> None:
@@ -305,8 +336,15 @@ def main() -> None:
             }
             timings[name] = min(first, again)
 
-    ph = prev.get("headline_sec") if prev else None
-    if ph and REP_MULT == 1 and headline_s > RETIME_FACTOR * ph:
+    # The headline is THE metric of record (BASELINE.json) — it gets a
+    # stricter defense than the per-query tail: ALWAYS one post-sweep
+    # retime with a probe annotation, not just past a regression trigger
+    # (r4 lesson: a 1.47× drift slid under the 1.5× trigger and the one
+    # number a reader quotes first carried no probe). Skipped only for
+    # scaling-pair legs (REP_MULT>1), which are probe-bracketed by
+    # tools/scaling_pair.py itself.
+    if REP_MULT == 1:
+        ph = prev.get("headline_sec") if prev else None
         probe_s = _probe(spark)
         again = time_headline()
         retimes["__headline__"] = {
@@ -314,11 +352,12 @@ def main() -> None:
             "first": round(headline_s, 3),
             "retimed": round(again, 3),
             "probe_sec": probe_s,
+            "policy": "always-retime (headline of record)",
         }
         headline_s = min(headline_s, again)
     docs_per_sec = n_pages / headline_s
 
-    streaming = None if SKIP_SWEEP else _bench_streaming(spark)
+    streaming = None if SKIP_SWEEP else _bench_streaming(spark, prev)
 
     print(
         json.dumps(
@@ -340,6 +379,7 @@ def main() -> None:
                 "streaming_sessions": streaming,
                 "sf": SF_DIR,
                 "cpus": CPUS,
+                "rep_mult": REP_MULT,
                 "runs_per_timing": max(RUNS, 1),
             }
         )
