@@ -301,6 +301,53 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Multi-round CC certification: the LSH pair graph above converges in
+# very few contraction rounds at small SF (near-dup clusters are tiny
+# cliques), so a green `dedup_components` row certifies the fixpoint but
+# not multi-round convergence. This gate builds deterministic PATHS of
+# up to CHAIN_LEN consecutive doc_ids (doc i — doc i+1 within each
+# `doc_id div CHAIN_LEN` bucket): a 64-node path provably needs ≥3
+# alternating large-star/small-star rounds to contract (the 64-node-path
+# pytest in tests/test_components.py measures 5), so the driver's hash
+# match certifies the iterative machinery, not just a one-shot label.
+# The oracle is the same algorithm-independent recursive closure as
+# dedup_components over the same edge definition.
+CHAIN_LEN = 64
+
+
+@register(
+    "components_chain",
+    f"""
+    WITH RECURSIVE chain AS (
+      SELECT d.doc_id AS u, d2.doc_id AS v
+      FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+      WHERE d.doc_id % {CHAIN_LEN} <> {CHAIN_LEN - 1}
+    ), edges AS (
+      SELECT u, v FROM chain UNION SELECT v AS u, u AS v FROM chain
+    ), reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    )
+    SELECT a AS doc_id, MIN(b) AS component_id FROM reach GROUP BY a
+    """,
+)
+def q_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    nodes = spark.table("documents").select("doc_id")
+    # edge (u, u+1) exists only when doc u+1 does: candidate edges are a
+    # projection of the node set, the semi-join prunes dangling tails
+    edges = (
+        nodes.where(F.col("doc_id") % CHAIN_LEN != CHAIN_LEN - 1)
+        .select(
+            F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v")
+        )
+        .join(nodes.select(F.col("doc_id").alias("v")), "v", "left_semi")
+    )
+    return C.connected_components(nodes, edges)
+
+
+# ----------------------------------------------------------------------
 # n-gram Jaccard near-dup (round instructions name it as its own dedup
 # family, distinct from the MinHash approximation): EXACT shingle-set
 # Jaccard with rare-gram blocking — candidate pairs are docs sharing a
