@@ -269,7 +269,7 @@ def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "host_stats",
     synth.oracle_with("pages")
     + """
-    SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+    SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
            COUNT(*) AS n_pages,
            COUNT(DISTINCT doc_id) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS text_chars,
@@ -284,7 +284,12 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return (
         spark.table("pages")
-        .groupBy(F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"))
+        # host = authority up to the first /, ? or # OR end-of-string: a
+        # real-crawl URL with no path ('https://host' or 'https://host?q=1')
+        # must not collapse into the '' bucket. Same regex in the oracle —
+        # engine and oracle stay in lockstep; synth plants pathless-URL
+        # rows (page_id % 131 = 7) so this branch is live under the gate.
+        .groupBy(F.regexp_extract("url", r"https?://([^/?#]+)", 1).alias("host"))
         .agg(
             F.count(F.lit(1)).alias("n_pages"),
             F.countDistinct("doc_id").alias("n_docs"),

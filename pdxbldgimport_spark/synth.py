@@ -67,7 +67,10 @@ SELECT
   page_id,
   doc_id,
   pid,
-  'https://h' || CAST(pid AS {STR}) || '.example.com/p/' || CAST(page_id AS {STR}) AS url,
+  CASE WHEN page_id % 131 = 7
+    THEN 'https://h' || CAST(pid AS {STR}) || '.example.com?p=' || CAST(page_id AS {STR})
+    ELSE 'https://h' || CAST(pid AS {STR}) || '.example.com/p/' || CAST(page_id AS {STR})
+  END AS url,
   {TS_PAGE} AS warc_ts,
   {W} + ((pid % {NPX}) + 0.02 + 0.96 * (((page_id * 7919) % 10000) / 10000.0)) * {PW} AS lon,
   {S} + (CAST(FLOOR(pid / {NPX}.0) AS BIGINT) + 0.02 + 0.96 * (((page_id * 104729) % 10000) / 10000.0)) * {PH} AS lat,
