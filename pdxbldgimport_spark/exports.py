@@ -88,14 +88,37 @@ def _fmt(v) -> str:
     return str(v).strip()
 
 
-def _sweep_tmp(out_dir: str) -> None:
+def _sweep_tmp(out_dir: str, stale_s: float = 3600.0) -> None:
     """Remove orphaned ``*.tmp`` attempt files from killed prior runs
-    (driver-side, before tasks launch — live attempts use fresh
-    pid-suffixed names, so this never races an in-flight writer)."""
+    (driver-side, before tasks launch). The artifact dir is shared
+    across processes (keyed by sf_dir + engine version), so only
+    provably-dead attempts are swept: the ``<name>.<pid>.tmp`` suffix
+    names the writer process — a tmp whose pid is still alive (or
+    unparseable but freshly modified) is another run's in-flight
+    attempt and is left alone."""
+    now = __import__("time").time()
     for fn in os.listdir(out_dir):
-        if fn.endswith(".tmp"):
+        if not fn.endswith(".tmp"):
+            continue
+        path = os.path.join(out_dir, fn)
+        parts = fn.split(".")
+        pid = int(parts[-2]) if len(parts) >= 3 and parts[-2].isdigit() else None
+        dead = False
+        if pid is not None and pid != os.getpid():
             try:
-                os.remove(os.path.join(out_dir, fn))
+                os.kill(pid, 0)  # signal 0: existence check only
+            except ProcessLookupError:
+                dead = True
+            except PermissionError:
+                pass  # alive, other uid
+        if not dead:
+            try:
+                dead = now - os.path.getmtime(path) > stale_s
+            except OSError:
+                continue
+        if dead:
+            try:
+                os.remove(path)
             except OSError:
                 pass
 

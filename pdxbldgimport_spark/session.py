@@ -57,8 +57,11 @@ def _external_master() -> bool:
     if os.environ.get("MASTER") or os.environ.get("PYSPARK_GATEWAY_PORT"):
         return True
     try:
+        # stable import path (works on PySpark 3.x and 4.x; the
+        # pyspark.core.context module is 4.x-only and a swallowed
+        # ImportError would silently skip this check)
+        from pyspark import SparkContext
         from pyspark.conf import SparkConf
-        from pyspark.core.context import SparkContext
 
         if SparkContext._jvm is not None:  # attached gateway: real conf
             return SparkConf(loadDefaults=True).contains("spark.master")

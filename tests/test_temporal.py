@@ -6,6 +6,8 @@ formulation, so a shared SQL misunderstanding can't hide."""
 
 from __future__ import annotations
 
+import math
+
 from pdxbldgimport_spark import registry as Q
 from tests.conftest import SF_SMOKE
 
@@ -56,7 +58,9 @@ def test_range_join_matches_bruteforce(spark):
         hits = [p for p in probes if e["us"] <= p["us"] < e["us"] + RANGE_WUS]
         expect[e["event_id"]] = (
             len(hits),
-            sum(int(round(p["value"] * 100)) for p in hits),
+            # HALF_UP like the engine/oracle ROUND — Python round() is
+            # banker's (half-to-even) and would diverge on exact .5
+            sum(int(math.floor(p["value"] * 100 + 0.5)) for p in hits),
         )
     got = {
         r["error_id"]: (r["n_hits"], r["cents_sum"])

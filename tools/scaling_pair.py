@@ -28,7 +28,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOG = os.environ.get("PAIR_LOG", os.path.join(REPO, "BENCH", "pairs_r4.jsonl"))
+LOG = os.environ.get("PAIR_LOG", os.path.join(REPO, "BENCH", "pairs_r5.jsonl"))
 REP_MULT = os.environ.get("PAIR_REP_MULT", "16384")  # 320k * 16384 = 5.24B pages
 PROBE_ROWS_PER_CPU = 250_000_000
 
@@ -68,8 +68,21 @@ def bench(cpus: int) -> None:
         [sys.executable, "bench.py"], cwd=REPO, env=env,
         capture_output=True, text=True,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(
+            f"bench.py leg failed (rc={out.returncode}); stderr above"
+        )
+    d = None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+            break
+        except ValueError:
+            continue
+    if d is None:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit("bench.py emitted no JSON record; stderr above")
     log_line({"kind": "bench", "cpus": cpus, "rep_mult": int(REP_MULT),
               "n_docs": d["n_docs"], "headline_sec": d["headline_sec"],
               "docs_per_sec": d["value"]})
