@@ -29,7 +29,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MAX_ROUNDS = 25  # ~log2 of any graph that fits this planet
+MAX_ROUNDS = 25  # convergence-test budget; ~log2 of any graph that fits this planet
+# Star-rounds fused per lineage cut + convergence test. Measured at
+# sf0.1 (same host window, min-of-2): BATCH_ROUNDS=2 is ~2x SLOWER than
+# 1 — the duplicated DataFrame references inside a fused round multiply
+# map-side recompute faster than the saved convergence-test jobs pay
+# back (ReuseExchange dedupes only identical shuffle subtrees, and the
+# star ops' branches shuffle different projections). Keep at 1; the win
+# over the previous shape is the lazy cut (one job per round, not two).
+BATCH_ROUNDS = 1
 
 
 def _checksum(edges: DataFrame) -> tuple:
@@ -87,13 +95,23 @@ def connected_components(
     from pyspark import StorageLevel
 
     def _cut(df: DataFrame) -> DataFrame:
-        # lineage cut per round: without it the logical plan doubles
-        # every round and Catalyst re-analyzes O(2^rounds) operators.
+        # LAZY lineage cut per batch: without it the logical plan keeps
+        # nesting and Catalyst re-analyzes an exponentially growing
+        # operator tree. eager=False so the _checksum action both
+        # materializes the checkpoint AND reads the convergence
+        # fingerprint in ONE job (eager=True cost a second job per
+        # round — pure scheduler overhead at small edge counts).
         # DISK_ONLY for the same reason stage() uses it — checkpoint
         # blocks in the driver heap tax every later query. Superseded
         # rounds' blocks stay on disk until session end; the edge set
         # shrinks monotonically so the total is < 2x the input edges.
-        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+    def _round(edge_df: DataFrame) -> DataFrame:
+        sym = edge_df.union(
+            edge_df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        return _small_star(_large_star(sym))
 
     e = _cut(
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
@@ -102,8 +120,17 @@ def connected_components(
     )
     prev = None
     for _ in range(MAX_ROUNDS):
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        e2 = _cut(_small_star(_large_star(sym)))
+        # BATCH_ROUNDS star-rounds per materialization: the driver-side
+        # convergence test (one small collect) is the per-iteration
+        # fixed cost, so fusing rounds amortizes it; identical shuffle
+        # subtrees inside the fused plan are deduplicated by Spark's
+        # ReuseExchange, so the duplicated DataFrame references do not
+        # recompute their shuffles. Extra rounds past the fixpoint are
+        # no-ops (both star ops are identity on a star forest).
+        e2 = e
+        for _ in range(BATCH_ROUNDS):
+            e2 = _round(e2)
+        e2 = _cut(e2)
         cur = _checksum(e2)
         e = e2
         if cur == prev or cur[0] == 0:
