@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "dedup_components",
     "components_chain",
     "host_stats",
+    "dedup_url_canonical",
+    "bm25_topk",
+    "host_pagerank",
     "dedup_ngram_jaccard",
     "decontam_ngram",
     "vocab_topk",

@@ -269,7 +269,8 @@ def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "host_stats",
     synth.oracle_with("pages")
     + """
-    SELECT regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+    SELECT regexp_replace(lower(regexp_extract(url, '(?i)https?://([^/?#]+)', 1)),
+                          ':[0-9]+$', '') AS host,
            COUNT(*) AS n_pages,
            COUNT(DISTINCT doc_id) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS text_chars,
@@ -286,10 +287,19 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("pages")
         # host = authority up to the first /, ? or # OR end-of-string: a
         # real-crawl URL with no path ('https://host' or 'https://host?q=1')
-        # must not collapse into the '' bucket. Same regex in the oracle —
-        # engine and oracle stay in lockstep; synth plants pathless-URL
-        # rows (page_id % 131 = 7) so this branch is live under the gate.
-        .groupBy(F.regexp_extract("url", r"https?://([^/?#]+)", 1).alias("host"))
+        # must not collapse into the '' bucket. Crawl URLs are also
+        # case-noisy and may carry an explicit port, so the rollup key is
+        # lowercase + port-stripped ('HTTPS://H0...:443/x' buckets with
+        # 'https://h0...'). Same expressions in the oracle — engine and
+        # oracle stay in lockstep; synth plants pathless (page_id % 131 =
+        # 7) and uppercase+port (% 7 = 3 AND % 4 = 1) rows so both
+        # branches are live under the gate.
+        .groupBy(
+            F.regexp_replace(
+                F.lower(F.regexp_extract("url", r"(?i)https?://([^/?#]+)", 1)),
+                r":[0-9]+$", "",
+            ).alias("host")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_pages"),
             F.countDistinct("doc_id").alias("n_docs"),

@@ -1,0 +1,295 @@
+"""Web-graph / retrieval operators over the synthetic crawl (``pages``):
+URL canonicalization dedup, rational-idf BM25 top-k retrieval, and a
+fixed-K integer-arithmetic PageRank over the host link graph.
+
+These extend the LLM-training-data pipeline family (round instructions)
+beyond the reference surface — the reference has no web-graph stage; the
+closest analog is its per-source ingest dedup (tasks/pdx_addrs.rake).
+
+Cross-engine determinism rules (same discipline as queries_text.py):
+
+- URL canonicalization is pure string/regexp rewriting — identical
+  regexes in Spark (Java regex) and DuckDB (RE2), restricted to the
+  RE2-safe subset (no lookaround, no backrefs).
+- BM25 replaces ``ln((N-df+0.5)/(df+0.5))`` with the monotone rational
+  surrogate ``floor(IDF_SCALE*(2(N-df)+1)/(2df+1))`` so every term
+  score is one integer division — ``a DIV b`` in Spark, ``a // b`` on
+  BIGINTs in DuckDB — and the per-document score is a SUM of integers
+  (order-independent, partial-aggregatable). The k1=1.2 / b=0.75
+  length normalization is cleared of fractions the same way:
+  tf_factor = 22*S*tf / (10*S*tf + 3*S + 9*dl*N) where S = total corpus
+  tokens, N = corpus docs, dl = doc length (exact rational identity of
+  tf*(k1+1) / (tf + k1*(1-b+b*dl*N/S))).
+- PageRank keeps ranks as integers scaled by PR_SCALE; each edge
+  contribution takes ONE floor (``(850*r*w) div (1000*out_w)``) so the
+  per-host sum is order-independent; K iterations are unrolled in the
+  oracle as chained CTEs. Dangling mass is dropped (no redistribution)
+  — documented variant, same in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import synth
+from .queries import register, stage, views
+from .queries_text import _TOKENS_SQL_DUCK
+from .session import session_token
+
+# ----------------------------------------------------------------------
+# S-URL: canonicalization + exact dedup over the canonical form.
+#
+# Rules (the crawl-dedup core set): lowercase scheme+authority, strip
+# default ports :443/:80, drop the fragment, drop utm_* tracking params
+# (repairing separators), strip one trailing slash. Synth plants live
+# fixtures for every rule, including colliding pairs (synth.py _PAGES).
+#
+# Scale shape: pure codegen string ops + ONE partial/final hash
+# aggregation keyed by the canonical string — the same shape as exact
+# text dedup (dedup_exact); no join, no Python.
+
+_URL_CANON_ORACLE = (
+    synth.oracle_with("pages")
+    + r"""
+, c0 AS (
+  SELECT page_id, url,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]*') AS auth
+  FROM pages
+), c1 AS (
+  SELECT page_id,
+         lower(regexp_replace(auth, ':(443|80)$', '')) AS auth,
+         regexp_replace(substring(url, length(auth) + 1), '#.*', '') AS rest
+  FROM c0
+), c2 AS (
+  SELECT page_id, auth,
+         regexp_replace(regexp_replace(rest, '\?.*', ''), '/$', '') AS path,
+         regexp_replace(regexp_replace(
+             regexp_extract(rest, '\?(.*)', 1),
+             '(^|&)utm_[^&]*', '', 'g'),
+             '^&+', '') AS q
+  FROM c1
+)
+SELECT auth || path || CASE WHEN q = '' THEN '' ELSE '?' || q END
+         AS canonical_url,
+       COUNT(*) AS n_pages,
+       MIN(page_id) AS first_page_id
+FROM c2
+GROUP BY 1
+"""
+)
+
+
+@register("dedup_url_canonical", _URL_CANON_ORACLE)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    p = (
+        spark.table("pages")
+        .select("page_id", "url")
+        .withColumn("auth", F.regexp_extract("url", "^[A-Za-z]+://[^/?#]*", 0))
+        .withColumn("rest", F.expr("substring(url, length(auth) + 1)"))
+        .withColumn("auth", F.lower(F.regexp_replace("auth", ":(443|80)$", "")))
+        .withColumn("rest", F.regexp_replace("rest", "#.*", ""))
+        .withColumn(
+            "path",
+            F.regexp_replace(F.regexp_replace("rest", r"\?.*", ""), "/$", ""),
+        )
+        .withColumn(
+            "q",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract("rest", r"\?(.*)", 1), "(^|&)utm_[^&]*", ""
+                ),
+                "^&+",
+                "",
+            ),
+        )
+    )
+    canon = F.concat(
+        "auth",
+        "path",
+        F.when(F.col("q") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("q"))
+        ),
+    )
+    return p.groupBy(canon.alias("canonical_url")).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("page_id").alias("first_page_id"),
+    )
+
+
+# ----------------------------------------------------------------------
+# BM25 top-k retrieval (rational-idf variant, integer-exact — see module
+# docstring). Scale shape: token explode → partial/final hash aggs for
+# tf/dl/df; the document-frequency and corpus-totals sides are tiny
+# (|terms| rows / 1 row) and BROADCAST; the only big-side shuffles key
+# on doc_id; top-k is TakeOrderedAndProject (per-partition heap + final
+# merge — no global sort of the scored set).
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K = 50
+IDF_SCALE = 1000
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_ORACLE = (
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + f"""
+, dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY 1)
+, tot AS (SELECT COUNT(*) AS S, COUNT(DISTINCT doc_id) AS N FROM tokens)
+, tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tokens
+  WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+)
+, dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1)
+, scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(
+           (((({IDF_SCALE} * (2 * (N - df) + 1)) // (2 * df + 1))
+             * 22 * S * t.tf)
+            // (10 * S * t.tf + 3 * S + 9 * d.dl * N))
+         ) AS BIGINT) AS bm25_scaled
+  FROM tf t
+  JOIN dfq USING (w)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, bm25_scaled FROM scored
+ORDER BY bm25_scaled DESC, doc_id
+LIMIT {BM25_K}
+"""
+)
+
+
+@register("bm25_topk", _BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("S"), F.countDistinct("doc_id").alias("N")
+    )
+    tf = (
+        toks.where(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "idf_s",
+            F.expr(f"({IDF_SCALE} * (2*(N - df) + 1)) div (2*df + 1)"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr("(idf_s * 22 * S * tf) div (10*S*tf + 3*S + 9*dl*N)"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("bm25_scaled"))
+    )
+    return scored.orderBy(F.col("bm25_scaled").desc(), "doc_id").limit(BM25_K)
+
+
+# ----------------------------------------------------------------------
+# Host-graph PageRank, K fixed iterations, integer ranks (see module
+# docstring). The link graph is deterministic synth: every page links
+# its host h<pid> to host h<(page_id*13+7) % NP> — a host-level edge
+# list with COUNT(*) weights, the exact shape of a crawl's host graph
+# rollup. Scale shape: edge weights + out-weights are ONE partial/final
+# agg each, materialized once per (session, sf); each iteration is a
+# hash join of the (host, rank) table into the edge list keyed by src,
+# then a partial/final agg keyed by dst — two bounded shuffles per
+# iteration, no driver loop state beyond the fixed K.
+
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+_PR_BASE = 150 * PR_SCALE // 1000  # (1 - damping) * scale, exact
+
+
+def _pr_oracle() -> str:
+    sql = (
+        synth.oracle_with("pages")
+        + f"""
+, links AS (
+  SELECT pid AS src, (page_id * 13 + 7) % {synth.NP} AS dst FROM pages
+)
+, w AS (SELECT src, dst, COUNT(*) AS w FROM links GROUP BY 1, 2)
+, outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM w GROUP BY 1)
+, hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM w UNION ALL SELECT dst AS h FROM w
+  ) u
+)
+, r0 AS (SELECT h, CAST({PR_SCALE} AS BIGINT) AS r FROM hosts)"""
+    )
+    for i in range(PR_ITERS):
+        sql += f"""
+, r{i + 1} AS (
+  SELECT h.h,
+         CAST({_PR_BASE} + COALESCE(
+           SUM((850 * c.r * c.w) // (1000 * c.ow)), 0) AS BIGINT) AS r
+  FROM hosts h
+  LEFT JOIN (
+    SELECT w.dst AS h, r.r, w.w, o.ow
+    FROM w
+    JOIN outw o ON o.src = w.src
+    JOIN r{i} r ON r.h = w.src
+  ) c ON c.h = h.h
+  GROUP BY h.h
+)"""
+    sql += f"""
+SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       r AS rank_scaled
+FROM r{PR_ITERS}
+"""
+    return sql
+
+
+@register("host_pagerank", _pr_oracle())
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+
+    def build_edges() -> DataFrame:
+        links = spark.table("pages").select(
+            F.col("pid").alias("src"),
+            ((F.col("page_id") * 13 + 7) % synth.NP).alias("dst"),
+        )
+        w = links.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+        outw = w.groupBy("src").agg(F.sum("w").alias("ow"))
+        return w.join(outw, "src")  # (src, dst, w, ow)
+
+    # materialized once per (session, sf): three iterations re-read the
+    # edge list, and without the stage boundary each would recompute the
+    # pages->groupBy chain (at 10^12 pages the edge rollup is the
+    # expensive pass; the iterations touch only the contracted graph)
+    ew = stage(spark, (session_token(spark), sf_dir, "pr_edges"), build_edges)
+    hosts = (
+        ew.select(F.col("src").alias("h"))
+        .unionAll(ew.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    r = hosts.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            ew.join(r.withColumnRenamed("h", "src"), "src")
+            .select(
+                F.col("dst").alias("h"),
+                F.expr("(850 * r * w) div (1000 * ow)").alias("c"),
+            )
+            .groupBy("h")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = hosts.join(contribs, "h", "left").select(
+            "h", (F.lit(_PR_BASE) + F.coalesce("c", F.lit(0))).alias("r")
+        )
+    return r.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.col("r").cast("long").alias("rank_scaled"),
+    )

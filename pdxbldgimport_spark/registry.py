@@ -6,6 +6,7 @@ from . import queries_osm  # noqa: F401  (registers on import)
 from . import queries_text  # noqa: F401
 from . import queries_multimodal  # noqa: F401
 from . import queries_events  # noqa: F401
+from . import queries_web  # noqa: F401
 
 # The driver's correctness sweep runs queries in registry order and has
 # a finite budget (the r4 record truncated at 50 of 63 entries, cutting
@@ -15,6 +16,9 @@ from . import queries_events  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "dedup_url_canonical",
+    "bm25_topk",
+    "host_pagerank",
     "components_chain",
     # never appeared in any driver record through r4
     "events_asof_join",

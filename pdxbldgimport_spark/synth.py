@@ -62,13 +62,25 @@ _CONST = {
 # pages: REP pages per doc. pid is the parcel (state_id analog); the hot
 # parcel takes every page_id % 7 = 3. unit_no non-null rows are the P4
 # exclusion fixture (tasks/pdx_addrs.rake:17).
+# URL noise fixtures (crawl-realistic, exercised by dedup_url_canonical):
+#   page_id % 131 = 7              → pathless query-only URL
+#   page_id % 7 = 3 AND % 4 = 1    → UPPERCASE host + :443 + utm param +
+#     fragment, path of page_id-7 — page_id-7 is also % 7 = 3 (same hot
+#     host h0), so the pair COLLIDES after canonicalization: the dedup
+#     gate has real multi-page groups, not just identity rewrites
+#   page_id % 131 = 9              → trailing slash
 _PAGES = """
 SELECT
   page_id,
   doc_id,
   pid,
-  CASE WHEN page_id % 131 = 7
-    THEN 'https://h' || CAST(pid AS {STR}) || '.example.com?p=' || CAST(page_id AS {STR})
+  CASE
+    WHEN page_id % 131 = 7
+      THEN 'https://h' || CAST(pid AS {STR}) || '.example.com?p=' || CAST(page_id AS {STR})
+    WHEN page_id % 7 = 3 AND page_id % 4 = 1
+      THEN 'HTTPS://H0.EXAMPLE.COM:443/p/' || CAST(page_id - 7 AS {STR}) || '?utm_source=feed#s2'
+    WHEN page_id % 131 = 9
+      THEN 'https://h' || CAST(pid AS {STR}) || '.example.com/p/' || CAST(page_id AS {STR}) || '/'
     ELSE 'https://h' || CAST(pid AS {STR}) || '.example.com/p/' || CAST(page_id AS {STR})
   END AS url,
   {TS_PAGE} AS warc_ts,

@@ -317,3 +317,38 @@ def test_knn_plan_broadcast_is_size_conditional(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in forced  # gate respected → shuffle join
+
+
+def test_url_canonical_single_agg_no_join_no_python(spark):
+    """dedup_url_canonical: codegen string rewriting + ONE partial/final
+    hash aggregation on the canonical string — the exact-dedup shape.
+    No join, nothing in Python."""
+    plan = _plan(Q.QUERIES["dedup_url_canonical"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_topk_take_ordered_broadcast_sides(spark):
+    """bm25_topk: the df/totals sides broadcast (the doc-keyed big side
+    never shuffles on a term key), and top-k is TakeOrderedAndProject —
+    a per-partition heap + final merge, not a global Sort of the scored
+    set."""
+    plan = _plan(Q.QUERIES["bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_pagerank_no_python_partial_final_aggs(spark):
+    """host_pagerank: every iteration is join + partial/final hash agg;
+    no Python anywhere, no cartesian product, no window."""
+    plan = _plan(Q.QUERIES["host_pagerank"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
