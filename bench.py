@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "dedup_url_canonical",
     "bm25_topk",
     "host_pagerank",
+    "cross_dup_spans",
+    "doclen_quantiles",
     "dedup_ngram_jaccard",
     "decontam_ngram",
     "vocab_topk",

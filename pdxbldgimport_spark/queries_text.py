@@ -1335,3 +1335,123 @@ def q_lang_ngram_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pred_lang"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Cross-document duplicated-span fraction (exact-substring dedup signal,
+# Lee et al. "Deduplicating Training Data Makes Language Models Better"
+# — their 50-token spans are this operator with a longer gram; the gram
+# length is a free parameter and the 3-token shingle CTE is reused so
+# the oracle stays compact). Distinct from text_repetition (WITHIN-doc
+# repetition) and decontam_ngram (fixed broadcast probe set): this is
+# the big-big self-overlap — gram document-frequency over the whole
+# corpus, then each doc's fraction of span positions whose gram appears
+# in ≥2 distinct docs.
+#
+# Scale shape: gram-df is a partial/final agg keyed by the gram (heavy
+# tail collapses map-side); the dup-gram set feeds a LEFT SEMI join
+# back into the span stream keyed by the gram, then one doc-keyed agg.
+# At production scale the join key is the 60-bit md5 fold (one hash per
+# gram, same as the MinHash pipeline) instead of the raw string — exact
+# semantics kept here so the oracle certifies string equality.
+
+
+@register(
+    "cross_dup_spans",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + """
+, dupg AS (
+  SELECT sh FROM (
+    SELECT sh, COUNT(DISTINCT doc_id) AS df FROM shingles GROUP BY 1
+  ) g WHERE df >= 2
+)
+, per AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN d.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM shingles s LEFT JOIN dupg d ON d.sh = s.sh
+  GROUP BY 1
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       (1000000 * n_dup_spans) // n_spans AS dup_ppm
+FROM per
+""",
+)
+def q_cross_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    sh = _shingles(spark)
+    dupg = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("sh")
+    )
+    n_spans = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    n_dup = (
+        sh.join(dupg, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        n_spans.join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ppm", F.expr("(1000000 * n_dup_spans) div n_spans")
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Corpus length distribution: exact percentile extraction from an
+# integer histogram — percentile_disc semantics (smallest length whose
+# cumulative count reaches ceil(q*N/100), exact because 100*cum >= q*N
+# over integers). The big side contributes ONE partial/final hash agg
+# (the histogram); the running sum and quantile probe run over the tiny
+# distinct-length relation. This is the deterministic cross-engine
+# stand-in for approx_percentile-style corpus reports (t-digest/KLL
+# sketches are the production path at 10^12 docs; same output contract).
+
+DOCLEN_QS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "doclen_quantiles",
+    f"""
+    WITH hist AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1
+    ), cum AS (
+      SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum FROM hist
+    ), tot AS (SELECT COUNT(*) AS n FROM documents),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in DOCLEN_QS)}]) AS q)
+    SELECT q, CAST(MIN(n_chars) AS BIGINT) AS n_chars_percentile
+    FROM cum CROSS JOIN tot JOIN qs ON 100 * cum >= q * n
+    GROUP BY q
+    """,
+)
+def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Wnd.orderBy("n_chars").rowsBetween(Wnd.unboundedPreceding, 0)
+        ),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in DOCLEN_QS])).alias("q")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(qs), F.expr("100 * cum >= q * n"))
+        .groupBy("q")
+        .agg(F.min("n_chars").cast("long").alias("n_chars_percentile"))
+    )

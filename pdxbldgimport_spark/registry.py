@@ -19,6 +19,8 @@ _FRONT = [
     "dedup_url_canonical",
     "bm25_topk",
     "host_pagerank",
+    "cross_dup_spans",
+    "doclen_quantiles",
     "components_chain",
     # never appeared in any driver record through r4
     "events_asof_join",

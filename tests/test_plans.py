@@ -352,3 +352,25 @@ def test_host_pagerank_no_python_partial_final_aggs(spark):
     assert "Window" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cross_dup_spans_semi_join_partial_aggs_no_python(spark):
+    """cross_dup_spans: gram-df partial/final agg + LEFT SEMI probe of
+    the dup-gram set into the span stream; no Python anywhere."""
+    plan = _plan(Q.QUERIES["cross_dup_spans"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "LeftSemi" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doclen_quantiles_histogram_agg_broadcast_probe(spark):
+    """doclen_quantiles: the corpus contributes ONE partial/final
+    histogram agg; the window cumsum and quantile probe run on the tiny
+    distinct-length relation with broadcast sides only — no shuffle of
+    anything corpus-sized after the histogram, no Python."""
+    plan = _plan(Q.QUERIES["doclen_quantiles"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan

@@ -111,3 +111,55 @@ def test_pagerank_matches_bruteforce(spark):
     assert got == {f"h{h}.example.com": v for h, v in r.items()}
     # total mass sanity: every host floors at the (1-d) base
     assert all(v >= _PR_BASE for v in got.values())
+
+
+def test_cross_dup_spans_matches_bruteforce(spark):
+    from collections import Counter as Ctr
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.sql("SELECT doc_id, text FROM documents").collect()
+    }
+    grams = {
+        d: [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        for d, t in docs.items()
+    }
+    df = Ctr()
+    for d, gs in grams.items():
+        for g in set(gs):
+            df[g] += 1
+    expect = {}
+    for d, gs in grams.items():
+        if not gs:
+            continue
+        dup = sum(1 for g in gs if df[g] >= 2)
+        expect[d] = (len(gs), dup, (1_000_000 * dup) // len(gs))
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ppm"])
+        for r in Q.QUERIES["cross_dup_spans"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the corpus has near-dup fixtures: the signal must be live
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_doclen_quantiles_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import DOCLEN_QS
+
+    views(spark, SF_SMOKE)
+    lens = sorted(
+        r["n_chars"] for r in spark.sql("SELECT n_chars FROM documents").collect()
+    )
+    n = len(lens)
+    expect = {q: lens[math.ceil(q * n / 100) - 1] for q in DOCLEN_QS}
+    got = {
+        r["q"]: r["n_chars_percentile"]
+        for r in Q.QUERIES["doclen_quantiles"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
