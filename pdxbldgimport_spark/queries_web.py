@@ -79,41 +79,38 @@ GROUP BY 1
 )
 
 
+def canonical_url_expr(url_col) -> F.Column:
+    """The canonical-URL rewrite as one stateless Column expression
+    (shared by the batch dedup and the streaming ingest-dedup gate —
+    canonicalization happens map-side BEFORE any aggregation in both)."""
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    auth_raw = F.regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0)
+    rest = url.substr(F.length(auth_raw) + F.lit(1), F.length(url))
+    auth = F.lower(F.regexp_replace(auth_raw, ":(443|80)$", ""))
+    rest = F.regexp_replace(rest, "#.*", "")
+    path = F.regexp_replace(F.regexp_replace(rest, r"\?.*", ""), "/$", "")
+    q = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(rest, r"\?(.*)", 1), "(^|&)utm_[^&]*", ""
+        ),
+        "^&+",
+        "",
+    )
+    return F.concat(
+        auth, path, F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    )
+
+
 @register("dedup_url_canonical", _URL_CANON_ORACLE)
 def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    p = (
+    return (
         spark.table("pages")
-        .select("page_id", "url")
-        .withColumn("auth", F.regexp_extract("url", "^[A-Za-z]+://[^/?#]*", 0))
-        .withColumn("rest", F.expr("substring(url, length(auth) + 1)"))
-        .withColumn("auth", F.lower(F.regexp_replace("auth", ":(443|80)$", "")))
-        .withColumn("rest", F.regexp_replace("rest", "#.*", ""))
-        .withColumn(
-            "path",
-            F.regexp_replace(F.regexp_replace("rest", r"\?.*", ""), "/$", ""),
+        .groupBy(canonical_url_expr("url").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("page_id").alias("first_page_id"),
         )
-        .withColumn(
-            "q",
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_extract("rest", r"\?(.*)", 1), "(^|&)utm_[^&]*", ""
-                ),
-                "^&+",
-                "",
-            ),
-        )
-    )
-    canon = F.concat(
-        "auth",
-        "path",
-        F.when(F.col("q") == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), F.col("q"))
-        ),
-    )
-    return p.groupBy(canon.alias("canonical_url")).agg(
-        F.count(F.lit(1)).alias("n_pages"),
-        F.min("page_id").alias("first_page_id"),
     )
 
 
@@ -293,3 +290,83 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("host"),
         F.col("r").cast("long").alias("rank_scaled"),
     )
+
+
+# ----------------------------------------------------------------------
+# §2.9 under the driver gate, crawl flavor: streaming ingest dedup.
+# GATE-ONLY plumbing mirrors queries_events._events_dump: one
+# partitioned parquet dump of (ts, page_id, url) per (session, sf_dir)
+# plus a far-future sentinel file whose arrival advances the event-time
+# watermark past every real 24h window's end, so the availableNow drain
+# finalizes and emits all real groups; the sentinel's own window stays
+# open and its group is filtered out (page_id -1). All synth warc_ts
+# fall inside ONE aligned 24h window, so each canonical group emits
+# exactly one row and the drained output hash-matches the BATCH oracle
+# (same SQL as dedup_url_canonical). Production: real WARC arrival
+# files, no sentinel — the watermark advances with ordinary arrivals.
+
+_URL_SENTINEL_MARGIN_S = 48 * 3600  # > window (24h) + watermark (1h)
+_URL_DUMP_CACHE: dict = {}
+
+
+def _pages_dump(spark: SparkSession, sf_dir: str) -> str:
+    key = (session_token(spark), sf_dir)
+    hit = _URL_DUMP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import atexit
+    import shutil
+    import tempfile
+
+    pg = spark.table("pages").select(
+        F.col("warc_ts").cast("timestamp_ntz").alias("ts"), "page_id", "url"
+    )
+    far = pg.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).first()[0]
+    root = tempfile.mkdtemp(prefix="urldedup_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    pg.write.parquet(f"{root}/data")
+    sentinel_us = int(far) + _URL_SENTINEL_MARGIN_S * 1_000_000
+    spark.createDataFrame(
+        [(-1, "https://zz-sentinel.invalid/x")], "page_id long, url string"
+    ).select(
+        F.timestamp_micros(F.lit(sentinel_us)).cast("timestamp_ntz").alias("ts"),
+        "page_id",
+        "url",
+    ).write.parquet(f"{root}/sentinel")
+    _URL_DUMP_CACHE[key] = f"{root}/*"
+    return _URL_DUMP_CACHE[key]
+
+
+@register("url_dedup_streamed", _URL_CANON_ORACLE)
+def q_url_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+    from pyspark.sql import types as T
+
+    from .streaming import urldedup as SU
+
+    views(spark, sf_dir)
+    src = _pages_dump(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("page_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="urldedup_run_")
+    try:
+        SU.stream_url_dedup(
+            spark, src, schema, f"{root}/ckpt", f"{root}/out",
+            max_files_per_trigger=None,
+        )
+        drained = (
+            SU.read_url_groups(spark, f"{root}/out")
+            .where(F.col("first_page_id") >= 0)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return drained.select("canonical_url", "n_pages", "first_page_id")

@@ -21,6 +21,7 @@ _FRONT = [
     "host_pagerank",
     "cross_dup_spans",
     "doclen_quantiles",
+    "url_dedup_streamed",
     "components_chain",
     # never appeared in any driver record through r4
     "events_asof_join",
