@@ -107,11 +107,14 @@ def _sweep_tmp(out_dir: str, stale_s: float = 3600.0) -> None:
         if pid is not None and pid != os.getpid():
             try:
                 os.kill(pid, 0)  # signal 0: existence check only
+                continue  # writer provably ALIVE — never sweep, any age
             except ProcessLookupError:
                 dead = True
             except PermissionError:
-                pass  # alive, other uid
+                continue  # alive under another uid — leave alone
         if not dead:
+            # pid unparseable (or our own): mtime staleness is the only
+            # signal left
             try:
                 dead = now - os.path.getmtime(path) > stale_s
             except OSError:

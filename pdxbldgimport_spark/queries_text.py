@@ -1382,7 +1382,15 @@ FROM per
 )
 def q_cross_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    sh = _shingles(spark)
+    # the span stream feeds three subtrees (gram-df, per-doc totals,
+    # semi-join probe) whose shuffles differ — without a stage boundary
+    # the full-corpus explode+window pass would run three times
+    # (ReuseExchange only dedupes identical subtrees)
+    sh = stage(
+        spark,
+        (session_token(spark), sf_dir, "shingles"),
+        lambda: _shingles(spark),
+    )
     dupg = (
         sh.groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))

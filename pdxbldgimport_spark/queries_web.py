@@ -161,9 +161,16 @@ LIMIT {BM25_K}
 
 @register("bm25_topk", _BM25_ORACLE)
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_text import _tokens
+
     views(spark, sf_dir)
-    toks = spark.table("documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    # the one tokenizer paired with _TOKENS_SQL_DUCK (no second inline
+    # copy to drift from the oracle); staged because tf/dl/totals are
+    # three different downstream shuffles over the same explode
+    toks = stage(
+        spark,
+        (session_token(spark), sf_dir, "tokens"),
+        lambda: _tokens(spark).select("doc_id", "w"),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tot = toks.agg(

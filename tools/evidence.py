@@ -91,13 +91,24 @@ def run_correctness(sf_dir: str, out_path: str) -> int:
         json.dump(record, f, indent=2)
     print(f"wrote {out_path} ({len(record)} entries)")
 
+    # the evidence session holds a pinned heap + accumulated DISK_ONLY
+    # checkpoint blocks; release the JVM before --pytest/--bench spawn
+    # their own (a second pinned-heap JVM alongside this one would
+    # contaminate the very timings the bundle records)
+    spark.stop()
+
     fails = 0
-    # THE guard: every registered name must be present and green.
-    missing = [q for q in R.QUERIES if q not in record]
+    # THE guard: every registered name must be present and green —
+    # validated against the WRITTEN file, not the in-memory dict the
+    # loop itself iterated (a loop break / partial queries() view /
+    # pre-write exception must not pass silently).
+    with open(out_path) as f:
+        written = json.load(f)
+    missing = [q for q in R.QUERIES if q not in written]
     if missing:
         print(f"FATAL: names missing from record: {missing}")
         fails += len(missing)
-    for name, rec in record.items():
+    for name, rec in written.items():
         green = (
             rec["err"] in (None, "rows-only (no oracle)")
             and rec["rows_match"]

@@ -76,10 +76,14 @@ def bench(cpus: int) -> None:
     d = None
     for line in reversed(out.stdout.strip().splitlines()):
         try:
-            d = json.loads(line)
-            break
+            cand = json.loads(line)
         except ValueError:
             continue
+        # only the bench record counts — a stray trailing 'null' / bare
+        # scalar line must not end the scan (or crash the indexing below)
+        if isinstance(cand, dict) and "n_docs" in cand:
+            d = cand
+            break
     if d is None:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit("bench.py emitted no JSON record; stderr above")
