@@ -163,3 +163,36 @@ def test_doclen_quantiles_matches_bruteforce(spark):
         for r in Q.QUERIES["doclen_quantiles"](spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_url_canonical_expr_randomized_property(spark):
+    """canonical_url_expr (the Spark expression pipeline) vs the Python
+    regex reference over a seeded random URL space — cases the fixed
+    synth fixtures never produce (non-default ports kept, utm in the
+    middle of a param list, bare '?', mixed-case paths preserved,
+    ':8080' not mistaken for ':80'). One batch, one job."""
+    import random
+
+    from pdxbldgimport_spark.queries_web import canonical_url_expr
+
+    rng = random.Random(20260817)
+    schemes = ["http", "https", "HTTPS", "HtTp"]
+    hosts = ["a.example.com", "A.Example.COM", "h0.EXAMPLE.com"]
+    ports = ["", ":443", ":80", ":8080", ":4443"]
+    paths = ["", "/", "/p/1", "/P/1/", "/a/b.html"]
+    queries = [
+        "", "?", "?a=1", "?utm_x=1", "?a=1&utm_y=2", "?utm_a=1&b=2",
+        "?utm_a=1&utm_b=2", "?a=1&b=2",
+    ]
+    frags = ["", "#x", "#", "#s2"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"] for r in
+        df.select(canonical_url_expr("url").alias("c")).collect()
+    ]
+    assert got == [_canonical(u) for u in urls]
