@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "components_chain",
     "host_stats",
     "dedup_url_canonical",
+    "pii_scrub",
+    "host_blocklist_filter",
+    "url_latest_capture",
+    "pipeline_funnel",
     "bm25_topk",
     "host_pagerank",
     "cross_dup_spans",

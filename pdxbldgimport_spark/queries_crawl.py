@@ -1,0 +1,297 @@
+"""Crawl-hygiene operators over the synthetic crawl (``pages``): PII
+scrubbing, host-blocklist filtering, latest-capture selection, and the
+end-to-end retention funnel. These are the cleanup stages a Common-Crawl
+training-data pipeline runs between ingest and dedup; the reference's
+closest analogs are its ingest-time filters (unit exclusion and
+address-quality rules, tasks/pdx_addrs.rake:17-38) and its per-source
+"keep the authoritative row" collapse (tasks/pdx_bldgs.rake) — here
+re-expressed over web pages.
+
+Cross-engine determinism rules (same discipline as queries_web.py):
+
+- PII patterns are restricted to the RE2-safe subset shared by Java
+  regex and DuckDB's RE2 (character classes, bounded repetition, ``\\b``
+  — no lookaround, no backrefs). Redaction counts are taken on the RAW
+  text; the scrub applies the three replacements in a fixed order
+  (email → phone → ip) in both engines, so overlapping matches resolve
+  identically. DuckDB's ``regexp_replace`` needs the explicit ``'g'``
+  flag; Spark's is always global.
+- The blocklist is a derived deterministic host set (``pid % 23 = 11``)
+  — in production a broadcast UT1/robots denylist. The engine shape is
+  the one that scales: tiny side broadcast, LEFT ANTI hash join, no
+  shuffle of the page side beyond the final per-host rollup.
+- Latest-capture selection is ONE partial/final aggregation of
+  ``max(struct(warc_ts, page_id))`` per canonical URL (map-side
+  combinable — no window, no self-join at 10^12 pages); the oracle is
+  the algorithm-independent join-back formulation (MAX ts per group,
+  then MAX page_id among rows carrying that ts), so the gate certifies
+  semantics rather than mirroring the struct trick.
+- Funnel ratios stay integer-exact: char length, a whitespace word
+  count computed as length(text) - length(replace(text,' ','')) + 1,
+  and md5 group-mins — no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import synth
+from .queries import register, views
+from .queries_web import URL_CANON_CTES, canonical_url_expr
+
+# ----------------------------------------------------------------------
+# PII scrub: per-page redaction counts (on the raw text) + the md5 and
+# length of the scrubbed text. Pure map-side codegen over pages_pii —
+# no shuffle, no Python; at 10^12 pages this is a single embarrassingly
+# parallel pass fused into whatever scan feeds it.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\(\d{3}\) \d{3}-\d{4}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_SCRUB_DUCK = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{PII_PHONE}', '<PHONE>', 'g'), "
+    f"'{PII_IP}', '<IP>', 'g')"
+)
+
+_PII_ORACLE = (
+    synth.oracle_with("pages", "pages_pii")
+    + f"""
+, scrubbed AS (
+  SELECT page_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+           AS n_phone,
+         CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT)
+           AS n_ip,
+         {_PII_SCRUB_DUCK} AS s
+  FROM pages_pii
+)
+SELECT page_id, n_email, n_phone, n_ip,
+       md5(s) AS scrub_md5,
+       CAST(length(s) AS BIGINT) AS scrub_len
+FROM scrubbed
+"""
+)
+
+
+@register("pii_scrub", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    t = spark.table("pages_pii")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+
+    def n_matches(pat: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return t.select(
+        "page_id",
+        n_matches(PII_EMAIL).alias("n_email"),
+        n_matches(PII_PHONE).alias("n_phone"),
+        n_matches(PII_IP).alias("n_ip"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+        F.length(scrubbed).cast("long").alias("scrub_len"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Host-blocklist filter: drop every page whose host is on a (tiny)
+# denylist, then roll up the survivors per host. The blocklist side is
+# 11 of 250 hosts here and a few 100k rows in production — always
+# broadcast; the page side never shuffles for the filter itself (LEFT
+# ANTI BroadcastHashJoin), only for the final per-host rollup.
+
+_HOST_RE = "^[A-Za-z]+://([^/:?#]+)"
+BLOCK_MOD, BLOCK_RESIDUE = 23, 11
+
+_BLOCKLIST_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, h AS (
+  SELECT page_id,
+         lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host
+  FROM pages
+)
+, b AS (
+  SELECT 'h' || CAST(range AS VARCHAR) || '.example.com' AS bhost
+  FROM range({synth.NP})
+  WHERE range % {BLOCK_MOD} = {BLOCK_RESIDUE}
+)
+SELECT host,
+       COUNT(*) AS n_pages,
+       MIN(page_id) AS first_page_id
+FROM h
+WHERE host NOT IN (SELECT bhost FROM b)
+GROUP BY host
+"""
+)
+
+
+@register("host_blocklist_filter", _BLOCKLIST_ORACLE)
+def q_host_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    blocked = (
+        spark.range(synth.NP)
+        .where(F.col("id") % BLOCK_MOD == BLOCK_RESIDUE)
+        .select(
+            F.concat(
+                F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")
+            ).alias("bhost")
+        )
+    )
+    hosts = spark.table("pages").select(
+        "page_id",
+        F.lower(F.regexp_extract(F.col("url"), _HOST_RE, 1)).alias("host"),
+    )
+    kept = hosts.join(
+        F.broadcast(blocked), hosts.host == blocked.bhost, "left_anti"
+    )
+    return kept.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("page_id").alias("first_page_id"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Latest-capture selection: per canonical URL keep the newest capture
+# (max warc_ts, ties → max page_id) — the Common-Crawl "latest snapshot
+# per URL" collapse, the recency-flavored twin of dedup_url_canonical's
+# MIN(page_id) survivor rule.
+
+_LATEST_ORACLE = (
+    synth.oracle_with("pages")
+    + URL_CANON_CTES
+    + """
+, g AS (
+  SELECT canonical_url,
+         MAX(warc_ts) AS last_ts,
+         COUNT(*) AS n_captures
+  FROM canon
+  GROUP BY 1
+)
+SELECT g.canonical_url,
+       g.last_ts,
+       MAX(c.page_id) AS keep_page_id,
+       g.n_captures
+FROM g
+JOIN canon c
+  ON c.canonical_url = g.canonical_url AND c.warc_ts = g.last_ts
+GROUP BY g.canonical_url, g.last_ts, g.n_captures
+"""
+)
+
+
+@register("url_latest_capture", _LATEST_ORACLE)
+def q_url_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    c = spark.table("pages").select(
+        canonical_url_expr("url").alias("canonical_url"),
+        "warc_ts",
+        "page_id",
+    )
+    agg = c.groupBy("canonical_url").agg(
+        F.max(
+            F.struct(
+                F.col("warc_ts").alias("ts"), F.col("page_id").alias("pid")
+            )
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+    return agg.select(
+        "canonical_url",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.pid").alias("keep_page_id"),
+        "n_captures",
+    )
+
+
+# ----------------------------------------------------------------------
+# Retention funnel: how many pages survive each pipeline stage —
+# language keep, char-length band, word-count floor, then exact dedup
+# among the stage-3 survivors (MIN(page_id) per md5 group keeps one of
+# the REP synth replicas). Stages 0-3 are ONE partial/final aggregation
+# over a map-side pass; stage 4 adds the dedup's hash shuffle plus a
+# same-key join (the join reuses the groupBy's partitioning — no third
+# exchange). Two scans of pages total; at 10^12 pages the scans are
+# cheap next to the dedup shuffle, and the flags never leave codegen.
+
+FUNNEL_LANG = "en"
+FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS = 100, 520
+FUNNEL_MIN_WORDS = 25
+
+_FUNNEL_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, m AS (
+  SELECT page_id, md5(text) AS h,
+         CASE WHEN lang = '{FUNNEL_LANG}' THEN 1 ELSE 0 END AS b1,
+         CASE WHEN lang = '{FUNNEL_LANG}'
+                   AND length(text)
+                       BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}
+              THEN 1 ELSE 0 END AS b2,
+         CASE WHEN lang = '{FUNNEL_LANG}'
+                   AND length(text)
+                       BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}
+                   AND length(text) - length(replace(text, ' ', '')) + 1
+                       >= {FUNNEL_MIN_WORDS}
+              THEN 1 ELSE 0 END AS b3
+  FROM pages
+)
+, f3 AS (SELECT page_id, h FROM m WHERE b3 = 1)
+, fk AS (SELECT h, MIN(page_id) AS fp FROM f3 GROUP BY h)
+SELECT 's0_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_pages FROM m
+UNION ALL SELECT 's1_lang', CAST(SUM(b1) AS BIGINT) FROM m
+UNION ALL SELECT 's2_len', CAST(SUM(b2) AS BIGINT) FROM m
+UNION ALL SELECT 's3_words', CAST(SUM(b3) AS BIGINT) FROM m
+UNION ALL SELECT 's4_dedup', CAST(COUNT(*) AS BIGINT)
+FROM f3 JOIN fk ON f3.h = fk.h AND f3.page_id = fk.fp
+"""
+)
+
+
+@register("pipeline_funnel", _FUNNEL_ORACLE)
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    b1 = F.col("lang") == FUNNEL_LANG
+    b2 = b1 & F.length("text").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS)
+    b3 = b2 & (words >= FUNNEL_MIN_WORDS)
+    m = spark.table("pages").select(
+        "page_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        b1.cast("long").alias("b1"),
+        b2.cast("long").alias("b2"),
+        b3.cast("long").alias("b3"),
+    )
+    base = m.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("b1").alias("s1"),
+        F.sum("b2").alias("s2"),
+        F.sum("b3").alias("s3"),
+    )
+    f3 = m.where(F.col("b3") == 1).select("page_id", "h")
+    fk = f3.groupBy("h").agg(F.min("page_id").alias("fp"))
+    ded = (
+        f3.join(fk, "h")
+        .where(F.col("page_id") == F.col("fp"))
+        .agg(F.count(F.lit(1)).alias("s4"))
+    )
+    return base.crossJoin(ded).selectExpr(
+        "stack(5, 's0_total', s0, 's1_lang', s1, 's2_len', s2, "
+        "'s3_words', s3, 's4_dedup', s4) AS (stage, n_pages)"
+    )

@@ -48,32 +48,44 @@ from .session import session_token
 # aggregation keyed by the canonical string — the same shape as exact
 # text dedup (dedup_exact); no join, no Python.
 
-_URL_CANON_ORACLE = (
-    synth.oracle_with("pages")
-    + r"""
+# The canonicalization CTE chain alone (appended after a WITH prefix
+# that defines ``pages``): ends in ``canon(page_id, warc_ts,
+# canonical_url)``. Shared by the batch dedup, the streamed-dedup gate,
+# and the latest-capture selection (queries_crawl.py).
+URL_CANON_CTES = r"""
 , c0 AS (
-  SELECT page_id, url,
+  SELECT page_id, warc_ts, url,
          regexp_extract(url, '^[A-Za-z]+://[^/?#]*') AS auth
   FROM pages
 ), c1 AS (
-  SELECT page_id,
+  SELECT page_id, warc_ts,
          lower(regexp_replace(auth, ':(443|80)$', '')) AS auth,
          regexp_replace(substring(url, length(auth) + 1), '#.*', '') AS rest
   FROM c0
 ), c2 AS (
-  SELECT page_id, auth,
+  SELECT page_id, warc_ts, auth,
          regexp_replace(regexp_replace(rest, '\?.*', ''), '/$', '') AS path,
          regexp_replace(regexp_replace(
              regexp_extract(rest, '\?(.*)', 1),
              '(^|&)utm_[^&]*', '', 'g'),
              '^&+', '') AS q
   FROM c1
+), canon AS (
+  SELECT page_id, warc_ts,
+         auth || path || CASE WHEN q = '' THEN '' ELSE '?' || q END
+           AS canonical_url
+  FROM c2
 )
-SELECT auth || path || CASE WHEN q = '' THEN '' ELSE '?' || q END
-         AS canonical_url,
+"""
+
+_URL_CANON_ORACLE = (
+    synth.oracle_with("pages")
+    + URL_CANON_CTES
+    + """
+SELECT canonical_url,
        COUNT(*) AS n_pages,
        MIN(page_id) AS first_page_id
-FROM c2
+FROM canon
 GROUP BY 1
 """
 )

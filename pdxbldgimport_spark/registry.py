@@ -7,6 +7,7 @@ from . import queries_text  # noqa: F401
 from . import queries_multimodal  # noqa: F401
 from . import queries_events  # noqa: F401
 from . import queries_web  # noqa: F401
+from . import queries_crawl  # noqa: F401
 
 # The driver's correctness sweep runs queries in registry order and has
 # a finite budget (the r4 record truncated at 50 of 63 entries, cutting
@@ -16,6 +17,10 @@ from . import queries_web  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "pii_scrub",
+    "host_blocklist_filter",
+    "url_latest_capture",
+    "pipeline_funnel",
     "dedup_url_canonical",
     "bm25_topk",
     "host_pagerank",

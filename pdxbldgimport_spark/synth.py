@@ -98,6 +98,30 @@ FROM (
 ) base
 """
 
+# pages_pii: the PII-scrub fixture view — pages text with deterministic
+# planted PII (crawl-realistic shapes the raw document corpus never
+# contains). Moduli overlap so some rows carry 2-3 kinds at once, the
+# email row carries TWO addresses (counts > 1), and most rows carry
+# none (the scrubber must be a no-op there).
+_PAGES_PII = """
+SELECT page_id,
+  text
+  || CASE WHEN page_id % 11 = 3
+       THEN ' contact user' || CAST(page_id AS {STR})
+            || '@mail.example.com or admin' || CAST(page_id AS {STR})
+            || '@ops.example.net' ELSE '' END
+  || CASE WHEN page_id % 13 = 5
+       THEN ' call (503) 555-' || lpad(CAST(page_id % 10000 AS {STR}), 4, '0')
+       ELSE '' END
+  || CASE WHEN page_id % 17 = 2
+       THEN ' peer 10.' || CAST(page_id % 256 AS {STR})
+            || '.' || CAST((page_id * 7) % 256 AS {STR})
+            || '.' || CAST((page_id * 13) % 256 AS {STR}) || ' up'
+       ELSE '' END
+  AS text
+FROM pages
+"""
+
 # footprints: 4 rects per doc (doc_id < FP_DOCS), up to 8 per parcel.
 # Plays pdx_bldgs_orig. fp_id % 97 = 5 → bowtie (invalid; "repairs to
 # MultiPolygon" → engine drops it, tasks/pdx_shapes.rake:115-131).
@@ -465,6 +489,7 @@ FROM media_base
 
 _TEMPLATES = {
     "pages": _PAGES,
+    "pages_pii": _PAGES_PII,
     "footprints_base": _FOOTPRINTS,
     "cbldg_base": _CBLDG,
     "caddr": _CADDR,

@@ -374,3 +374,54 @@ def test_doclen_quantiles_histogram_agg_broadcast_probe(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pii_scrub_pure_map_no_shuffle_no_python(spark):
+    """pii_scrub: a single map-side codegen pass — the ONLY exchange in
+    the plan is the synth seed fan-out (register_views repartitions the
+    one-file documents scan); no join, no aggregation, no Python."""
+    plan = _plan(Q.QUERIES["pii_scrub"](spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_blocklist_is_broadcast_anti_join(spark):
+    """host_blocklist_filter: the denylist side must BROADCAST into a
+    LEFT ANTI hash join (the page side never shuffles for the filter);
+    the rollup is partial/final hash agg."""
+    plan = _plan(Q.QUERIES["host_blocklist_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_url_latest_capture_single_agg_no_window_no_join(spark):
+    """url_latest_capture: ONE partial/final aggregation of
+    max(struct(ts, pid)) per canonical URL — struct buffers plan as
+    SortAggregate but still combine map-side; no window, no self-join,
+    and at most the seed fan-out + the one agg exchange."""
+    plan = _plan(Q.QUERIES["url_latest_capture"](spark, SF))
+    assert plan.count("SortAggregate") + plan.count("ObjectHashAggregate") >= 2
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pipeline_funnel_no_window_no_python(spark):
+    """pipeline_funnel: stages 0-3 are one partial/final agg over a
+    map pass; stage 4 adds the md5 groupBy + an equi-join (broadcast at
+    this SF, sort-merge on the same key at scale — both fine); the
+    1-row x 1-row crossJoin is the only nested-loop allowed."""
+    plan = _plan(Q.QUERIES["pipeline_funnel"](spark, SF))
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
