@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "components_chain",
     "host_stats",
     "dedup_url_canonical",
+    "outlink_extract",
+    "anchor_text_agg",
+    "crawl_snapshot_diff",
+    "index_postings",
     "pii_scrub",
     "host_blocklist_filter",
     "url_latest_capture",
@@ -84,6 +88,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "text_repetition",
     "corpus_sample",
+    "lang_quota_sample",
     "distinct_sketch_fm",
     "dedup_simhash",
     "text_stats",

@@ -252,7 +252,7 @@ def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("pages").select(
         "url",
         F.regexp_extract(
-            F.col("html").cast("string"), r"(?s)<body>(.*)</body>", 1
+            F.col("html").cast("string"), r"(?s)<body>(.*?)(?:<nav>|</body>)", 1
         ).alias("extracted"),
     )
 

@@ -295,3 +295,119 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(5, 's0_total', s0, 's1_lang', s1, 's2_len', s2, "
         "'s3_words', s3, 's4_dedup', s4) AS (stage, n_pages)"
     )
+
+
+# ----------------------------------------------------------------------
+# Snapshot diff: compare two crawl snapshots of the same URL space and
+# classify every canonical URL as added / removed / changed / unchanged,
+# rolled up per host. This is the Common-Crawl "what changed between
+# snapshot A and snapshot B" report; the reference's closest analog is
+# its kept/deleted split against existing OSM geometry
+# (tasks/metro_bldgs.rake) — here keyed by content hash over time.
+#
+# Snapshot membership is a deterministic predicate on warc_ts (odd vs
+# even capture second — the synth compresses months into one day, so a
+# time-RANGE split would leave one side empty at small SF; in production
+# the predicate is `warc_ts < cutoff` and the shape is identical).
+#
+# Scale shape: the whole diff is JOIN-FREE — one partial/final
+# aggregation keyed canonical_url computes BOTH sides' latest capture
+# as conditional max(struct(ts, pid, text_md5)), the status is a
+# map-side CASE over the two structs, and the host rollup is a second
+# tiny hash agg. Two exchanges total at 10^12 pages; no self-join, no
+# window, no full-outer join (the usual diff formulation) anywhere.
+# The oracle is the algorithm-independent formulation: per-side
+# join-back latest capture + an explicit FULL OUTER JOIN — a genuinely
+# different plan certifying the same semantics.
+
+SNAP_HOST_RE = "^[a-z]+://([^/:?#]+)"
+
+
+def _snap_side_sql(side: int) -> str:
+    return (
+        f"CAST(date_part('second', warc_ts) AS BIGINT) % 2 = {side}"
+    )
+
+
+_SNAP_DIFF_ORACLE = (
+    synth.oracle_with("pages")
+    + URL_CANON_CTES
+    + f"""
+, ch AS (
+  SELECT c.canonical_url, c.warc_ts, c.page_id,
+         CAST(date_part('second', c.warc_ts) AS BIGINT) % 2 AS side,
+         md5(p.text) AS h
+  FROM canon c JOIN pages p ON p.page_id = c.page_id
+)
+, latest AS (
+  SELECT s.canonical_url, s.side, MAX(s.page_id) AS pid
+  FROM ch s
+  JOIN (
+    SELECT canonical_url, side, MAX(warc_ts) AS mts
+    FROM ch GROUP BY 1, 2
+  ) m
+    ON s.canonical_url = m.canonical_url
+   AND s.side = m.side AND s.warc_ts = m.mts
+  GROUP BY 1, 2
+)
+, keep AS (
+  SELECT l.canonical_url, l.side, s.h
+  FROM latest l JOIN ch s ON s.page_id = l.pid
+)
+, diff AS (
+  SELECT COALESCE(o.canonical_url, n.canonical_url) AS canonical_url,
+         CASE WHEN o.h IS NULL THEN 'added'
+              WHEN n.h IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM (SELECT * FROM keep WHERE side = 0) o
+  FULL OUTER JOIN (SELECT * FROM keep WHERE side = 1) n
+    ON o.canonical_url = n.canonical_url
+)
+SELECT regexp_extract(canonical_url, '{SNAP_HOST_RE}', 1) AS host,
+       status,
+       COUNT(*) AS n_urls,
+       MIN(canonical_url) AS first_url
+FROM diff
+GROUP BY 1, 2
+"""
+)
+
+
+@register("crawl_snapshot_diff", _SNAP_DIFF_ORACLE)
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    side = F.second("warc_ts") % 2
+    cap = F.struct(
+        F.col("warc_ts").alias("ts"),
+        F.col("page_id").alias("pid"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    g = (
+        spark.table("pages")
+        .select(
+            canonical_url_expr("url").alias("canonical_url"),
+            F.when(side == 0, cap).alias("o_cap"),
+            F.when(side == 1, cap).alias("n_cap"),
+        )
+        .groupBy("canonical_url")
+        .agg(F.max("o_cap").alias("o"), F.max("n_cap").alias("n"))
+    )
+    status = (
+        F.when(F.col("o").isNull(), "added")
+        .when(F.col("n").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        g.select(
+            F.regexp_extract("canonical_url", SNAP_HOST_RE, 1).alias("host"),
+            status.alias("status"),
+            "canonical_url",
+        )
+        .groupBy("host", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("canonical_url").alias("first_url"),
+        )
+    )

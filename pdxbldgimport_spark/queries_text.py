@@ -1463,3 +1463,84 @@ def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("n_chars").cast("long").alias("n_chars_percentile"))
     )
+
+
+# ----------------------------------------------------------------------
+# Exact per-language quota sample: the smallest QUOTA_N (hash, doc_id)
+# keys per language — deterministic stratified sampling with an EXACT
+# quota (corpus_sample's hash-stratified filter gives proportional,
+# not fixed-size, strata). The naive formulation is a row_number window
+# partitioned by lang over the whole corpus — at 10^12 docs that
+# shuffles everything and ranks the dominant language's ~half-corpus
+# partition serially. Instead:
+#
+#   1. one tiny partial/final agg counts docs per lang;
+#   2. the count calibrates an oversample threshold per lang
+#      (keep h where h·cnt < 2^60·MARGIN·N — expected MARGIN·N
+#      candidates; exact DECIMAL(38) integer compare, no doubles, so
+#      both engines keep identical rows), broadcast back;
+#   3. the ≈MARGIN·N survivors per lang fit one bounded
+#      slice(array_sort(collect_list(...)), 1, N) — map-side
+#      combinable, never a corpus-wide list.
+#
+# The corpus is scanned twice and never shuffled by lang; only
+# candidate rows (a ~1e-8 fraction at production scale) move. MARGIN=4
+# makes a per-lang shortfall astronomically improbable for any real
+# count (P ≈ exp(-N·(M-1)²/2M) by Chernoff; the oracle hash-match and
+# the liveness pytest certify it exactly on this data). Langs with
+# cnt ≤ MARGIN·N keep every row pre-slice, so small strata degrade to
+# exact top-min(N, cnt) rather than breaking.
+#
+# The oracle IS the naive window formulation — an algorithm-independent
+# certificate that the threshold trick selects exactly the same rows.
+
+QUOTA_N = 40
+QUOTA_MARGIN = 4
+_QS_H_DUCK = _h60_sql("md5('qs:' || CAST(doc_id AS VARCHAR))", "strpos")
+_QS_H_SPARK = _h60_sql(
+    "md5(cast(concat('qs:', cast(doc_id as string)) as binary))", "instr"
+)
+_QS_LIMIT = (1 << 60) * QUOTA_MARGIN * QUOTA_N
+
+
+@register(
+    "lang_quota_sample",
+    f"""
+    WITH d AS (
+      SELECT lang, doc_id, {_QS_H_DUCK} AS h FROM documents
+    )
+    SELECT lang, rank, doc_id, h
+    FROM (
+      SELECT lang, doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS rank
+      FROM d
+    )
+    WHERE rank <= {QUOTA_N}
+    """,
+)
+def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "lang", "doc_id", F.expr(_QS_H_SPARK).alias("h")
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    cand = docs.join(F.broadcast(counts), "lang").where(
+        F.col("h").cast("decimal(38,0)") * F.col("cnt")
+        < F.expr(f"CAST('{_QS_LIMIT}' AS DECIMAL(38,0))")
+    )
+    top = cand.groupBy("lang").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
+            1,
+            QUOTA_N,
+        ).alias("top")
+    )
+    return top.select(
+        "lang", F.posexplode("top").alias("pos", "s")
+    ).select(
+        "lang",
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.h").alias("h"),
+    )

@@ -48,35 +48,49 @@ from .session import session_token
 # aggregation keyed by the canonical string — the same shape as exact
 # text dedup (dedup_exact); no join, no Python.
 
-# The canonicalization CTE chain alone (appended after a WITH prefix
-# that defines ``pages``): ends in ``canon(page_id, warc_ts,
-# canonical_url)``. Shared by the batch dedup, the streamed-dedup gate,
-# and the latest-capture selection (queries_crawl.py).
-URL_CANON_CTES = r"""
-, c0 AS (
-  SELECT page_id, warc_ts, url,
-         regexp_extract(url, '^[A-Za-z]+://[^/?#]*') AS auth
-  FROM pages
-), c1 AS (
-  SELECT page_id, warc_ts,
+def url_canon_ctes(
+    src: str = "pages",
+    carry: str = "page_id, warc_ts",
+    url: str = "url",
+    out: str = "canon",
+    prefix: str = "c",
+) -> str:
+    r"""Render the canonicalization CTE chain over an arbitrary source
+    relation ``src`` carrying ``carry`` columns alongside its ``url``;
+    ends in ``out(carry..., canonical_url)``. ``prefix`` namespaces the
+    intermediate CTEs so two chains can coexist in one oracle."""
+    return rf"""
+, {prefix}0 AS (
+  SELECT {carry}, {url} AS u,
+         regexp_extract({url}, '^[A-Za-z]+://[^/?#]*') AS auth
+  FROM {src}
+), {prefix}1 AS (
+  SELECT {carry},
          lower(regexp_replace(auth, ':(443|80)$', '')) AS auth,
-         regexp_replace(substring(url, length(auth) + 1), '#.*', '') AS rest
-  FROM c0
-), c2 AS (
-  SELECT page_id, warc_ts, auth,
+         regexp_replace(substring(u, length(auth) + 1), '#.*', '') AS rest
+  FROM {prefix}0
+), {prefix}2 AS (
+  SELECT {carry}, auth,
          regexp_replace(regexp_replace(rest, '\?.*', ''), '/$', '') AS path,
          regexp_replace(regexp_replace(
              regexp_extract(rest, '\?(.*)', 1),
              '(^|&)utm_[^&]*', '', 'g'),
              '^&+', '') AS q
-  FROM c1
-), canon AS (
-  SELECT page_id, warc_ts,
+  FROM {prefix}1
+), {out} AS (
+  SELECT {carry},
          auth || path || CASE WHEN q = '' THEN '' ELSE '?' || q END
            AS canonical_url
-  FROM c2
+  FROM {prefix}2
 )
 """
+
+
+# The default chain over ``pages`` (appended after a WITH prefix that
+# defines ``pages``): ends in ``canon(page_id, warc_ts, canonical_url)``.
+# Shared by the batch dedup, the streamed-dedup gate, and the
+# latest-capture / snapshot-diff queries (queries_crawl.py).
+URL_CANON_CTES = url_canon_ctes()
 
 _URL_CANON_ORACLE = (
     synth.oracle_with("pages")
@@ -389,3 +403,242 @@ def q_url_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return drained.select("canonical_url", "n_pages", "first_page_id")
+
+
+# ----------------------------------------------------------------------
+# Inverted-index build (segmented postings): the index-construction
+# stage a retrieval system runs over the corpus — per term, per SEGMENT
+# (a fixed doc_id range, Lucene-style), the position-complete postings
+# list; then a per-term manifest row merging the segment digests.
+#
+# Scale shape: postings are built per (term, segment) so NO in-memory
+# list ever exceeds one segment's contribution — a stopword appearing
+# in every document produces one bounded row per segment, never one
+# corpus-wide list (the naive groupBy(term) collect would OOM on
+# stopwords at 10^12 docs). collect_list is partial-aggregatable
+# (ObjectHashAggregate combines map-side); array_sort canonicalizes
+# order without a sort exchange. The per-term merge aggregates tiny
+# (segment, digest) rows — at production scale you'd stop at the
+# per-segment index (segments ARE the serving shards) and this manifest
+# is the index's catalog row. Two exchanges total; no window, no join,
+# no Python.
+#
+# Cross-engine determinism: postings serialize as 'doc:pos' joined by
+# ',' in (doc_id, pos) order, digests as md5; the per-term manifest
+# joins 'seg:md5' by ';' in segment order — both engines agree exactly
+# (DuckDB string_agg ORDER BY == Spark array_sort of structs).
+
+INDEX_SEG_DOCS = 100  # docs per segment
+
+_INDEX_ORACLE = (
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + f"""
+, sp AS (
+  SELECT w AS term,
+         CAST(doc_id AS BIGINT) // {INDEX_SEG_DOCS} AS seg,
+         md5(string_agg(
+             CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+             ',' ORDER BY doc_id, pos)) AS seg_md5,
+         COUNT(DISTINCT doc_id) AS df_s,
+         COUNT(*) AS cf_s
+  FROM tokens
+  GROUP BY 1, 2
+)
+SELECT term,
+       CAST(SUM(df_s) AS BIGINT) AS df,
+       CAST(SUM(cf_s) AS BIGINT) AS cf,
+       COUNT(*) AS n_segs,
+       md5(string_agg(CAST(seg AS VARCHAR) || ':' || seg_md5,
+                      ';' ORDER BY seg)) AS index_md5
+FROM sp
+GROUP BY term
+"""
+)
+
+
+@register("index_postings", _INDEX_ORACLE)
+def q_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    from .queries_text import _tokens
+
+    t = _tokens(spark).withColumn(
+        "seg", F.expr(f"doc_id DIV {INDEX_SEG_DOCS}")
+    )
+    # df_s comes from the already-collected postings array (distinct
+    # docs in a sorted bounded list) — a countDistinct here would add a
+    # third shuffle (distinct-expand keyed (term, seg, doc_id)).
+    plist = t.groupBy(F.col("w").alias("term"), "seg").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("ps"),
+        F.count(F.lit(1)).alias("cf_s"),
+    )
+    posting = F.array_join(
+        F.transform(
+            F.col("ps"),
+            lambda s: F.concat(
+                s.doc_id.cast("string"), F.lit(":"), s.pos.cast("string")
+            ),
+        ),
+        ",",
+    )
+    sp = plist.select(
+        "term",
+        "seg",
+        F.md5(posting.cast("binary")).alias("seg_md5"),
+        F.size(
+            F.array_distinct(F.transform(F.col("ps"), lambda s: s.doc_id))
+        ).cast("long").alias("df_s"),
+        "cf_s",
+    )
+    manifest = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seg", "seg_md5"))),
+            lambda s: F.concat(
+                s.seg.cast("string"), F.lit(":"), s.seg_md5
+            ),
+        ),
+        ";",
+    )
+    return sp.groupBy("term").agg(
+        F.sum("df_s").cast("long").alias("df"),
+        F.sum("cf_s").cast("long").alias("cf"),
+        F.count(F.lit(1)).alias("n_segs"),
+        F.md5(manifest.cast("binary")).alias("index_md5"),
+    )
+
+
+# ----------------------------------------------------------------------
+# WAT-style outlink extraction + anchor-text aggregation: the link-graph
+# build a crawl pipeline runs straight off the raw HTML (Common Crawl's
+# WAT sidecar). Extraction is pure map-side codegen over the html binary
+# — regexp_extract_all of the anchor tags, posexplode, per-tag group
+# extracts, then the shared canonical-URL rewrite on every href; NO
+# shuffle at all for `outlink_extract` (the plan guard pins it to the
+# seed fan-out). `anchor_text_agg` inverts the graph: ONE partial/final
+# aggregation keyed by canonical target building the anchor-text index
+# (the classic retrieval signal — anchors describe the TARGET page);
+# distinct referring hosts come from the already-collected array, not a
+# countDistinct (which would plan a second distinct-expand shuffle).
+# Synth plants per-page navs of 1-3 links with uppercase/port/utm/
+# fragment/trailing-slash decorations so canonicalization is live on
+# the href path too.
+
+LINK_TAG_RE = '<a href="([^"]+)">([^<]*)</a>'
+_SRC_HOST_RE = "^[A-Za-z]+://([^/:?#]+)"
+
+_LINKS_CTES = (
+    f"""
+, tagged AS (
+  SELECT page_id,
+         lower(regexp_extract(url, '{_SRC_HOST_RE}', 1)) AS src_host,
+         decode(html) AS h
+  FROM pages
+)
+, tags AS (
+  SELECT page_id, src_host,
+         UNNEST(regexp_extract_all(h, '{LINK_TAG_RE}')) AS tag,
+         generate_subscripts(regexp_extract_all(h, '{LINK_TAG_RE}'), 1) - 1
+           AS pos
+  FROM tagged
+)
+, links AS (
+  SELECT page_id, src_host, pos,
+         regexp_extract(tag, '{LINK_TAG_RE}', 1) AS url,
+         regexp_extract(tag, '{LINK_TAG_RE}', 2) AS anchor
+  FROM tags
+)
+"""
+    + url_canon_ctes(
+        src="links",
+        carry="page_id, src_host, pos, anchor",
+        prefix="l",
+        out="lcanon",
+    )
+)
+
+_OUTLINK_ORACLE = (
+    synth.oracle_with("pages")
+    + _LINKS_CTES
+    + """
+SELECT page_id, pos, canonical_url AS dst_url, anchor
+FROM lcanon
+"""
+)
+
+
+def _links_df(spark: SparkSession) -> DataFrame:
+    """(page_id, src_host, pos, dst_url, anchor) — map-side only."""
+    pat = LINK_TAG_RE
+    tags = spark.table("pages").select(
+        "page_id",
+        F.lower(F.regexp_extract("url", _SRC_HOST_RE, 1)).alias("src_host"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"), F.lit(pat), F.lit(0)
+            )
+        ).alias("pos", "tag"),
+    )
+    return tags.select(
+        "page_id",
+        "src_host",
+        "pos",
+        canonical_url_expr(F.regexp_extract("tag", pat, 1)).alias("dst_url"),
+        F.regexp_extract("tag", pat, 2).alias("anchor"),
+    )
+
+
+@register("outlink_extract", _OUTLINK_ORACLE)
+def q_outlink_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return _links_df(spark).select("page_id", "pos", "dst_url", "anchor")
+
+
+_ANCHOR_ORACLE = (
+    synth.oracle_with("pages")
+    + _LINKS_CTES
+    + """
+SELECT canonical_url AS dst_url,
+       COUNT(*) AS n_refs,
+       COUNT(DISTINCT src_host) AS n_src_hosts,
+       md5(string_agg(
+           anchor || ':' || CAST(page_id AS VARCHAR)
+                  || ':' || CAST(pos AS VARCHAR),
+           ',' ORDER BY anchor, page_id, pos)) AS anchors_md5,
+       MIN(anchor) AS first_anchor
+FROM lcanon
+GROUP BY 1
+"""
+)
+
+
+@register("anchor_text_agg", _ANCHOR_ORACLE)
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = _links_df(spark).groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.array_sort(
+            F.collect_list(F.struct("anchor", "page_id", "pos", "src_host"))
+        ).alias("refs"),
+    )
+    blob = F.array_join(
+        F.transform(
+            F.col("refs"),
+            lambda s: F.concat_ws(
+                ":", s.anchor, s.page_id.cast("string"), s.pos.cast("string")
+            ),
+        ),
+        ",",
+    )
+    return g.select(
+        "dst_url",
+        "n_refs",
+        F.size(
+            F.array_distinct(F.transform(F.col("refs"), lambda s: s.src_host))
+        ).cast("long").alias("n_src_hosts"),
+        F.md5(blob.cast("binary")).alias("anchors_md5"),
+        # refs is sorted by (anchor, page_id, pos, src_host) — the first
+        # element's anchor IS min(anchor)
+        F.element_at(
+            F.transform(F.col("refs"), lambda s: s.anchor), 1
+        ).alias("first_anchor"),
+    )

@@ -17,6 +17,11 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "lang_quota_sample",
+    "outlink_extract",
+    "anchor_text_agg",
+    "crawl_snapshot_diff",
+    "index_postings",
     "pii_scrub",
     "host_blocklist_filter",
     "url_latest_capture",

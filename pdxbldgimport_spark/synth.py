@@ -89,7 +89,21 @@ SELECT
   CASE WHEN page_id % 101 = 13 THEN 'A' ELSE NULL END AS unit_no,
   text,
   lang,
-  CAST('<html><head><title>p' || CAST(page_id AS {STR}) || '</title></head><body>' || text || '</body></html>' AS {BIN}) AS html
+  CAST('<html><head><title>p' || CAST(page_id AS {STR}) || '</title></head><body>' || text
+    || '<nav><a href="'
+    || CASE WHEN page_id % 9 = 4
+         THEN 'HTTPS://H' || CAST(((page_id * 13 + 29) % 4099) % {NP} AS {STR}) || '.EXAMPLE.COM:443/p/' || CAST((page_id * 13 + 29) % 4099 AS {STR}) || '?utm_src=x#frag'
+         ELSE 'https://h' || CAST(((page_id * 13 + 29) % 4099) % {NP} AS {STR}) || '.example.com/p/' || CAST((page_id * 13 + 29) % 4099 AS {STR})
+       END
+    || '">ref' || CAST((page_id * 13 + 29) % 4099 AS {STR}) || '</a>'
+    || CASE WHEN page_id % 3 = 0 THEN ''
+         ELSE '<a href="https://h' || CAST(((page_id * 13 + 58) % 4099) % {NP} AS {STR}) || '.example.com/p/' || CAST((page_id * 13 + 58) % 4099 AS {STR}) || '">go ' || CAST((page_id * 13 + 58) % 4099 AS {STR}) || '</a>'
+       END
+    || CASE WHEN page_id % 5 = 2
+         THEN '<a href="https://h' || CAST(((page_id * 13 + 87) % 4099) % {NP} AS {STR}) || '.example.com/p/' || CAST((page_id * 13 + 87) % 4099 AS {STR}) || '/">ref' || CAST((page_id * 13 + 87) % 4099 AS {STR}) || '</a>'
+         ELSE ''
+       END
+    || '</nav></body></html>' AS {BIN}) AS html
 FROM (
   SELECT d.doc_id, d.text, d.lang, d.doc_id * {REP} + r.r AS page_id,
          CASE WHEN (d.doc_id * {REP} + r.r) % 7 = 3 THEN 0

@@ -158,3 +158,167 @@ def test_pipeline_funnel_matches_bruteforce(spark):
     }
     # every stage strictly prunes at this SF — the funnel is live
     assert s[0] > s[1] > s[2] > s[3] > s[4] > 0
+
+
+def test_crawl_snapshot_diff_matches_bruteforce(spark):
+    rows = _pages(spark, "page_id", "url", "warc_ts", "text")
+    sides: dict = defaultdict(lambda: [None, None])  # canon -> [old, new]
+    text_by_pid = {}
+    for r in rows:
+        c = _canonical(r["url"])
+        s = r["warc_ts"].second % 2
+        key = (r["warc_ts"], r["page_id"])
+        if sides[c][s] is None or key > sides[c][s]:
+            sides[c][s] = key
+        text_by_pid[r["page_id"]] = r["text"]
+    expect: dict = defaultdict(lambda: [0, None])
+    for c, (o, n) in sides.items():
+        if o is None:
+            st = "added"
+        elif n is None:
+            st = "removed"
+        elif text_by_pid[o[1]] != text_by_pid[n[1]]:
+            st = "changed"
+        else:
+            st = "unchanged"
+        host = re.match(r"^[a-z]+://([^/:?#]+)", c).group(1)
+        e = expect[(host, st)]
+        e[0] += 1
+        e[1] = c if e[1] is None else min(e[1], c)
+    got = {
+        (r["host"], r["status"]): [r["n_urls"], r["first_url"]]
+        for r in Q.QUERIES["crawl_snapshot_diff"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)
+    # every status is live at this SF — the fixture matrix works
+    assert {"added", "removed", "changed", "unchanged"} <= {
+        s for _, s in got
+    }
+
+
+def test_index_postings_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import INDEX_SEG_DOCS
+
+    views(spark, SF_SMOKE)
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    seg_posts: dict = defaultdict(list)  # (term, seg) -> [(doc, pos)]
+    for r in docs:
+        seg = r["doc_id"] // INDEX_SEG_DOCS
+        for pos, w in enumerate(r["text"].split(" ")):
+            seg_posts[(w, seg)].append((r["doc_id"], pos))
+    per_term: dict = defaultdict(list)
+    for (w, seg), ps in seg_posts.items():
+        ps.sort()
+        blob = ",".join(f"{d}:{p}" for d, p in ps)
+        per_term[w].append(
+            (seg, hashlib.md5(blob.encode()).hexdigest(),
+             len({d for d, _ in ps}), len(ps))
+        )
+    expect = {}
+    for w, segs in per_term.items():
+        segs.sort()
+        manifest = ";".join(f"{s}:{m}" for s, m, _, _ in segs)
+        expect[w] = (
+            sum(df for _, _, df, _ in segs),
+            sum(cf for _, _, _, cf in segs),
+            len(segs),
+            hashlib.md5(manifest.encode()).hexdigest(),
+        )
+    got = {
+        r["term"]: (r["df"], r["cf"], r["n_segs"], r["index_md5"])
+        for r in Q.QUERIES["index_postings"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # multi-segment terms exist (the manifest merge is live)
+    assert any(v[2] > 1 for v in got.values())
+
+
+def test_outlink_extract_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_web import LINK_TAG_RE
+
+    rows = _pages(spark, "page_id", "html")
+    expect = {}
+    for r in rows:
+        html = bytes(r["html"]).decode()
+        for pos, m in enumerate(re.finditer(LINK_TAG_RE, html)):
+            expect[(r["page_id"], pos)] = (_canonical(m.group(1)), m.group(2))
+    got = {
+        (r["page_id"], r["pos"]): (r["dst_url"], r["anchor"])
+        for r in Q.QUERIES["outlink_extract"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # fixture liveness: pages with 1, 2 and 3 links all exist, and the
+    # decorated hrefs canonicalize (no uppercase scheme survives)
+    per_page = defaultdict(int)
+    for pid, _ in got:
+        per_page[pid] += 1
+    assert {1, 2, 3} <= set(per_page.values())
+    assert all(u.startswith("https://h") for u, _ in got.values())
+
+
+def test_anchor_text_agg_matches_bruteforce(spark):
+    got = {
+        r["dst_url"]: (
+            r["n_refs"], r["n_src_hosts"], r["anchors_md5"],
+            r["first_anchor"],
+        )
+        for r in Q.QUERIES["anchor_text_agg"](spark, SF_SMOKE).collect()
+    }
+    from pdxbldgimport_spark.queries_web import LINK_TAG_RE
+
+    rows = _pages(spark, "page_id", "url", "html")
+    refs = defaultdict(list)
+    for r in rows:
+        html = bytes(r["html"]).decode()
+        src_host = re.match(
+            r"^[A-Za-z]+://([^/:?#]+)", r["url"]
+        ).group(1).lower()
+        for pos, m in enumerate(re.finditer(LINK_TAG_RE, html)):
+            refs[_canonical(m.group(1))].append(
+                (m.group(2), r["page_id"], pos, src_host)
+            )
+    expect = {}
+    for dst, rs in refs.items():
+        rs.sort()
+        blob = ",".join(f"{a}:{p}:{o}" for a, p, o, _ in rs)
+        expect[dst] = (
+            len(rs),
+            len({h for _, _, _, h in rs}),
+            hashlib.md5(blob.encode()).hexdigest(),
+            rs[0][0],
+        )
+    assert got == expect
+    # multi-ref targets from multiple hosts exist — the index is live
+    assert any(v[0] > 1 and v[1] > 1 for v in got.values())
+
+
+def test_lang_quota_sample_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import QUOTA_MARGIN, QUOTA_N
+
+    views(spark, SF_SMOKE)
+    docs = spark.table("documents").select("lang", "doc_id").collect()
+    by_lang = defaultdict(list)
+    for r in docs:
+        hx = hashlib.md5(f"qs:{r['doc_id']}".encode()).hexdigest()
+        # _h60_sql: nibble n contributes digit_n * 16^n — the first hex
+        # char is the LEAST significant
+        h = int(hx[:15][::-1], 16)
+        by_lang[r["lang"]].append((h, r["doc_id"]))
+    expect = {}
+    for lang, hs in by_lang.items():
+        hs.sort()
+        for rank, (h, d) in enumerate(hs[:QUOTA_N], start=1):
+            expect[(lang, rank)] = (d, h)
+        # the oversample threshold has healthy headroom on this data:
+        # at least N candidates fall under it for every lang
+        cnt = len(hs)
+        lim = (1 << 60) * QUOTA_MARGIN * QUOTA_N
+        n_cand = sum(1 for h, _ in hs if h * cnt < lim)
+        assert n_cand >= min(QUOTA_N, cnt), lang
+    got = {
+        (r["lang"], r["rank"]): (r["doc_id"], r["h"])
+        for r in Q.QUERIES["lang_quota_sample"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect

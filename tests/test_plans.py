@@ -425,3 +425,80 @@ def test_pipeline_funnel_no_window_no_python(spark):
     assert "Window" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_crawl_snapshot_diff_join_free(spark):
+    """crawl_snapshot_diff: the WHOLE diff is join-free — conditional
+    max(struct) per canonical URL (partial/final, map-side combine) +
+    the host/status rollup; no Join, no Window, ≤3 exchanges (seed
+    fan-out + the two agg shuffles), no Python."""
+    plan = _plan(Q.QUERIES["crawl_snapshot_diff"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 3
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_index_postings_two_aggs_no_join_no_python(spark):
+    """index_postings: per-(term, segment) postings then the per-term
+    manifest merge — two partial/final ObjectHashAggregates (collect_list
+    combines map-side), ≤3 exchanges (seed fan-out + two agg shuffles;
+    df_s must come from the collected array, NOT a countDistinct, which
+    would plan a third distinct-expand shuffle), no Join, no Window,
+    no Python."""
+    plan = _plan(Q.QUERIES["index_postings"](spark, SF))
+    assert plan.count("ObjectHashAggregate") >= 4
+    assert plan.count("Exchange") <= 3
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_outlink_extract_map_side_only(spark):
+    """outlink_extract: WAT-style link extraction is a pure map pass —
+    Generate (posexplode) + codegen regex/canon projections; the ONLY
+    exchange is the synth seed fan-out. No join, no agg, no Python."""
+    plan = _plan(Q.QUERIES["outlink_extract"](spark, SF))
+    assert "Generate" in plan
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_anchor_text_agg_single_agg_no_join(spark):
+    """anchor_text_agg: ONE partial/final ObjectHashAggregate keyed by
+    canonical target (collect_list combines map-side); distinct source
+    hosts come from the collected array — a countDistinct would plan a
+    second distinct-expand shuffle. ≤2 exchanges, no join, no window,
+    no Python."""
+    plan = _plan(Q.QUERIES["anchor_text_agg"](spark, SF))
+    assert plan.count("ObjectHashAggregate") >= 2
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lang_quota_sample_no_corpus_window(spark):
+    """lang_quota_sample: exact per-lang top-N WITHOUT a corpus-wide
+    row_number window (that would shuffle everything by lang and rank
+    the dominant language serially): tiny counts agg BROADCAST back,
+    map-side threshold filter, one bounded collect_list agg. No Window,
+    BroadcastHashJoin only, ≤3 exchanges, no Python."""
+    plan = _plan(Q.QUERIES["lang_quota_sample"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # real shuffles only (BroadcastExchange contains 'Exchange'): the
+    # two corpus scans each pay the synth seed fan-out, plus the counts
+    # agg and the bounded top-N agg — on parquet at scale the fan-outs
+    # vanish and this is 2
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 4
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
