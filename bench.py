@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "dedup_url_canonical",
     "outlink_extract",
     "anchor_text_agg",
+    "link_degree_dist",
+    "host_hits",
+    "dedup_incremental",
     "crawl_snapshot_diff",
     "index_postings",
     "pii_scrub",

@@ -642,3 +642,185 @@ def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("refs"), lambda s: s.anchor), 1
         ).alias("first_anchor"),
     )
+
+
+# ----------------------------------------------------------------------
+# Degree distribution over the REAL extracted link graph (outlinks from
+# the html <nav>s, not the synthetic pid graph host_pagerank uses):
+# per host, the distinct-host out-degree and in-degree. Scale shape:
+# ONE distinct on the (src_host, dst_host) pair (the host-contracted
+# edge list — at 10^12 pages this contraction is the big shuffle and
+# everything after runs on ~10^8 host rows), then two tiny aggs and a
+# host-keyed full outer join of two already-small relations.
+
+_DST_HOST = "^[a-z]+://([^/:?#]+)"
+
+
+def _host_edges_df(spark: SparkSession) -> DataFrame:
+    l = _links_df(spark)
+    return l.select(
+        "src_host",
+        F.regexp_extract("dst_url", _DST_HOST, 1).alias("dst_host"),
+    )
+
+
+_HOST_EDGES_CTES = (
+    _LINKS_CTES
+    + f"""
+, he AS (
+  SELECT src_host,
+         regexp_extract(canonical_url, '{_DST_HOST}', 1) AS dst_host
+  FROM lcanon
+)
+"""
+)
+
+_DEGREE_ORACLE = (
+    synth.oracle_with("pages")
+    + _HOST_EDGES_CTES
+    + """
+, e AS (SELECT DISTINCT src_host, dst_host FROM he)
+, od AS (SELECT src_host AS host, COUNT(*) AS out_deg FROM e GROUP BY 1)
+, idg AS (SELECT dst_host AS host, COUNT(*) AS in_deg FROM e GROUP BY 1)
+SELECT COALESCE(od.host, idg.host) AS host,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg
+FROM od FULL OUTER JOIN idg ON od.host = idg.host
+"""
+)
+
+
+@register("link_degree_dist", _DEGREE_ORACLE)
+def q_link_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    e = _host_edges_df(spark).distinct()
+    od = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    idg = e.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        od.join(idg, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Fixed-K HITS (hubs & authorities) over the same real link graph,
+# integer-exact: authority = sum of hub scores over weighted in-edges,
+# hub = sum of authority scores over weighted out-edges; after every
+# sum the score is floor-divided by 2^HITS_SHIFT (order-independent —
+# the sum itself is exact int64) instead of the usual L2 normalization,
+# which no two engines would agree on bit-for-bit. Same trillion-edge
+# shape as host_pagerank: the edge rollup is the one expensive pass
+# (staged per session); each half-iteration is a hash join keyed by
+# one endpoint + a partial/final agg keyed by the other — two bounded
+# shuffles, no driver state, K unrolled. The oracle unrolls the same
+# recurrence as chained CTEs (DuckDB HUGEINT sums cast back).
+
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+# per-half-iteration floor shift (the order-independent stand-in for L2
+# normalization): 2^8 ~ the synth graph's mean weighted degree, keeping
+# scores in a stable fixed-point band across iterations. At production
+# scale the shift is chosen from a degree bound the same way (shift ~
+# log2(mean weighted degree)) so int64 never overflows: sums stay ≤
+# score_band * max_degree ≈ 1e6 * 1e9 « 2^63.
+HITS_SHIFT = 8
+
+
+def _hits_oracle() -> str:
+    sql = (
+        synth.oracle_with("pages")
+        + _HOST_EDGES_CTES
+        + f"""
+, w AS (SELECT src_host AS src, dst_host AS dst, COUNT(*) AS w
+        FROM he GROUP BY 1, 2)
+, hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM w UNION ALL SELECT dst AS h FROM w
+  ) u
+)
+, h0 AS (SELECT h, CAST({HITS_SCALE} AS BIGINT) AS s FROM hosts)"""
+    )
+    for i in range(HITS_ITERS):
+        sql += f"""
+, a{i + 1} AS (
+  SELECT hosts.h,
+         CAST(COALESCE(SUM(c.s * c.w), 0) // {1 << HITS_SHIFT} AS BIGINT)
+           AS s
+  FROM hosts
+  LEFT JOIN (
+    SELECT w.dst AS h, r.s, w.w FROM w JOIN h{i} r ON r.h = w.src
+  ) c ON c.h = hosts.h
+  GROUP BY hosts.h
+), h{i + 1} AS (
+  SELECT hosts.h,
+         CAST(COALESCE(SUM(c.s * c.w), 0) // {1 << HITS_SHIFT} AS BIGINT)
+           AS s
+  FROM hosts
+  LEFT JOIN (
+    SELECT w.src AS h, r.s, w.w FROM w JOIN a{i + 1} r ON r.h = w.dst
+  ) c ON c.h = hosts.h
+  GROUP BY hosts.h
+)"""
+    sql += f"""
+SELECT hosts.h AS host, a.s AS auth_scaled, hh.s AS hub_scaled
+FROM hosts
+JOIN a{HITS_ITERS} a ON a.h = hosts.h
+JOIN h{HITS_ITERS} hh ON hh.h = hosts.h
+"""
+    return sql
+
+
+@register("host_hits", _hits_oracle())
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+
+    def build() -> DataFrame:
+        return (
+            _host_edges_df(spark)
+            .groupBy(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    w = stage(spark, (session_token(spark), sf_dir, "hits_edges"), build)
+    hosts = (
+        w.select(F.col("src").alias("h"))
+        .unionByName(w.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    h = hosts.select("h", F.lit(HITS_SCALE).cast("long").alias("s"))
+    shift = 1 << HITS_SHIFT
+    for _ in range(HITS_ITERS):
+        contrib_a = w.join(h.withColumnRenamed("h", "src"), "src").select(
+            F.col("dst").alias("h"), (F.col("s") * F.col("w")).alias("c")
+        )
+        a = hosts.join(
+            contrib_a.groupBy("h").agg(
+                F.expr(f"CAST(sum(c) DIV {shift} AS BIGINT)").alias("s")
+            ),
+            "h",
+            "left",
+        ).select("h", F.coalesce("s", F.lit(0).cast("long")).alias("s"))
+        contrib_h = w.join(a.withColumnRenamed("h", "dst"), "dst").select(
+            F.col("src").alias("h"), (F.col("s") * F.col("w")).alias("c")
+        )
+        h = hosts.join(
+            contrib_h.groupBy("h").agg(
+                F.expr(f"CAST(sum(c) DIV {shift} AS BIGINT)").alias("s")
+            ),
+            "h",
+            "left",
+        ).select("h", F.coalesce("s", F.lit(0).cast("long")).alias("s"))
+    return (
+        hosts.join(a.withColumnRenamed("s", "auth_scaled"), "h")
+        .join(h.withColumnRenamed("s", "hub_scaled"), "h")
+        .select(F.col("h").alias("host"), "auth_scaled", "hub_scaled")
+    )

@@ -17,6 +17,9 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "link_degree_dist",
+    "host_hits",
+    "dedup_incremental",
     "lang_quota_sample",
     "outlink_extract",
     "anchor_text_agg",

@@ -322,3 +322,102 @@ def test_lang_quota_sample_matches_bruteforce(spark):
         for r in Q.QUERIES["lang_quota_sample"](spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def _host_edges_bruteforce(rows):
+    from pdxbldgimport_spark.queries_web import LINK_TAG_RE
+
+    edges = []
+    for r in rows:
+        html = bytes(r["html"]).decode()
+        src = re.match(
+            r"^[A-Za-z]+://([^/:?#]+)", r["url"]
+        ).group(1).lower()
+        for m in re.finditer(LINK_TAG_RE, html):
+            dst = re.match(
+                r"^[a-z]+://([^/:?#]+)", _canonical(m.group(1))
+            ).group(1)
+            edges.append((src, dst))
+    return edges
+
+
+def test_link_degree_dist_matches_bruteforce(spark):
+    rows = _pages(spark, "page_id", "url", "html")
+    e = set(_host_edges_bruteforce(rows))
+    outd: dict = defaultdict(int)
+    ind: dict = defaultdict(int)
+    for s, d in e:
+        outd[s] += 1
+        ind[d] += 1
+    got = {
+        r["host"]: (r["out_deg"], r["in_deg"])
+        for r in Q.QUERIES["link_degree_dist"](spark, SF_SMOKE).collect()
+    }
+    expect = {
+        h: (outd.get(h, 0), ind.get(h, 0)) for h in set(outd) | set(ind)
+    }
+    assert got == expect
+    assert any(o > 1 and i > 1 for o, i in got.values())
+
+
+def test_host_hits_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_web import (
+        HITS_ITERS,
+        HITS_SCALE,
+        HITS_SHIFT,
+    )
+
+    rows = _pages(spark, "page_id", "url", "html")
+    w: dict = defaultdict(int)
+    for s, d in _host_edges_bruteforce(rows):
+        w[(s, d)] += 1
+    hosts = {s for s, _ in w} | {d for _, d in w}
+    h = {x: HITS_SCALE for x in hosts}
+    for _ in range(HITS_ITERS):
+        a = {x: 0 for x in hosts}
+        for (s, d), wt in w.items():
+            a[d] += h[s] * wt
+        a = {x: v >> HITS_SHIFT for x, v in a.items()}
+        h = {x: 0 for x in hosts}
+        for (s, d), wt in w.items():
+            h[s] += a[d] * wt
+        h = {x: v >> HITS_SHIFT for x, v in h.items()}
+    got = {
+        r["host"]: (r["auth_scaled"], r["hub_scaled"])
+        for r in Q.QUERIES["host_hits"](spark, SF_SMOKE).collect()
+    }
+    assert got == {x: (a[x], h[x]) for x in hosts}
+    assert any(v[0] > 0 for v in got.values())
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_dedup_incremental_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_crawl import CORPUS_HOURS
+
+    rows = _pages(spark, "page_id", "url", "warc_ts", "text")
+    corpus = {
+        hashlib.md5(r["text"].encode()).hexdigest()
+        for r in rows
+        if r["warc_ts"].hour < CORPUS_HOURS
+    }
+    expect: dict = {}
+    for r in rows:
+        if r["warc_ts"].hour < CORPUS_HOURS:
+            continue
+        host = re.match(
+            r"^[A-Za-z]+://([^/:?#]+)", r["url"]
+        ).group(1).lower()
+        e = expect.setdefault(host, [0, 0, None])
+        e[0] += 1
+        if hashlib.md5(r["text"].encode()).hexdigest() not in corpus:
+            e[1] += 1
+            e[2] = r["page_id"] if e[2] is None else min(e[2], r["page_id"])
+    got = {
+        r["host"]: [r["n_pages"], r["n_new"], r["first_new_page_id"]]
+        for r in Q.QUERIES["dedup_incremental"](spark, SF_SMOKE).collect()
+    }
+    assert got == {h: list(v) for h, v in expect.items()}
+    # liveness: the increment contains BOTH new and already-seen content
+    tot_pages = sum(v[0] for v in got.values())
+    tot_new = sum(v[1] for v in got.values())
+    assert 0 < tot_new < tot_pages

@@ -502,3 +502,43 @@ def test_lang_quota_sample_no_corpus_window(spark):
     assert shuffles <= 4
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_link_degree_dist_contracts_before_degree_aggs(spark):
+    """link_degree_dist: the pair-distinct contracts the edge list
+    BEFORE the degree aggs; the final join runs on two host-sized
+    relations. No Window, no nested loop, no Python."""
+    plan = _plan(Q.QUERIES["link_degree_dist"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_hits_no_window_no_python(spark):
+    """host_hits: K unrolled iterations of hash join + partial/final
+    agg over the host-contracted weighted edge list (staged once per
+    session); integer shift instead of L2 normalization. No Window, no
+    nested loop, no Python."""
+    plan = _plan(Q.QUERIES["host_hits"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_incremental_joins_on_content_hash(spark):
+    """dedup_incremental: big-big dedup joins on the md5 key (broadcast
+    is fine at gate SF; at scale AQE plans the co-partitioned hash
+    join); the rollup is partial/final. No window, no nested loop, no
+    Python."""
+    plan = _plan(Q.QUERIES["dedup_incremental"](spark, SF))
+    assert "Join" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
