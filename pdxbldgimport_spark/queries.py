@@ -251,9 +251,10 @@ def q_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return spark.table("pages").select(
         "url",
-        # body-before-nav via two substring_index passes — pure string
-        # scans, ~3x faster than the equivalent lazy-regex extract (the
-        # synth text is whitespace-delimited words, never '<')
+        # body-before-nav via substring_index passes — pure string scans,
+        # measured ~1.3x faster than the equivalent lazy-regex extract
+        # (BENCH/BASELINE.md round-5 late batch A/B; the synth text is
+        # whitespace-delimited words, never '<')
         F.substring_index(
             F.substring_index(
                 F.substring_index(

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import synth
 from .queries import register, views
-from .queries_web import URL_CANON_CTES, canonical_url_expr
+from .queries_web import (
+    CANON_HOST_RE,
+    RAW_HOST_RE,
+    URL_CANON_CTES,
+    canonical_url_expr,
+)
 
 # ----------------------------------------------------------------------
 # PII scrub: per-page redaction counts (on the raw text) + the md5 and
@@ -114,7 +119,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast; the page side never shuffles for the filter itself (LEFT
 # ANTI BroadcastHashJoin), only for the final per-host rollup.
 
-_HOST_RE = "^[A-Za-z]+://([^/:?#]+)"
+_HOST_RE = RAW_HOST_RE
 BLOCK_MOD, BLOCK_RESIDUE = 23, 11
 
 _BLOCKLIST_ORACLE = (
@@ -266,7 +271,9 @@ FROM f3 JOIN fk ON f3.h = fk.h AND f3.page_id = fk.fp
 def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     words = (
-        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
     )
     b1 = F.col("lang") == FUNNEL_LANG
     b2 = b1 & F.length("text").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS)
@@ -320,7 +327,7 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join-back latest capture + an explicit FULL OUTER JOIN — a genuinely
 # different plan certifying the same semantics.
 
-SNAP_HOST_RE = "^[a-z]+://([^/:?#]+)"
+SNAP_HOST_RE = CANON_HOST_RE
 
 
 def _snap_side_sql(side: int) -> str:
@@ -467,9 +474,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = s.where("is_corpus").select("h").distinct()
     batch = s.where(~F.col("is_corpus")).select(
-        F.lower(
-            F.regexp_extract("url", "^[A-Za-z]+://([^/:?#]+)", 1)
-        ).alias("host"),
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"),
         "page_id",
         "h",
     )

@@ -524,13 +524,20 @@ def q_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the href path too.
 
 LINK_TAG_RE = '<a href="([^"]+)">([^<]*)</a>'
-_SRC_HOST_RE = "^[A-Za-z]+://([^/:?#]+)"
+
+# The two host-extraction regexes, shared by every query that keys on a
+# host (also imported by queries_crawl.py — one definition, so a future
+# change to host parsing cannot desynchronize an engine query from its
+# oracle): RAW over as-crawled urls (case-mixed scheme/host, may carry a
+# port), CANON over canonical_url_expr output (already lowercased).
+RAW_HOST_RE = "^[A-Za-z]+://([^/:?#]+)"
+CANON_HOST_RE = "^[a-z]+://([^/:?#]+)"
 
 _LINKS_CTES = (
     f"""
 , tagged AS (
   SELECT page_id,
-         lower(regexp_extract(url, '{_SRC_HOST_RE}', 1)) AS src_host,
+         lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS src_host,
          decode(html) AS h
   FROM pages
 )
@@ -571,7 +578,7 @@ def _links_df(spark: SparkSession) -> DataFrame:
     pat = LINK_TAG_RE
     tags = spark.table("pages").select(
         "page_id",
-        F.lower(F.regexp_extract("url", _SRC_HOST_RE, 1)).alias("src_host"),
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("src_host"),
         F.posexplode(
             F.regexp_extract_all(
                 F.col("html").cast("string"), F.lit(pat), F.lit(0)
@@ -653,14 +660,12 @@ def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # everything after runs on ~10^8 host rows), then two tiny aggs and a
 # host-keyed full outer join of two already-small relations.
 
-_DST_HOST = "^[a-z]+://([^/:?#]+)"
-
 
 def _host_edges_df(spark: SparkSession) -> DataFrame:
     l = _links_df(spark)
     return l.select(
         "src_host",
-        F.regexp_extract("dst_url", _DST_HOST, 1).alias("dst_host"),
+        F.regexp_extract("dst_url", CANON_HOST_RE, 1).alias("dst_host"),
     )
 
 
@@ -669,7 +674,7 @@ _HOST_EDGES_CTES = (
     + f"""
 , he AS (
   SELECT src_host,
-         regexp_extract(canonical_url, '{_DST_HOST}', 1) AS dst_host
+         regexp_extract(canonical_url, '{CANON_HOST_RE}', 1) AS dst_host
   FROM lcanon
 )
 """
