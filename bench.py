@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "corpus_sample",
     "lang_quota_sample",
+    "colloc_pmi_topk",
     "distinct_sketch_fm",
     "dedup_simhash",
     "text_stats",

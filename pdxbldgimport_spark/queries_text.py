@@ -1544,3 +1544,110 @@ def q_lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.doc_id").alias("doc_id"),
         F.col("s.h").alias("h"),
     )
+
+
+# ----------------------------------------------------------------------
+# Collocation discovery: top-K bigrams by PMI — the tokenizer/vocab
+# engineering pass that finds multi-word units ("new york") worth
+# merging before BPE training. PMI = log(p(xy)/(p(x)p(y))) is rank-
+# equivalent to the integer surrogate SCALE·c_xy·N / (c_x·c_y) (log is
+# monotone), computed with ONE floor division on DECIMAL(38)/HUGEINT
+# operands so both engines produce identical int64 scores (c_xy·N can
+# exceed int64 at corpus scale — 1e12 tokens squared — but the quotient
+# is bounded by SCALE·N/c_min and always fits; verified cross-engine).
+#
+# Scale shape: bigram and unigram counts are partial/final hash aggs
+# off the (staged) token stream; the unigram relation is vocabulary-
+# sized (~1e7 at web scale) and BROADCASTS onto the bigram counts twice
+# (left word, right word) — the bigram side never shuffles on a word
+# key; min-count pruning happens before the joins; top-K is
+# TakeOrderedAndProject (per-partition heaps), never a global sort.
+
+PMI_SCALE = 1_000_000
+PMI_MIN_COUNT = 5
+PMI_K = 100
+
+_PMI_ORACLE = (
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + f"""
+, bg AS (
+  SELECT w AS w1, lead(w, 1) OVER win AS w2
+  FROM tokens
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 1) OVER win IS NOT NULL
+)
+, cxy AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+)
+, uni AS (SELECT w, COUNT(*) AS c FROM tokens GROUP BY 1)
+, tot AS (SELECT COUNT(*) AS n FROM bg)
+SELECT b.w1, b.w2, b.c_xy,
+       CAST((CAST({PMI_SCALE} AS HUGEINT) * b.c_xy * t.n)
+            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_scaled
+FROM cxy b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tot t
+ORDER BY pmi_scaled DESC, b.w1, b.w2
+LIMIT {PMI_K}
+"""
+)
+
+
+@register("colloc_pmi_topk", _PMI_ORACLE)
+def q_colloc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    t = _tokens(spark)
+    # bigrams map-side off the split array (zip_with over two slices) —
+    # the window formulation (which the oracle keeps, algorithm-
+    # independently) would shuffle the whole token stream by doc_id
+    # first; this one never shuffles until the bigram count
+    bg = (
+        spark.table("documents")
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(split(text, ' '), 1,"
+                    " size(split(text, ' ')) - 1),"
+                    " slice(split(text, ' '), 2,"
+                    " size(split(text, ' ')) - 1),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    cxy = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    uni = t.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        cxy.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c2"))),
+            "w2",
+        )
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr(
+                f"CAST((CAST({PMI_SCALE} AS DECIMAL(38,0)) * c_xy * n)"
+                " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+            ).alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_scaled"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_K)

@@ -17,6 +17,7 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "colloc_pmi_topk",
     "link_degree_dist",
     "host_hits",
     "dedup_incremental",

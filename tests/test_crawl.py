@@ -421,3 +421,47 @@ def test_dedup_incremental_matches_bruteforce(spark):
     tot_pages = sum(v[0] for v in got.values())
     tot_new = sum(v[1] for v in got.values())
     assert 0 < tot_new < tot_pages
+
+
+def test_colloc_pmi_topk_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import (
+        PMI_K,
+        PMI_MIN_COUNT,
+        PMI_SCALE,
+    )
+
+    views(spark, SF_SMOKE)
+    docs = spark.table("documents").select("text").collect()
+    uni: dict = defaultdict(int)
+    cxy: dict = defaultdict(int)
+    n = 0
+    for r in docs:
+        toks = r["text"].split(" ")
+        for w in toks:
+            uni[w] += 1
+        for a, b in zip(toks, toks[1:]):
+            cxy[(a, b)] += 1
+            n += 1
+    scored = [
+        (
+            PMI_SCALE * c * n // (uni[a] * uni[b]),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in cxy.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = {
+        (a, b): (c, s) for s, a, b, c in scored[:PMI_K]
+    }
+    got = {
+        (r["w1"], r["w2"]): (r["c_xy"], r["pmi_scaled"])
+        for r in Q.QUERIES["colloc_pmi_topk"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # scores discriminate (not all equal) and the min-count prune bites
+    assert len({v[1] for v in got.values()}) > 1
+    assert len(scored) > PMI_K

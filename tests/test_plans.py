@@ -542,3 +542,18 @@ def test_dedup_incremental_joins_on_content_hash(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_colloc_pmi_no_window_broadcast_uni_take_ordered(spark):
+    """colloc_pmi_topk: bigrams extracted map-side (zip_with over the
+    split array — NO doc_id window shuffle of the token stream); the
+    vocabulary-sized unigram relation BROADCASTS onto the pruned bigram
+    counts; top-K plans as TakeOrderedAndProject, never a global Sort.
+    No Python anywhere."""
+    plan = _plan(Q.QUERIES["colloc_pmi_topk"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
