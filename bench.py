@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "corpus_sample",
     "lang_quota_sample",
     "colloc_pmi_topk",
+    "dup_cluster_stats",
     "distinct_sketch_fm",
     "dedup_simhash",
     "text_stats",

@@ -1651,3 +1651,55 @@ def q_colloc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_scaled"), F.asc("w1"), F.asc("w2")
     ).limit(PMI_K)
+
+
+# ----------------------------------------------------------------------
+# Dedup reporting: the cluster-size distribution of the near-dup
+# components — the number a dedup run actually publishes ("N clusters
+# of size k, M docs retired"). Composes the CC output with two tiny
+# aggregations (component rollup, then size histogram); everything
+# after the components is host/cluster-scale, never corpus-scale. The
+# oracle extends the same algorithm-independent recursive-closure
+# formulation with the identical rollups.
+
+@register(
+    "dup_cluster_stats",
+    "WITH RECURSIVE "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + _MINHASH_DUCK
+    + _LSH_DUCK
+    + f"""
+, pairs AS (
+  SELECT doc_a, doc_b FROM jac
+  WHERE CAST(FLOOR(inter * 1000000e0 / uni) AS BIGINT) >= {JACCARD_PPM_MIN}
+)
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+)
+, reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+)
+, comp AS (SELECT a AS doc_id, MIN(b) AS cid FROM reach GROUP BY a)
+, csizes AS (SELECT cid, COUNT(*) AS cluster_size FROM comp GROUP BY cid)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       MIN(cid) AS first_component
+FROM csizes
+GROUP BY cluster_size
+""",
+)
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q_dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.min("component_id").alias("first_component"),
+    )

@@ -18,6 +18,7 @@ from . import queries_crawl  # noqa: F401
 _FRONT = [
     # new this round
     "colloc_pmi_topk",
+    "dup_cluster_stats",
     "link_degree_dist",
     "host_hits",
     "dedup_incremental",

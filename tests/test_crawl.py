@@ -465,3 +465,29 @@ def test_colloc_pmi_topk_matches_bruteforce(spark):
     # scores discriminate (not all equal) and the min-count prune bites
     assert len({v[1] for v in got.values()}) > 1
     assert len(scored) > PMI_K
+
+
+def test_dup_cluster_stats_matches_component_rollup(spark):
+    # the components themselves are independently oracle- and
+    # property-tested (test_components.py); what's new here is the
+    # reporting rollup — recompute it in python from the CC output
+    comp = [
+        r["component_id"]
+        for r in Q.QUERIES["dedup_components"](spark, SF_SMOKE).collect()
+    ]
+    by_cid: dict = defaultdict(int)
+    for c in comp:
+        by_cid[c] += 1
+    hist: dict = defaultdict(lambda: [0, 0, None])
+    for cid, size in by_cid.items():
+        e = hist[size]
+        e[0] += 1
+        e[1] += size
+        e[2] = cid if e[2] is None else min(e[2], cid)
+    got = {
+        r["cluster_size"]: [r["n_clusters"], r["n_docs"], r["first_component"]]
+        for r in Q.QUERIES["dup_cluster_stats"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(hist)
+    # real near-dup clusters exist (size >= 2), plus singletons
+    assert 1 in got and any(k >= 2 for k in got)
