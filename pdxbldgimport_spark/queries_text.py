@@ -1599,20 +1599,19 @@ LIMIT {PMI_K}
 @register("colloc_pmi_topk", _PMI_ORACLE)
 def q_colloc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    t = _tokens(spark)
-    # bigrams map-side off the split array (zip_with over two slices) —
-    # the window formulation (which the oracle keeps, algorithm-
-    # independently) would shuffle the whole token stream by doc_id
-    # first; this one never shuffles until the bigram count
+    # bigrams map-side off the split array (zip_with over two slices,
+    # the token array bound ONCE) — the window formulation (which the
+    # oracle keeps, algorithm-independently) would shuffle the whole
+    # token stream by doc_id first; this one never shuffles until the
+    # bigram count
     bg = (
         spark.table("documents")
+        .select(F.split("text", " ").alias("toks"))
         .select(
             F.explode(
                 F.expr(
-                    "zip_with(slice(split(text, ' '), 1,"
-                    " size(split(text, ' ')) - 1),"
-                    " slice(split(text, ' '), 2,"
-                    " size(split(text, ' ')) - 1),"
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
                     " (x, y) -> struct(x AS w1, y AS w2))"
                 )
             ).alias("b")
@@ -1624,8 +1623,20 @@ def q_colloc_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .where(F.col("c_xy") >= PMI_MIN_COUNT)
     )
-    uni = t.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    n = bg.agg(F.count(F.lit(1)).alias("n"))
+    # the vocabulary-sized unigram agg is referenced by BOTH broadcasts
+    # — stage it once (the repo's multi-reference lineage convention)
+    uni = stage(
+        spark,
+        (session_token(spark), sf_dir, "pmi_uni"),
+        lambda: _tokens(spark).groupBy("w").agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+    )
+    # total bigram count without a second corpus-wide explode: one
+    # narrow scan summing per-doc token counts minus one
+    n = spark.table("documents").agg(
+        F.sum(F.size(F.split("text", " ")) - 1).alias("n")
+    )
     scored = (
         cxy.join(
             F.broadcast(uni.select(F.col("w").alias("w1"),

@@ -462,9 +462,11 @@ def test_colloc_pmi_topk_matches_bruteforce(spark):
         for r in Q.QUERIES["colloc_pmi_topk"](spark, SF_SMOKE).collect()
     }
     assert got == expect
-    # scores discriminate (not all equal) and the min-count prune bites
+    # scores discriminate (not all equal), the top-K limit bites, and
+    # the min-count prune actually excludes bigrams on this data
     assert len({v[1] for v in got.values()}) > 1
     assert len(scored) > PMI_K
+    assert any(c < PMI_MIN_COUNT for c in cxy.values())
 
 
 def test_dup_cluster_stats_matches_component_rollup(spark):
