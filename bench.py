@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "index_postings",
     "pii_scrub",
     "host_blocklist_filter",
+    "robots_path_filter",
     "url_latest_capture",
     "pipeline_funnel",
     "bm25_topk",

@@ -489,3 +489,86 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(new.cast("long")).alias("n_new"),
         F.min(F.when(new, F.col("page_id"))).alias("first_new_page_id"),
     )
+
+
+# ----------------------------------------------------------------------
+# Robots-style path-prefix filter: drop pages matching a (host,
+# path-prefix) disallow rule — PREFIX semantics, the match type robots
+# rules and URL-pattern denylists need (host_blocklist_filter is exact
+# host equality). The rule list is tiny (a few 100k rules in
+# production) and BROADCASTS; the join keys equi on host with the
+# startswith as a residual join condition, so the page side never
+# shuffles for the filter (BroadcastHashJoin LeftSemi/LeftAnti with a
+# post-probe predicate — plan-guarded). The oracle uses a correlated
+# EXISTS — a different formulation of the same semantics. Rollup: per
+# host, total pages, blocked count, first blocked page.
+
+ROBOTS_MOD, ROBOTS_RESIDUE = 29, 13
+ROBOTS_PREFIX = "/p/1"
+
+_ROBOTS_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, rules AS (
+  SELECT 'h' || CAST(range AS VARCHAR) || '.example.com' AS rhost,
+         '{ROBOTS_PREFIX}' AS prefix
+  FROM range({synth.NP})
+  WHERE range % {ROBOTS_MOD} = {ROBOTS_RESIDUE}
+)
+, px AS (
+  SELECT page_id,
+         lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path
+  FROM pages
+)
+SELECT host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(CASE WHEN EXISTS (
+           SELECT 1 FROM rules b
+           WHERE b.rhost = px.host
+             AND starts_with(px.path, b.prefix)
+         ) THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       MIN(CASE WHEN EXISTS (
+           SELECT 1 FROM rules b
+           WHERE b.rhost = px.host
+             AND starts_with(px.path, b.prefix)
+         ) THEN page_id END) AS first_blocked_page_id
+FROM px
+GROUP BY host
+"""
+)
+
+
+@register("robots_path_filter", _ROBOTS_ORACLE)
+def q_robots_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    rules = (
+        spark.range(synth.NP)
+        .where(F.col("id") % ROBOTS_MOD == ROBOTS_RESIDUE)
+        .select(
+            F.concat(
+                F.lit("h"), F.col("id").cast("string"), F.lit(".example.com")
+            ).alias("rhost"),
+            F.lit(ROBOTS_PREFIX).alias("prefix"),
+        )
+    )
+    px = spark.table("pages").select(
+        "page_id",
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"),
+        F.regexp_extract(
+            "url", "^[A-Za-z]+://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
+    )
+    cond = (px.host == rules.rhost) & px.path.startswith(rules.prefix)
+    blocked = px.join(F.broadcast(rules), cond, "left_semi")
+    tot = px.groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
+    blk = blocked.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_blocked"),
+        F.min("page_id").alias("first_blocked_page_id"),
+    )
+    return tot.join(blk, "host", "left").select(
+        "host",
+        "n_pages",
+        F.coalesce("n_blocked", F.lit(0).cast("long")).alias("n_blocked"),
+        "first_blocked_page_id",
+    )

@@ -493,3 +493,38 @@ def test_dup_cluster_stats_matches_component_rollup(spark):
     assert got == dict(hist)
     # real near-dup clusters exist (size >= 2), plus singletons
     assert 1 in got and any(k >= 2 for k in got)
+
+
+def test_robots_path_filter_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_crawl import (
+        ROBOTS_MOD,
+        ROBOTS_PREFIX,
+        ROBOTS_RESIDUE,
+    )
+
+    rows = _pages(spark, "page_id", "url")
+    rule_hosts = {
+        f"h{p}.example.com"
+        for p in range(NP)
+        if p % ROBOTS_MOD == ROBOTS_RESIDUE
+    }
+    expect: dict = {}
+    for r in rows:
+        m = re.match(r"^([A-Za-z]+)://([^/:?#]+)(?::\d+)?([^?#]*)", r["url"])
+        host = m.group(2).lower()
+        path = m.group(3)
+        e = expect.setdefault(host, [0, 0, None])
+        e[0] += 1
+        if host in rule_hosts and path.startswith(ROBOTS_PREFIX):
+            e[1] += 1
+            e[2] = r["page_id"] if e[2] is None else min(e[2], r["page_id"])
+    got = {
+        r["host"]: [r["n_pages"], r["n_blocked"], r["first_blocked_page_id"]]
+        for r in Q.QUERIES["robots_path_filter"](spark, SF_SMOKE).collect()
+    }
+    assert got == {h: list(v) for h, v in expect.items()}
+    # prefix semantics are live: rule hosts have BOTH blocked and kept
+    # pages (exact-host blocking would block everything on the host)
+    assert any(
+        0 < v[1] < v[0] for h, v in got.items() if h in rule_hosts
+    )

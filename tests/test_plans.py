@@ -557,3 +557,19 @@ def test_colloc_pmi_no_window_broadcast_uni_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_robots_path_filter_broadcast_semi_with_prefix_residual(spark):
+    """robots_path_filter: the rule list broadcasts; the prefix match
+    rides the host-equi BroadcastHashJoin as a residual condition (the
+    page side never shuffles for the filter). No SortMergeJoin, no
+    nested loop, no Window, no Python."""
+    plan = _plan(Q.QUERIES["robots_path_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
