@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "lang_quota_sample",
     "colloc_pmi_topk",
     "dup_cluster_stats",
+    "paragraph_dedup",
     "distinct_sketch_fm",
     "dedup_simhash",
     "text_stats",

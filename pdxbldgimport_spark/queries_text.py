@@ -1714,3 +1714,122 @@ def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").cast("long").alias("n_docs"),
         F.min("component_id").alias("first_component"),
     )
+
+
+# ----------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet / Lee et al. "Deduplicating
+# Training Data Makes Language Models Better", at paragraph rather than
+# 50-token granularity): hash every paragraph, keep only the corpus-wide
+# FIRST occurrence (min (doc_id, pos)), and report each document's
+# retained text. The reference's closest analog is its duplicate-address
+# collapse (first-authoritative-row wins, tasks/pdx_addrs.rake) — here
+# the unit is a paragraph of web text, not an address row.
+#
+# Paragraph = 10-token chunk of the whitespace token stream (real crawls
+# split on '\n\n'; the synth corpus carries no newlines, so the chunker
+# IS the paragraphizer — same downstream shape either way: the chunking
+# is pure map-side codegen, no shuffle).
+#
+# Scale shape at 10^12 docs: chunk map-side (zero shuffle) → ONE
+# partial/final hash agg keyed paragraph-md5 computing min(struct(doc,
+# pos)) (map-side combinable — the heavy tail of boilerplate paragraphs
+# collapses before the exchange) → corpus-to-corpus hash join back on
+# the md5 key (co-partitioned sort-merge at scale; AQE may broadcast at
+# gate SF) → one doc-keyed agg for the reassembly. No window over the
+# corpus, no self-join on text.
+#
+# first_key = doc_id*100000 + pos is exact: pos < n_tokens/10 and the
+# synth documents are bounded well under 10^6 tokens (production: use
+# min(struct(doc_id, pos)) — kept SQL-portable here so the oracle's MIN
+# is the identical integer).
+PARA_TOKENS = 10
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    paras AS (
+      SELECT doc_id,
+             UNNEST(range(0, CAST(CEIL(len(ws) / {PARA_TOKENS}.0) AS BIGINT))) AS pos,
+             ws
+      FROM ws
+    ), p2 AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             array_to_string(
+               ws[CAST(pos * {PARA_TOKENS} + 1 AS BIGINT)
+                  : CAST(LEAST((pos + 1) * {PARA_TOKENS}, len(ws)) AS BIGINT)],
+               ' ') AS para
+      FROM paras
+    ), firsts AS (
+      SELECT md5(para) AS ph, MIN(doc_id * 100000 + pos) AS first_key
+      FROM p2 GROUP BY 1
+    ), kept_agg AS (
+      SELECT p.doc_id, COUNT(*) AS n_kept,
+             string_agg(p.para, ' ' ORDER BY p.pos) AS clean
+      FROM p2 p JOIN firsts f ON md5(p.para) = f.ph
+      WHERE p.doc_id * 100000 + p.pos = f.first_key
+      GROUP BY p.doc_id
+    ), tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p2 GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_paras AS BIGINT) AS n_paras,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(k.clean, '')) AS clean_md5,
+           CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS clean_len
+    FROM tot t LEFT JOIN kept_agg k USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    # chunking is pure codegen; staged because three subtrees consume it
+    # (firsts agg, join-back probe, per-doc totals) and ReuseExchange
+    # only dedupes identical subtrees.
+    paras = stage(
+        spark,
+        (session_token(spark), sf_dir, "paras"),
+        lambda: spark.table("documents").selectExpr(
+            "doc_id",
+            f"""posexplode(transform(
+                  sequence(0, (size(split(text, ' ')) + {PARA_TOKENS - 1})
+                              div {PARA_TOKENS} - 1),
+                  i -> array_join(slice(split(text, ' '),
+                                        i * {PARA_TOKENS} + 1,
+                                        {PARA_TOKENS}), ' ')
+                )) AS (pos, para)""",
+        ).select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            "para",
+            F.md5(F.col("para").cast("binary")).alias("ph"),
+        ),
+    )
+    firsts = paras.groupBy("ph").agg(
+        F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("first_key")
+    )
+    kept = (
+        paras.join(firsts, "ph")
+        .where(F.col("doc_id") * 100000 + F.col("pos") == F.col("first_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("clean"),
+        )
+    )
+    tot = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.coalesce(F.col("clean"), F.lit("")).cast("binary")).alias(
+            "clean_md5"
+        ),
+        F.length(F.coalesce(F.col("clean"), F.lit(""))).cast("long").alias(
+            "clean_len"
+        ),
+    )

@@ -528,3 +528,50 @@ def test_robots_path_filter_matches_bruteforce(spark):
     assert any(
         0 < v[1] < v[0] for h, v in got.items() if h in rule_hosts
     )
+
+
+def test_paragraph_dedup_matches_python_reference(spark):
+    """Corpus-wide first-occurrence paragraph dedup vs a literal Python
+    reference (dict insertion over (doc_id, pos)-sorted paragraphs)."""
+    import hashlib as H
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import PARA_TOKENS
+
+    views(spark, SF_SMOKE)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    chunks = {}  # doc_id -> [para]
+    for d, text in docs.items():
+        ws = text.split(" ")
+        chunks[d] = [
+            " ".join(ws[i : i + PARA_TOKENS])
+            for i in range(0, len(ws), PARA_TOKENS)
+        ]
+    first = {}
+    for d in sorted(chunks):
+        for pos, para in enumerate(chunks[d]):
+            first.setdefault(para, (d, pos))
+    expect = {}
+    any_dropped = False
+    for d in sorted(chunks):
+        kept = [
+            p for pos, p in enumerate(chunks[d]) if first[p] == (d, pos)
+        ]
+        any_dropped = any_dropped or len(kept) < len(chunks[d])
+        clean = " ".join(kept)
+        expect[d] = (
+            len(chunks[d]),
+            len(kept),
+            H.md5(clean.encode()).hexdigest(),
+            len(clean),
+        )
+    # the fixture must exercise the drop path, not just identity keeps
+    assert any_dropped
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_md5"], r["clean_len"])
+        for r in Q.QUERIES["paragraph_dedup"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -573,3 +573,15 @@ def test_robots_path_filter_broadcast_semi_with_prefix_residual(spark):
     assert "Window" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_paragraph_dedup_agg_join_agg_no_window_no_python(spark):
+    """paragraph_dedup: first-occurrence agg (partial/final, map-side
+    combinable) + one hash join back on the md5 key + doc-keyed
+    reassembly aggs — no Window over the corpus, nothing in Python."""
+    plan = _plan(Q.QUERIES["paragraph_dedup"](spark, SF))
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
