@@ -56,6 +56,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
 BENCH_QUERIES = [
     "pip_assign",
     "page_tile_counts",
+    "tile_pyramid",
     "fp_tile_counts",
     "knn_unassigned",
     "text_extract",

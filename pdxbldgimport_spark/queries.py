@@ -237,6 +237,78 @@ def q_fp_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tile pyramid: page counts at zoom RES_TILE and two parent zooms — the
+# multi-resolution rollup every slippy-map / raster-overview stage of a
+# tiler publishes (the reference's quarter-section tiles are one fixed
+# zoom, tasks/metro_quarter_secs.rake:2-4; a 10^12-page serving layer
+# needs the coarser levels too). The corpus contributes EXACTLY ONE
+# partial/final hash agg (the base zoom); every parent level is an
+# aggregation of the previous level's ≤4^res rows — an agg-of-agg chain
+# that never rescans or reshuffles the page side. The base counts are
+# stage-materialized (the per-zoom Iceberg table write on a cluster), so
+# the three union branches read the 1024-row stage, not the corpus.
+def _tile_parent(col: str, res: int):
+    """Parent tile key one zoom up from ``res`` (flat iy*2^res+ix keys,
+    all non-negative — div truncation IS floor here)."""
+    n = 1 << res
+    return F.expr(f"(({col} div {n}) div 2) * {n // 2} + ({col} % {n}) div 2")
+
+
+@register(
+    "tile_pyramid",
+    synth.oracle_with("pages")
+    + f"""
+    , base AS (
+      SELECT
+        CAST(LEAST(GREATEST(FLOOR((lat - ({C.LAT_S!r})) / {C.SPAN_Y!r} * 32e0), 0), 31) AS BIGINT) * 32
+        + CAST(LEAST(GREATEST(FLOOR((lon - ({C.LON_W!r})) / {C.SPAN_X!r} * 32e0), 0), 31) AS BIGINT) AS t,
+        COUNT(*) AS c
+      FROM pages GROUP BY 1
+    ), l4 AS (
+      SELECT (t // 32) // 2 * 16 + (t % 32) // 2 AS t, SUM(c) AS c
+      FROM base GROUP BY 1
+    ), l3 AS (
+      SELECT (t // 16) // 2 * 8 + (t % 16) // 2 AS t, SUM(c) AS c
+      FROM l4 GROUP BY 1
+    )
+    SELECT 5 AS zoom, t AS tile_id, CAST(c AS BIGINT) AS page_count FROM base
+    UNION ALL
+    SELECT 4 AS zoom, t, CAST(c AS BIGINT) FROM l4
+    UNION ALL
+    SELECT 3 AS zoom, t, CAST(c AS BIGINT) FROM l3
+    """,
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    base = stage(
+        spark,
+        (session_token(spark), sf_dir, "tile_pyramid_base"),
+        lambda: spark.table("pages")
+        .select(tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    l4 = (
+        base.select(_tile_parent("t", C.RES_TILE).alias("t"), "c")
+        .groupBy("t")
+        .agg(F.sum("c").alias("c"))
+    )
+    l3 = (
+        l4.select(_tile_parent("t", C.RES_TILE - 1).alias("t"), "c")
+        .groupBy("t")
+        .agg(F.sum("c").alias("c"))
+    )
+
+    def lvl(df: DataFrame, zoom: int) -> DataFrame:
+        return df.select(
+            F.lit(zoom).cast("int").alias("zoom"),
+            F.col("t").alias("tile_id"),
+            F.col("c").cast("long").alias("page_count"),
+        )
+
+    return lvl(base, 5).unionByName(lvl(l4, 4)).unionByName(lvl(l3, 3))
+
+
 # Ingest invariant: html → extracted text, byte-identical per url
 # (BASELINE.json input_hint). JVM regexp over the decoded binary column.
 @register(

@@ -17,6 +17,7 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "tile_pyramid",
     "paragraph_dedup",
     "robots_path_filter",
     "colloc_pmi_topk",

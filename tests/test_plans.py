@@ -585,3 +585,16 @@ def test_paragraph_dedup_agg_join_agg_no_window_no_python(spark):
     assert "MapInPandas" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tile_pyramid_single_corpus_pass(spark):
+    """tile_pyramid: the corpus contributes exactly one staged base agg;
+    the final plan's three union branches read the 1024-row stage (an
+    ExistingRDD scan), never the page corpus — no parquet scan, no join,
+    no Python anywhere."""
+    plan = _plan(Q.QUERIES["tile_pyramid"](spark, SF))
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # parent rollups partial/final

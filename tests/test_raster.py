@@ -90,3 +90,41 @@ def test_tile_dissolve_query(spark):
         assert r["n_cells"] > 0
         assert r["boundary_edges"] >= 4
         assert r["boundary_edges"] % 2 == 0
+
+
+def test_tile_pyramid_matches_python_reference(spark):
+    """Multi-zoom rollup vs a literal Python reference over raw lon/lat
+    (same IEEE double ops as tile_expr), including parent-sum identity."""
+    import math
+    from collections import Counter
+
+    from pdxbldgimport_spark import registry as Q
+    from pdxbldgimport_spark.geo import cells as C
+    from pdxbldgimport_spark.queries import views
+    from tests.conftest import SF_SMOKE
+
+    views(spark, SF_SMOKE)
+    pts = spark.table("pages").select("lon", "lat").collect()
+    base = Counter()
+    for r in pts:
+        ix = min(max(math.floor((r["lon"] - C.LON_W) / C.SPAN_X * 32.0), 0), 31)
+        iy = min(max(math.floor((r["lat"] - C.LAT_S) / C.SPAN_Y * 32.0), 0), 31)
+        base[iy * 32 + ix] += 1
+    expect = {(5, t): c for t, c in base.items()}
+    l4 = Counter()
+    for t, c in base.items():
+        l4[(t // 32) // 2 * 16 + (t % 32) // 2] += c
+    expect.update({(4, t): c for t, c in l4.items()})
+    l3 = Counter()
+    for t, c in l4.items():
+        l3[(t // 16) // 2 * 8 + (t % 16) // 2] += c
+    expect.update({(3, t): c for t, c in l3.items()})
+    got = {
+        (r["zoom"], r["tile_id"]): r["page_count"]
+        for r in Q.QUERIES["tile_pyramid"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # each level's total equals the page count (no rows lost by parenting)
+    n = len(pts)
+    for z in (3, 4, 5):
+        assert sum(c for (zz, _), c in got.items() if zz == z) == n
