@@ -96,7 +96,10 @@ BENCH_QUERIES = [
     "lang_quota_sample",
     "colloc_pmi_topk",
     "dup_cluster_stats",
+    "dedup_keep_best",
     "paragraph_dedup",
+    "boilerplate_remove",
+    "pack_sequences",
     "distinct_sketch_fm",
     "dedup_simhash",
     "text_stats",

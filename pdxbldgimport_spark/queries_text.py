@@ -1833,3 +1833,283 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_len"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# Training-sequence packing (GPT-style concat-and-chunk): concatenate
+# each shard's token stream in a deterministic order and cut it every
+# SEQ_LEN tokens; report, per document, which training sequences it
+# lands in. This is the final pretraining-data step after filtering and
+# dedup (Brown et al. 2020 pack-and-chunk; the reference's closest
+# analog is its ordered per-tile export, lib/tasks export ordering).
+#
+# Scale shape at 10^12 docs: shard = md5(doc_id) % NSHARDS is a pure
+# map-side expression; the ONLY shuffle is the hash exchange on shard,
+# and the running offset is a partition-local window (each shard sorts
+# locally — at production NSHARDS is chosen so a shard fits an executor
+# spill budget; the window never crosses shards). No join, no corpus
+# self-reference, one pass.
+PACK_SEQ_LEN = 64
+PACK_NSHARDS = 8
+_PK_H_DUCK = _h60_sql("md5('pk:' || CAST(doc_id AS VARCHAR))", "strpos")
+_PK_H_SPARK = _h60_sql(
+    "md5(cast(concat('pk:', cast(doc_id as string)) as binary))", "instr"
+)
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_PK_H_DUCK} % {PACK_NSHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_off,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + n_tokens - 1) // {PACK_SEQ_LEN}
+           - COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+    FROM d
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id",
+        (F.expr(_PK_H_SPARK) % PACK_NSHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Wnd.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Wnd.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.cast("long").alias("start_off"),
+        (start.cast("long") / PACK_SEQ_LEN).cast("long").alias("seq_first"),
+        (
+            ((start + F.col("n_tokens") - 1).cast("long") / PACK_SEQ_LEN)
+            .cast("long")
+            - (start.cast("long") / PACK_SEQ_LEN).cast("long")
+            + 1
+        ).cast("long").alias("n_seqs"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Cluster-representative selection: for every near-dup component keep
+# the highest-quality copy (max n_chars, doc_id tiebreak) — the policy
+# step between clustering and the training set ("dedup keeps the best
+# copy", Penedo et al. RefinedWeb §4). Reference analog: the
+# authoritative-row-wins collapse in tasks/pdx_addrs.rake.
+#
+# Scale shape: one corpus-keyed equi join (labels ⋈ documents on
+# doc_id — co-partitioned sort-merge at scale) and ONE map-side-
+# combinable agg: min(struct(-n_chars, doc_id)) per component plus the
+# size count. No window over the corpus; the oracle deliberately uses
+# the opposite formulation (recursive closure + row_number window) so a
+# hash match certifies semantics, not implementation.
+@register(
+    "dedup_keep_best",
+    "WITH RECURSIVE "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + _MINHASH_DUCK
+    + _LSH_DUCK
+    + f"""
+, pairs AS (
+  SELECT doc_a, doc_b FROM jac
+  WHERE CAST(FLOOR(inter * 1000000e0 / uni) AS BIGINT) >= {JACCARD_PPM_MIN}
+)
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b AS u, doc_a AS v FROM pairs
+)
+, reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+)
+, comp AS (SELECT a AS doc_id, MIN(b) AS cid FROM reach GROUP BY a)
+, ranked AS (
+  SELECT c.cid, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cid
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cid) AS cluster_size
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT cid AS component_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id AS kept_doc,
+       CAST(n_chars AS BIGINT) AS kept_n_chars,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = q_dedup_components(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    best = (
+        comp.join(docs, "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("b"),
+        )
+    )
+    return best.select(
+        "component_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("b.doc_id").alias("kept_doc"),
+        (-F.col("b.neg")).cast("long").alias("kept_n_chars"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Per-source boilerplate removal (CCNet §3.1 / RefinedWeb line-dedup):
+# a paragraph that appears in ≥ BP_MIN_DOCS distinct documents of the
+# SAME source is boilerplate (nav bars, footers, cookie banners) and is
+# stripped from every document of that source; report each document's
+# retained text. Differs from paragraph_dedup (global first-occurrence
+# wins) — here repetition WITHIN a source kills ALL occurrences.
+# BP_MIN_DOCS is an absolute count at gate SF; production uses a
+# fraction of the source's doc count — same plan shape.
+#
+# Scale shape at 10^12 docs: chunking is map-side codegen (zero
+# shuffle); per-(source, ph, doc) then per-(source, ph) counts are two
+# partial/final hash aggs (the boilerplate heavy tail collapses
+# map-side); the kill set returns via a co-partitioned LEFT ANTI join
+# on (source, ph); one doc-keyed agg reassembles. No window over the
+# corpus, no self-join on text.
+BP_MIN_DOCS = 2
+_PARAS_SRC_DUCK = f"""
+ws AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+paras AS (
+  SELECT doc_id, source,
+         UNNEST(range(0, CAST(CEIL(len(ws) / {PARA_TOKENS}.0) AS BIGINT))) AS pos,
+         ws
+  FROM ws
+), p2 AS (
+  SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+         array_to_string(
+           ws[CAST(pos * {PARA_TOKENS} + 1 AS BIGINT)
+              : CAST(LEAST((pos + 1) * {PARA_TOKENS}, len(ws)) AS BIGINT)],
+           ' ') AS para
+  FROM paras
+)
+"""
+
+
+@register(
+    "boilerplate_remove",
+    "WITH "
+    + _PARAS_SRC_DUCK
+    + f"""
+, bp AS (
+  SELECT source, md5(para) AS ph
+  FROM p2
+  GROUP BY source, md5(para)
+  HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
+), kept_agg AS (
+  SELECT p.doc_id, COUNT(*) AS n_kept,
+         string_agg(p.para, ' ' ORDER BY p.pos) AS clean
+  FROM p2 p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bp b
+    WHERE b.source = p.source AND b.ph = md5(p.para)
+  )
+  GROUP BY p.doc_id
+), tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p2 GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(k.clean, '')) AS clean_md5,
+       CAST(length(COALESCE(k.clean, '')) AS BIGINT) AS clean_len
+FROM tot t LEFT JOIN kept_agg k USING (doc_id)
+""",
+)
+def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    # staged: three consumers (kill-set agg, anti-join probe, totals)
+    paras = stage(
+        spark,
+        (session_token(spark), sf_dir, "paras_src"),
+        lambda: spark.table("documents").selectExpr(
+            "doc_id",
+            "source",
+            f"""posexplode(transform(
+                  sequence(0, (size(split(text, ' ')) + {PARA_TOKENS - 1})
+                              div {PARA_TOKENS} - 1),
+                  i -> array_join(slice(split(text, ' '),
+                                        i * {PARA_TOKENS} + 1,
+                                        {PARA_TOKENS}), ' ')
+                )) AS (pos, para)""",
+        ).select(
+            "doc_id",
+            "source",
+            F.col("pos").cast("long").alias("pos"),
+            "para",
+            F.md5(F.col("para").cast("binary")).alias("ph"),
+        ),
+    )
+    # two-stage distinct-doc count: both aggs are map-side combinable
+    # (never a planner Expand like countDistinct)
+    bp = (
+        paras.select("source", "ph", "doc_id")
+        .groupBy("source", "ph", "doc_id")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("source", "ph")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= BP_MIN_DOCS)
+        .select("source", "ph")
+    )
+    kept = (
+        paras.join(bp, ["source", "ph"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+            ).alias("clean"),
+        )
+    )
+    tot = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.coalesce(F.col("clean"), F.lit("")).cast("binary")).alias(
+            "clean_md5"
+        ),
+        F.length(F.coalesce(F.col("clean"), F.lit(""))).cast("long").alias(
+            "clean_len"
+        ),
+    )

@@ -17,6 +17,9 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "pack_sequences",
+    "dedup_keep_best",
+    "boilerplate_remove",
     "tile_pyramid",
     "paragraph_dedup",
     "robots_path_filter",

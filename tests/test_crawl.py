@@ -575,3 +575,120 @@ def test_paragraph_dedup_matches_python_reference(spark):
         for r in Q.QUERIES["paragraph_dedup"](spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    """Concat-and-chunk packing vs a literal Python reference: md5-derived
+    shard, doc_id-ordered cumulative token offsets, SEQ_LEN cuts."""
+    import hashlib as H
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import PACK_NSHARDS, PACK_SEQ_LEN
+
+    views(spark, SF_SMOKE)
+    docs = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+
+    def h60(s):
+        hx = H.md5(s.encode()).hexdigest()
+        return sum(int(hx[n], 16) * 16**n for n in range(15))
+
+    shards = {}
+    for d in sorted(docs):
+        shards.setdefault(h60(f"pk:{d}") % PACK_NSHARDS, []).append(d)
+    expect = {}
+    for sh, ds in shards.items():
+        off = 0
+        for d in ds:  # already doc_id-sorted
+            n = docs[d]
+            first = off // PACK_SEQ_LEN
+            last = (off + n - 1) // PACK_SEQ_LEN
+            expect[d] = (sh, n, off, first, last - first + 1)
+            off += n
+    got = {
+        r["doc_id"]: (
+            r["shard"], r["n_tokens"], r["start_off"], r["seq_first"],
+            r["n_seqs"],
+        )
+        for r in Q.QUERIES["pack_sequences"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # liveness: the fixture exercises multi-sequence spans and >1 shard
+    assert len(shards) > 1
+    assert any(v[4] > 1 for v in got.values())
+
+
+def test_dedup_keep_best_policy_matches_bruteforce(spark):
+    """Representative selection vs Python argmax(n_chars, -doc_id) over
+    the (independently oracle-certified) component labels."""
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in Q.QUERIES["dedup_components"](spark, SF_SMOKE).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.table("documents").select("doc_id", "n_chars").collect()
+    }
+    clusters = {}
+    for d, c in comp.items():
+        clusters.setdefault(c, []).append(d)
+    expect = {}
+    for c, ds in clusters.items():
+        best = min(ds, key=lambda d: (-chars[d], d))
+        expect[c] = (len(ds), best, chars[best], len(ds) - 1)
+    got = {
+        r["component_id"]: (
+            r["cluster_size"], r["kept_doc"], r["kept_n_chars"],
+            r["n_dropped"],
+        )
+        for r in Q.QUERIES["dedup_keep_best"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # liveness: real multi-doc clusters exist and something is dropped
+    assert any(v[0] > 1 for v in got.values())
+    assert sum(v[3] for v in got.values()) > 0
+
+
+def test_boilerplate_remove_matches_python_reference(spark):
+    """Per-source repeated-paragraph strip vs a literal Python reference
+    (chunk → per-(source, para) distinct-doc counts → kill → reassemble)."""
+    import hashlib as H
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import BP_MIN_DOCS, PARA_TOKENS
+
+    views(spark, SF_SMOKE)
+    rows = spark.table("documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    chunks, src = {}, {}
+    for r in rows:
+        ws = r["text"].split(" ")
+        chunks[r["doc_id"]] = [
+            " ".join(ws[i : i + PARA_TOKENS])
+            for i in range(0, len(ws), PARA_TOKENS)
+        ]
+        src[r["doc_id"]] = r["source"]
+    per_src = {}  # (source, para) -> set(doc_id)
+    for d, ps in chunks.items():
+        for p in ps:
+            per_src.setdefault((src[d], p), set()).add(d)
+    kill = {k for k, v in per_src.items() if len(v) >= BP_MIN_DOCS}
+    expect = {}
+    any_stripped = False
+    for d, ps in chunks.items():
+        kept = [p for p in ps if (src[d], p) not in kill]
+        any_stripped = any_stripped or len(kept) < len(ps)
+        clean = " ".join(kept)
+        expect[d] = (
+            len(ps), len(kept),
+            H.md5(clean.encode()).hexdigest(), len(clean),
+        )
+    assert any_stripped  # fixture exercises the strip path
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_md5"], r["clean_len"])
+        for r in Q.QUERIES["boilerplate_remove"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -598,3 +598,40 @@ def test_tile_pyramid_single_corpus_pass(spark):
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # parent rollups partial/final
+
+
+def test_pack_sequences_single_shard_exchange_no_join(spark):
+    """pack_sequences: ONE hash exchange (the shard key) feeding a
+    partition-local window — no join, no corpus re-shuffle, no Python."""
+    plan = _plan(Q.QUERIES["pack_sequences"](spark, SF))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_keep_best_single_agg_no_window_no_python(spark):
+    """dedup_keep_best: labels ⋈ documents then ONE map-side-combinable
+    min(struct)+count agg — no window anywhere, no Python. struct-min
+    plans as SortAggregate in Spark; the scale property is the partial
+    (map-side) min before the component_id exchange."""
+    plan = _plan(Q.QUERIES["dedup_keep_best"](spark, SF))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine before the exchange
+    assert plan.count("Aggregate") >= 2  # partial + final
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_remove_anti_join_aggs_no_window_no_python(spark):
+    """boilerplate_remove: kill set via two staged hash aggs, LEFT ANTI
+    probe, doc-keyed reassembly agg — no window, no countDistinct Expand,
+    no Python."""
+    plan = _plan(Q.QUERIES["boilerplate_remove"](spark, SF))
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    assert "Window" not in plan
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
