@@ -5,8 +5,10 @@ One leg per invocation (the sandbox runner caps command wall time), each
 appending one JSON line to the log so a pair is assembled from
 back-to-back invocations:
 
-    python tools/scaling_pair.py probe 8      # pure-JVM control, local[8]
+    python tools/scaling_pair.py probe 8      # pure-JVM compute control, local[8]
     python tools/scaling_pair.py probe 32
+    python tools/scaling_pair.py bwprobe 8    # memory-bandwidth control
+    python tools/scaling_pair.py bwprobe 32
     python tools/scaling_pair.py bench 8      # headline PIP at REP_MULT
     python tools/scaling_pair.py bench 32
     ...
@@ -56,6 +58,30 @@ def probe(cpus: int) -> None:
               "rows_per_cpu_sec": round(rows / dt / cpus / 1e6, 1)})
 
 
+def bwprobe(cpus: int) -> None:
+    """Memory-BANDWIDTH-bound control (md5 materialization + hash agg):
+    the pure range->sum probe reads only registers, so a host whose
+    hypervisor-shared memory bandwidth degrades shows HEALTHY compute
+    probes while 32-wide engine legs (which stream gigabytes) crater.
+    This leg closes that attribution gap: compare rows_per_cpu_sec at 8
+    vs 32 in the same window — a 32/8 per-cpu ratio well under ~0.85
+    marks the window bandwidth-degraded (host-side), independent of any
+    engine code."""
+    sys.path.insert(0, REPO)
+    from pdxbldgimport_spark.session import get_spark
+
+    spark = get_spark(app_name=f"pair_bwprobe{cpus}", cores=cpus)
+    rows = 40_000_000 * cpus
+    df = spark.range(rows).selectExpr("md5(cast(id as string)) h")
+    q = lambda: df.selectExpr("substr(h, 1, 4) k").groupBy("k").count().count()
+    q()  # warm (codegen compile + JIT)
+    t0 = time.time()
+    q()
+    dt = round(time.time() - t0, 3)
+    log_line({"kind": "bwprobe", "cpus": cpus, "rows": rows, "sec": dt,
+              "rows_per_cpu_sec": round(rows / dt / cpus / 1e6, 2)})
+
+
 def bench(cpus: int) -> None:
     env = dict(
         os.environ,
@@ -94,4 +120,4 @@ def bench(cpus: int) -> None:
 
 if __name__ == "__main__":
     kind, cpus = sys.argv[1], int(sys.argv[2])
-    (probe if kind == "probe" else bench)(cpus)
+    {"probe": probe, "bwprobe": bwprobe, "bench": bench}[kind](cpus)
