@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "corpus_sample",
     "lang_quota_sample",
     "colloc_pmi_topk",
+    "bpe_merge_topk",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

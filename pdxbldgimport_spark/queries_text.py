@@ -2113,3 +2113,169 @@ def q_boilerplate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_len"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# BPE merge training: the first K byte-pair-encoding merges over the
+# corpus vocabulary — the tokenizer-training step proper (vocab_topk
+# counts terms, colloc_pmi_topk finds multi-word units; this learns the
+# subword merge table). Classic word-level BPE (Sennrich et al. 2016):
+# one corpus pass builds the (word, freq) table; every one of the K
+# merge rounds then runs on that VOCABULARY-sized relation only —
+# adjacent-symbol pair counts (freq-weighted partial/final hash agg),
+# global argmax (cnt DESC, pair ASC — deterministic tie-break), apply
+# the merge, repeat. The corpus is never rescanned and never shuffled;
+# at 10^12 tokens the vocab relation is ~1e7 rows, so the K rounds are
+# a rounding error next to the single corpus agg. The K argmax rows
+# (one per round) are collected to the driver because each merge
+# decision is inherently sequential input to the next round's replace —
+# the same bounded driver state as dedup_components' convergence
+# checksum, NOT a driver-side data loop.
+#
+# The merge itself must be left-to-right non-overlapping on symbol
+# boundaries in BOTH engines with plain (non-regex) replace — RE2 in
+# DuckDB has no lookbehind, so the shared trick is the doubled-space
+# canonical form: in ' ' || replace(seq,' ','  ') || ' ' every
+# occurrence of ' s1  s2 ' is delimiter-disjoint from its neighbors
+# (adjacent matches share no spaces), one replace() pass merges all
+# non-overlapping occurrences greedily left-to-right (exactly BPE's
+# semantics, e.g. 'a a a' -> 'aa a'), and collapsing '  '->' ' + trim
+# restores the canonical single-space form.
+
+BPE_K = 10
+
+
+def _bpe_oracle(k: int) -> str:
+    parts = [
+        "WITH ",
+        _TOKENS_SQL_DUCK,
+        r"""
+, s0 AS (
+  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' </w>' AS seq,
+         COUNT(*) AS freq
+  FROM tokens GROUP BY 1
+)
+""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+, u{i} AS (
+  SELECT seq, freq, UNNEST(string_split(seq, ' ')) AS sym,
+         generate_subscripts(string_split(seq, ' '), 1) AS pos
+  FROM s{i - 1}
+)
+, p{i} AS (
+  SELECT s1, s2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, sym AS s1,
+           lead(sym) OVER (PARTITION BY seq ORDER BY pos) AS s2
+    FROM u{i}
+  ) q WHERE s2 IS NOT NULL GROUP BY 1, 2
+)
+, b{i} AS (
+  SELECT CAST({i} AS BIGINT) AS step, s1, s2, cnt
+  FROM p{i} ORDER BY cnt DESC, s1, s2 LIMIT 1
+)
+, s{i} AS (
+  SELECT trim(replace(
+           replace(' ' || replace(w.seq, ' ', '  ') || ' ',
+                   ' ' || b.s1 || '  ' || b.s2 || ' ',
+                   ' ' || b.s1 || b.s2 || ' '),
+           '  ', ' ')) AS seq, w.freq
+  FROM s{i - 1} w CROSS JOIN b{i} b
+)
+""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM b{i}" for i in range(1, k + 1))
+    parts.append(
+        f"\nSELECT step, s1, s2, s1 || s2 AS merged, cnt\nFROM ({union})\n"
+        "ORDER BY step\n"
+    )
+    return "".join(parts)
+
+
+def _bpe_words0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single corpus touch: (symbol-seq, freq) over distinct words."""
+    return stage(
+        spark,
+        (session_token(spark), sf_dir, "bpe_s0"),
+        lambda: (
+            spark.table("documents")
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(
+                F.expr(
+                    "trim(regexp_replace(w, '(.)', '$1 ')) || ' </w>'"
+                ).alias("seq"),
+                "freq",
+            )
+        ),
+    )
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Freq-weighted adjacent-symbol pair counts — map-side zip_with
+    over the split array (no position window), partial/final hash agg."""
+    return (
+        words.select("freq", F.split("seq", " ").alias("sy"))
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(sy, 1, size(sy) - 1),"
+                    " slice(sy, 2, size(sy) - 1),"
+                    " (x, y) -> struct(x AS s1, y AS s2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+@register("bpe_merge_topk", _bpe_oracle(BPE_K))
+def q_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    words = _bpe_words0(spark, sf_dir)
+    merges: list = []
+    for step in range(1, BPE_K + 1):
+        top = (
+            _bpe_pairs(words)
+            .orderBy(F.desc("cnt"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        b = top[0]
+        merges.append(
+            (step, b["s1"], b["s2"], b["s1"] + b["s2"], int(b["cnt"]))
+        )
+        pat = f" {b['s1']}  {b['s2']} "
+        rep = f" {b['s1']}{b['s2']} "
+        words = stage(
+            spark,
+            (session_token(spark), sf_dir, f"bpe_s{step}"),
+            lambda w=words, pat=pat, rep=rep: w.select(
+                F.trim(
+                    F.replace(
+                        F.replace(
+                            F.concat(
+                                F.lit(" "),
+                                F.replace(
+                                    F.col("seq"), F.lit(" "), F.lit("  ")
+                                ),
+                                F.lit(" "),
+                            ),
+                            F.lit(pat),
+                            F.lit(rep),
+                        ),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
+                ).alias("seq"),
+                "freq",
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step long, s1 string, s2 string, merged string, cnt long"
+    )

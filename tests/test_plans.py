@@ -635,3 +635,19 @@ def test_boilerplate_remove_anti_join_aggs_no_window_no_python(spark):
     assert plan.count("HashAggregate") >= 4
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pair_counts_hash_agg_no_corpus_rescan(spark):
+    """bpe_merge_topk: every merge round's pair count runs on the STAGED
+    vocabulary relation (checkpoint scan, never a parquet rescan of the
+    corpus), extracts pairs map-side (zip_with, no position Window), and
+    aggregates partial/final. No Python anywhere."""
+    from pdxbldgimport_spark.queries_text import _bpe_pairs, _bpe_words0
+
+    plan = _plan(_bpe_pairs(_bpe_words0(spark, SF)))
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
