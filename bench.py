@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "lang_quota_sample",
     "colloc_pmi_topk",
     "bpe_merge_topk",
+    "kmeans_fit",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

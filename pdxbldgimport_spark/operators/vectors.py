@@ -138,3 +138,63 @@ def ivf_assign(
             )
 
     return vecs.select(id_col, q_col).mapInPandas(gen, schema)
+
+
+def kmeans_partials(
+    vecs: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Per-Arrow-batch Lloyd's partials under the given centroids: each
+    batch assigns its vectors to the nearest centroid by exact int64
+    squared-L2 (ties → lowest cid, via argmin-first-occurrence) and
+    emits ONE row per non-empty cid: (cid, n, inertia, sums[dims]).
+    The corpus never leaves the map side — the downstream update agg
+    sees at most K rows per batch, so a Lloyd's round is one map pass
+    plus a K-row-per-partition aggregation regardless of corpus size.
+    d2 uses the |q|² − 2q·c + |c|² expansion so the heavy term is one
+    numpy matmul; everything is int64-exact (|q|≤1600 offset space →
+    d2 ≤ ~6.6e8 per vector, batch partial sums ≪ int64)."""
+    cmat = np.asarray(centroids, dtype=np.int64)  # K × dims
+    n_cent = cmat.shape[0]
+    c2 = (cmat * cmat).sum(axis=1)
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("inertia", T.LongType()),
+            T.StructField("sums", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qm = np.stack(pdf[q_col].to_numpy()).astype(np.int64)
+            d2 = (
+                (qm * qm).sum(axis=1, keepdims=True)
+                - 2 * (qm @ cmat.T)
+                + c2
+            )
+            cid = d2.argmin(axis=1)  # first occurrence → lowest cid
+            best = d2[np.arange(len(qm)), cid]
+            rows = []
+            for k in range(n_cent):
+                m = cid == k
+                if not m.any():
+                    continue
+                rows.append(
+                    (
+                        k,
+                        int(m.sum()),
+                        int(best[m].sum()),
+                        qm[m].sum(axis=0).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["cid", "n", "inertia", "sums"]
+            )
+
+    return vecs.select(id_col, q_col).mapInPandas(gen, schema)

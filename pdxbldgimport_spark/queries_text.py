@@ -2279,3 +2279,146 @@ def q_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step long, s1 string, s2 string, merged string, cnt long"
     )
+
+
+# ----------------------------------------------------------------------
+# K-means fit over the embedding corpus: fixed-K, fixed-iteration
+# Lloyd's — the clustering step that trains the IVF centroids
+# (ann_ivf_topk consumes a centroid table; this is where one comes from
+# at production) and the semantic-dedup partitioner. Integer-exact:
+# vectors quantized to offset milli-units (floor(x·1000)+1000 ≥ 0, so
+# floor division == truncation in Spark, DuckDB and Python alike; the
+# offset cancels in every distance), squared-L2 in int64, centroid
+# update = per-dim floor(sum/n). Deterministic throughout: init = the
+# K lowest vec_ids, assignment ties → lowest cid.
+#
+# Scale shape: ONE corpus quantization (staged); each Lloyd's round is
+# one map-side Arrow/numpy pass emitting ≤K partial rows per batch
+# (operators/vectors.kmeans_partials — assignment never shuffles, the
+# update agg moves K rows per partition) + a K-row collect of the new
+# centroids (bounded driver state, inherent to the sequential rounds,
+# same class as the BPE argmax). ITERS+1 corpus passes total — the
+# textbook distributed-Lloyd's cost; at 10^12 vectors each pass is an
+# embarrassingly parallel scan of the staged int column.
+
+KM_K = 8
+KM_ITERS = 3
+KM_OFFSET = 1000
+
+
+def _km_qdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stage(
+        spark,
+        (session_token(spark), sf_dir, "km_q"),
+        lambda: spark.table("embeddings").select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x * F.lit(1000.0)).cast("long")
+                + F.lit(KM_OFFSET),
+            ).alias("q"),
+        ),
+    )
+
+
+def _km_oracle(k: int, iters: int, dims: int, offset: int) -> str:
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dims}),"
+        " j -> (v.q[j] - c.q[j]) * (v.q[j] - c.q[j])))"
+    )
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(x * 1000e0) AS BIGINT) + {offset}) AS q
+  FROM embeddings
+)
+, c0 AS (SELECT vec_id AS cid, q FROM q WHERE vec_id < {k})
+"""]
+    for i in range(1, iters + 2):  # iters updates + 1 final assignment
+        parts.append(f"""
+, a{i} AS (
+  SELECT vec_id, q, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn
+    FROM (SELECT v.vec_id, v.q, c.cid, {d2} AS d2
+          FROM q v CROSS JOIN c{i - 1} c) d) r
+  WHERE rn = 1
+)
+""")
+        if i <= iters:
+            parts.append(f"""
+, c{i} AS (
+  SELECT p.cid, coalesce(u.q, p.q) AS q
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cid, list(s ORDER BY dim) AS q FROM (
+      SELECT cid, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS s
+      FROM (SELECT cid, UNNEST(q) AS val,
+                   generate_subscripts(q, 1) AS dim FROM a{i}) e
+      GROUP BY cid, dim) g
+    GROUP BY cid) u ON u.cid = p.cid
+)
+""")
+    parts.append(f"""
+SELECT CAST(t.cid AS BIGINT) AS cid, t.n_vectors, t.inertia, s.c_sig
+FROM (SELECT cid, COUNT(*) AS n_vectors,
+             CAST(SUM(d2) AS BIGINT) AS inertia
+      FROM a{iters + 1} GROUP BY 1) t
+JOIN (SELECT cid, md5(array_to_string(q, ',')) AS c_sig
+      FROM c{iters}) s ON s.cid = t.cid
+""")
+    return "".join(parts)
+
+
+@register("kmeans_fit", _km_oracle(KM_K, KM_ITERS, V.DIMS, KM_OFFSET))
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    views(spark, sf_dir)
+    qdf = _km_qdf(spark, sf_dir)
+    cents = [
+        r["q"]
+        for r in qdf.where(F.col("vec_id") < KM_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for _ in range(KM_ITERS):
+        upd = (
+            V.kmeans_partials(qdf, cents)
+            .groupBy("cid")
+            .agg(
+                F.sum("n").alias("n"),
+                *[
+                    F.sum(F.element_at("sums", d + 1)).alias(f"s{d}")
+                    for d in range(V.DIMS)
+                ],
+            )
+            .collect()
+        )
+        new = list(cents)  # empty cluster keeps its previous centroid
+        for r in upd:
+            new[r["cid"]] = [
+                r[f"s{d}"] // r["n"] for d in range(V.DIMS)
+            ]
+        cents = new
+    stats = (
+        V.kmeans_partials(qdf, cents)
+        .groupBy("cid")
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.sum("inertia").alias("inertia"),
+        )
+    )
+    sigs = spark.createDataFrame(
+        [
+            (k, _hl.md5(",".join(map(str, c)).encode()).hexdigest())
+            for k, c in enumerate(cents)
+        ],
+        "cid int, c_sig string",
+    )
+    return stats.join(sigs, "cid").select(
+        F.col("cid").cast("long").alias("cid"),
+        "n_vectors",
+        "inertia",
+        "c_sig",
+    )

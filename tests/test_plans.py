@@ -651,3 +651,30 @@ def test_bpe_pair_counts_hash_agg_no_corpus_rescan(spark):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_partials_map_side_no_corpus_rescan(spark):
+    """kmeans_fit: a Lloyd's round reads the STAGED quantized vectors
+    (checkpoint scan, never a parquet rescan), the assignment+partial-
+    sums kernel is the designed map-side MapInPandas (≤K rows leave each
+    batch), and the update is a partial/final hash agg. No Window, no
+    join, no sort of the corpus."""
+    from pdxbldgimport_spark.operators import vectors as V
+    from pdxbldgimport_spark.queries_text import KM_K, _km_qdf
+
+    qdf = _km_qdf(spark, SF)
+    cents = [r["q"] for r in qdf.where(f"vec_id < {KM_K}")
+             .orderBy("vec_id").collect()]
+    from pyspark.sql import functions as F
+    plan = _plan(
+        V.kmeans_partials(qdf, cents).groupBy("cid").agg(
+            F.sum("n").alias("n"),
+            F.sum(F.element_at("sums", 1)).alias("s0"),
+        )
+    )
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
