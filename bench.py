@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "colloc_pmi_topk",
     "bpe_merge_topk",
     "kmeans_fit",
+    "lm_score_filter",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

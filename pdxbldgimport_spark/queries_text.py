@@ -2422,3 +2422,118 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inertia",
         "c_sig",
     )
+
+
+# ----------------------------------------------------------------------
+# LM-score quality filtering (CCNet's perplexity filter, made exact):
+# train a pruned bigram LM on the corpus, score every document by its
+# mean scaled conditional probability, keep docs above a threshold.
+# Log-perplexity itself is float-transcendental (no two engines agree
+# bit-for-bit); the integer surrogate — per-bigram
+# floor(SCALE·c_xy/c_x), per-doc floor(mean) — is rank-usable for
+# filtering and exact in Spark, DuckDB, and Python. Unseen/pruned
+# bigrams back off to 0, which is precisely what makes the model table
+# BROADCASTABLE: pruning at c_xy ≥ LM_MIN bounds it (the KenLM-pruning
+# story), so the corpus-side score pass is explode → BroadcastHashJoin
+# → one doc-keyed partial/final agg — the exchange carries one row per
+# document, never the bigram stream. Two corpus passes total (train
+# aggs, score agg).
+
+LM_SCALE = 1_000_000
+LM_MIN = 5
+LM_KEEP_MIN = 34_000
+
+_LM_ORACLE = (
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + f"""
+, bg AS (
+  SELECT doc_id, w AS w1, lead(w) OVER win AS w2
+  FROM tokens
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w) OVER win IS NOT NULL
+)
+, cxy AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2
+  HAVING COUNT(*) >= {LM_MIN}
+)
+, cx AS (SELECT w1, COUNT(*) AS c_x FROM bg GROUP BY 1)
+, lm AS (
+  SELECT c.w1, c.w2,
+         CAST({LM_SCALE} * c.c_xy // x.c_x AS BIGINT) AS p
+  FROM cxy c JOIN cx x USING (w1)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(coalesce(lm.p, 0)) // COUNT(*) AS BIGINT) AS lm_score,
+       CAST(CASE WHEN SUM(coalesce(lm.p, 0)) // COUNT(*)
+                      >= {LM_KEEP_MIN} THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM bg b LEFT JOIN lm ON lm.w1 = b.w1 AND lm.w2 = b.w2
+GROUP BY 1
+"""
+)
+
+
+def _doc_bigrams(spark: SparkSession) -> DataFrame:
+    """(doc_id, w1, w2) map-side off the split array — no doc window."""
+    return (
+        spark.table("documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+
+
+@register("lm_score_filter", _LM_ORACLE)
+def q_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    # the pruned scored-bigram model: two vocabulary-sized aggs joined
+    # once, staged because train and score share a session
+    lm = stage(
+        spark,
+        (session_token(spark), sf_dir, "lm_bigram"),
+        lambda: (
+            _doc_bigrams(spark)
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c_xy"))
+            .where(F.col("c_xy") >= LM_MIN)
+            .join(
+                _doc_bigrams(spark)
+                .groupBy("w1")
+                .agg(F.count(F.lit(1)).alias("c_x")),
+                "w1",
+            )
+            .select(
+                "w1",
+                "w2",
+                F.expr(
+                    f"CAST({LM_SCALE} * c_xy DIV c_x AS BIGINT)"
+                ).alias("p"),
+            )
+        ),
+    )
+    score = F.expr("sum_p DIV n_bigrams")
+    return (
+        _doc_bigrams(spark)
+        .join(F.broadcast(lm), ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("p"), F.lit(0))).alias("sum_p"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            score.cast("long").alias("lm_score"),
+            (score >= LM_KEEP_MIN).cast("long").alias("kept"),
+        )
+    )

@@ -678,3 +678,17 @@ def test_kmeans_partials_map_side_no_corpus_rescan(spark):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_filter_broadcast_model_one_doc_agg(spark):
+    """lm_score_filter: the pruned bigram model BROADCASTS onto the
+    map-side bigram stream (no shuffle of the corpus on a word key —
+    no SortMergeJoin), bigrams come from zip_with (no doc Window), and
+    the score is one doc-keyed partial/final agg. No Python."""
+    plan = _plan(Q.QUERIES["lm_score_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
