@@ -37,19 +37,21 @@ def load(paths: list[str]) -> list[dict]:
 
 
 def couple_ratios(recs: list[dict], kind: str) -> list[dict]:
-    """(t_wall, ratio) for every consecutive same-kind 8/32 couple."""
+    """(t_wall, cpus, ratio) for every consecutive same-kind N→4N
+    couple (narrow leg first, in either adjacency order)."""
     out, pending = [], None
     for r in recs:
         if r["kind"] != kind:
             continue
-        if r["cpus"] == 8:
-            pending = r
-        elif r["cpus"] == 32 and pending is not None:
+        if pending is not None and r["cpus"] == 4 * pending["cpus"]:
             out.append({
                 "t": r["t_wall"],
+                "cpus": pending["cpus"],
                 "ratio": r["rows_per_cpu_sec"] / pending["rows_per_cpu_sec"],
             })
             pending = None
+        else:
+            pending = r
     return out
 
 
@@ -74,43 +76,52 @@ def main() -> None:
     for r in recs:
         if r["kind"] != "bench":
             continue
-        if r["cpus"] == 8:
-            pending = r
-        elif r["cpus"] == 32 and pending is not None:
+        if (
+            pending is not None
+            and r["cpus"] == 4 * pending["cpus"]
+            and r.get("rep_mult") == pending.get("rep_mult")
+        ):
             pairs.append((pending, r))
             pending = None
+        else:
+            pending = r
 
-    print(f"{'src':<16} {'t8 s':>8} {'t32 s':>8} {'M/s@8':>7} {'M/s@32':>7}"
-          f" {'eff':>5} {'probe':>6} {'bw':>5}")
-    t8_sum = t32_sum = 0.0
-    effs = []
-    for p8, p32 in pairs:
-        eff = (p32["docs_per_sec"] / p8["docs_per_sec"]) / 4
-        effs.append(eff)
-        t8_sum += p8["headline_sec"]
-        t32_sum += p32["headline_sec"]
-        pr = nearest(probes, p32["t_wall"])
-        bw = nearest(bwprobes, p32["t_wall"])
-        print(f"{p8['_src']:<16} {p8['headline_sec']:>8.1f}"
-              f" {p32['headline_sec']:>8.1f}"
-              f" {p8['docs_per_sec'] / 1e6:>7.1f}"
-              f" {p32['docs_per_sec'] / 1e6:>7.1f}"
-              f" {eff:>5.2f}"
-              f" {pr if pr is None else round(pr, 2)!s:>6}"
-              f" {bw if bw is None else round(bw, 2)!s:>5}")
     if not pairs:
         print("no pairs found")
         return
-    n = len(pairs)
-    agg = (t8_sum / t32_sum) / 4
-    effs.sort()
-    med = (effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2)
-    print(f"\npairs: {n}   all-legs aggregate (sum t8 / sum t32 / 4):"
-          f" {agg:.3f}")
-    print(f"median pair efficiency: {med:.2f}   best: {max(effs):.2f}")
+    print(f"{'src':<16} {'N→4N':>6} {'tN s':>8} {'t4N s':>8} {'M/s@N':>7}"
+          f" {'M/s@4N':>7} {'eff':>5} {'probe':>6} {'bw':>5}")
+    classes: dict = {}
+    for pn, pw in pairs:
+        eff = (pw["docs_per_sec"] / pn["docs_per_sec"]) / 4
+        cls = classes.setdefault(
+            (pn["cpus"], pn.get("rep_mult")), {"tn": 0.0, "tw": 0.0, "e": []}
+        )
+        cls["tn"] += pn["headline_sec"]
+        cls["tw"] += pw["headline_sec"]
+        cls["e"].append(eff)
+        pr = nearest(probes, pw["t_wall"])
+        bw = nearest(bwprobes, pw["t_wall"])
+        print(f"{pn['_src']:<16} {pn['cpus']:>2}→{pw['cpus']:<3}"
+              f" {pn['headline_sec']:>8.1f} {pw['headline_sec']:>8.1f}"
+              f" {pn['docs_per_sec'] / 1e6:>7.1f}"
+              f" {pw['docs_per_sec'] / 1e6:>7.1f}"
+              f" {eff:>5.2f}"
+              f" {pr if pr is None else round(pr, 2)!s:>6}"
+              f" {bw if bw is None else round(bw, 2)!s:>5}")
+    for (cpus, rep), cls in sorted(classes.items()):
+        effs = sorted(cls["e"])
+        n = len(effs)
+        med = effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2
+        agg = (cls["tn"] / cls["tw"]) / 4
+        print(f"\n{cpus}→{cpus * 4} (rep_mult={rep}): pairs {n}"
+              f"   all-legs aggregate {agg:.3f}"
+              f"   median {med:.2f}   best {max(effs):.2f}")
     if bwprobes:
-        bws = sorted(c["ratio"] for c in bwprobes)
-        print(f"bwprobe window ceilings: {', '.join(f'{b:.2f}' for b in bws)}")
+        bws = ", ".join(
+            f"{c['cpus']}→{c['cpus'] * 4}:{c['ratio']:.2f}" for c in bwprobes
+        )
+        print(f"bwprobe window ceilings: {bws}")
 
 
 if __name__ == "__main__":
