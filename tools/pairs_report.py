@@ -117,6 +117,25 @@ def main() -> None:
         print(f"\n{cpus}→{cpus * 4} (rep_mult={rep}): pairs {n}"
               f"   all-legs aggregate {agg:.3f}"
               f"   median {med:.2f}   best {max(effs):.2f}")
+    # Combined per-couple aggregate across input sizes: within a pair
+    # both widths process the SAME docs, so total-docs/total-time per
+    # width reduces to sum(tN)/sum(t4N) — valid across rep_mults.
+    bycouple: dict = {}
+    for (cpus, rep), cls in classes.items():
+        c = bycouple.setdefault(cpus, {"tn": 0.0, "tw": 0.0, "e": [], "reps": set()})
+        c["tn"] += cls["tn"]
+        c["tw"] += cls["tw"]
+        c["e"] += cls["e"]
+        c["reps"].add(rep)
+    for cpus, c in sorted(bycouple.items()):
+        if len(c["reps"]) < 2:
+            continue
+        effs = sorted(c["e"])
+        n = len(effs)
+        med = effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2
+        print(f"\n{cpus}→{cpus * 4} (ALL input sizes): pairs {n}"
+              f"   all-legs aggregate {(c['tn'] / c['tw']) / 4:.3f}"
+              f"   median {med:.2f}")
     if bwprobes:
         bws = ", ".join(
             f"{c['cpus']}→{c['cpus'] * 4}:{c['ratio']:.2f}" for c in bwprobes
