@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "bpe_merge_topk",
     "kmeans_fit",
     "lm_score_filter",
+    "split_by_host",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import synth
 from .queries import register, views
+from .queries_text import _h60_sql
 from .queries_web import (
     CANON_HOST_RE,
     RAW_HOST_RE,
@@ -572,3 +573,73 @@ def q_robots_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_blocked", F.lit(0).cast("long")).alias("n_blocked"),
         "first_blocked_page_id",
     )
+
+
+# ----------------------------------------------------------------------
+# Leakage-safe train/val/test split: assign every page of a host to ONE
+# split, from a deterministic hash of the HOST string alone. Splitting
+# per-document leaks near-duplicates (mirrors, templated pages, same
+# article re-crawled) across the train/eval boundary; hashing the host
+# makes the assignment group-atomic, reproducible across runs and
+# engines, and requires NO coordination — any executor can compute any
+# page's split without a lookup table. The reference's closest analog
+# is its per-source partition of the conflation inputs (tasks/
+# pdx_bldgs.rake separates pdx/clark/metro worlds before merging).
+#
+# Scale shape: ONE partial/final hash aggregation on host (the same
+# exchange any per-host rollup needs — ~10^8 groups at 10^12 pages);
+# the split expression is pure codegen on the group key AFTER the agg,
+# so it prices at #hosts, not #pages. No window, no join, no Python.
+# The gate output is the per-host assignment table itself (host, split,
+# n_pages, n_chars) — the driver hash certifies every host's split, not
+# just the rollup totals.
+
+SPLIT_VAL_BUCKETS = 5  # of 100 hash buckets -> ~5% of hosts
+SPLIT_TEST_BUCKETS = 5
+
+_SPLIT_H60_DUCK = _h60_sql("md5(host)", "strpos")
+_SPLIT_H60_SPARK = _h60_sql("md5(cast(host as binary))", "instr")
+
+_SPLIT_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, h AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM pages
+)
+, g AS (
+  SELECT host, COUNT(*) AS n_pages,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM h GROUP BY host
+)
+SELECT host,
+       CASE WHEN {_SPLIT_H60_DUCK} % 100 < {SPLIT_VAL_BUCKETS}
+              THEN 'val'
+            WHEN {_SPLIT_H60_DUCK} % 100
+                 < {SPLIT_VAL_BUCKETS + SPLIT_TEST_BUCKETS}
+              THEN 'test'
+            ELSE 'train' END AS split,
+       n_pages, n_chars
+FROM g
+"""
+)
+
+
+@register("split_by_host", _SPLIT_ORACLE)
+def q_split_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    host = F.lower(F.regexp_extract("url", RAW_HOST_RE, 1))
+    g = (
+        spark.table("pages")
+        .select(host.alias("host"), F.length("text").cast("long").alias("c"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("c").alias("n_chars"))
+    )
+    bucket = F.expr(_SPLIT_H60_SPARK) % 100
+    split = (
+        F.when(bucket < SPLIT_VAL_BUCKETS, "val")
+        .when(bucket < SPLIT_VAL_BUCKETS + SPLIT_TEST_BUCKETS, "test")
+        .otherwise("train")
+    )
+    return g.select("host", split.alias("split"), "n_pages", "n_chars")

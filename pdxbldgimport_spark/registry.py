@@ -17,6 +17,7 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "split_by_host",
     "lm_score_filter",
     "kmeans_fit",
     "bpe_merge_topk",

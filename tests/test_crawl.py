@@ -692,3 +692,40 @@ def test_boilerplate_remove_matches_python_reference(spark):
         for r in Q.QUERIES["boilerplate_remove"](spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_split_by_host_matches_python(spark):
+    rows = _pages(spark, "url", "text")
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        m = re.match(r"^[A-Za-z]+://([^/:?#]+)", r["url"])
+        host = m.group(1).lower()
+        a = agg[host]
+        a[0] += 1
+        a[1] += len(r["text"])
+    from pdxbldgimport_spark.queries_crawl import (
+        SPLIT_TEST_BUCKETS,
+        SPLIT_VAL_BUCKETS,
+    )
+
+    def split_of(host: str) -> str:
+        hx = hashlib.md5(host.encode()).hexdigest()
+        h60 = sum(int(hx[n], 16) * 16 ** n for n in range(15))
+        b = h60 % 100
+        if b < SPLIT_VAL_BUCKETS:
+            return "val"
+        if b < SPLIT_VAL_BUCKETS + SPLIT_TEST_BUCKETS:
+            return "test"
+        return "train"
+
+    expect = {
+        h: (split_of(h), c[0], c[1]) for h, c in agg.items()
+    }
+    got = {
+        r["host"]: (r["split"], r["n_pages"], r["n_chars"])
+        for r in Q.QUERIES["split_by_host"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the split must actually split: at 250 hosts all three classes
+    # should be populated (5/5/90 expected)
+    assert {s for s, _, _ in got.values()} == {"train", "val", "test"}

@@ -692,3 +692,17 @@ def test_lm_score_filter_broadcast_model_one_doc_agg(spark):
     assert plan.count("HashAggregate") >= 2
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_split_by_host_single_rollup_no_join(spark):
+    """split_by_host: ONE partial/final host aggregation; the split
+    expression runs on the group key after the agg — no join, no
+    window, no Python anywhere, and exactly one shuffle exchange."""
+    plan = _plan(Q.QUERIES["split_by_host"](spark, SF))
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
