@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "kmeans_fit",
     "lm_score_filter",
     "split_by_host",
+    "cell_compact",
+    "domain_mix_report",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

@@ -890,3 +890,114 @@ def q_tile_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cells.groupBy("tile_no").applyInPandas(dissolve, schema)
+
+
+# ----------------------------------------------------------------------
+# Multi-resolution cell compaction (H3 `compactCells` analog on the flat
+# quarter-section grid): replace every complete 4-sibling set with its
+# parent, recursively, emitting the MINIMAL mixed-resolution cover of
+# the occupied cells — the index a tile server or spatial filter pushes
+# down instead of the full base-cell set. The reference's consolidation
+# stage (tasks/metro_quarter_secs.rake:44-107) solves the inverse
+# problem (split hot tiles); compaction is the standard coarsen-where-
+# dense counterpart every hierarchical spatial index ships.
+#
+# Scale shape: the corpus contributes EXACTLY ONE staged partial/final
+# hash agg (occupied base cells + page counts at RES_COMPACT). Every
+# subsequent level is a groupBy(parent) HAVING count==4 plus a broadcast
+# LEFT ANTI join, all over <= 4^res rows (16,384 at res 7) — bounded by
+# the grid, independent of corpus size. page_count rides along (complete
+# parents sum their children), so sum(page_count) over the output equals
+# the total page count: the gate hash certifies cover-exactness, not
+# just cell membership.
+
+RES_COMPACT = 7  # 128x128 base cells: partial occupancy at test SFs
+
+
+def _parent_sql(t: str, res: int) -> str:
+    """DuckDB parent key one zoom up (flat iy*2^res+ix; non-negative)."""
+    n = 1 << res
+    return f"(({t} // {n}) // 2) * {n // 2} + ({t} % {n}) // 2"
+
+
+def _cell_compact_oracle() -> str:
+    n = 1 << RES_COMPACT
+    sql = synth.oracle_with("pages") + f"""
+, s{RES_COMPACT} AS (
+  SELECT {_iy_sql('lat', RES_COMPACT)} * {n} + {_ix_sql('lon', RES_COMPACT)} AS t,
+         COUNT(*) AS c
+  FROM pages GROUP BY 1
+)
+"""
+    for r in range(RES_COMPACT, 0, -1):
+        p = _parent_sql("t", r)
+        sql += f""", s{r - 1} AS (
+  SELECT p AS t, CAST(SUM(c) AS BIGINT) AS c
+  FROM (SELECT {p} AS p, c FROM s{r}) ch
+  GROUP BY 1 HAVING COUNT(*) = 4
+)
+, out{r} AS (
+  SELECT CAST({r} AS INT) AS zoom, t AS tile_id, CAST(c AS BIGINT) AS page_count
+  FROM s{r} WHERE {p} NOT IN (SELECT t FROM s{r - 1})
+)
+"""
+    union = "\nUNION ALL\n".join(
+        [
+            f"SELECT zoom, tile_id, page_count FROM out{r}"
+            for r in range(RES_COMPACT, 0, -1)
+        ]
+        + [
+            "SELECT CAST(0 AS INT) AS zoom, t AS tile_id,"
+            " CAST(c AS BIGINT) AS page_count FROM s0"
+        ]
+    )
+    return sql + union
+
+
+@register("cell_compact", _cell_compact_oracle())
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    cur = stage(
+        spark,
+        (session_token(spark), sf_dir, "cell_compact_base"),
+        lambda: spark.table("pages")
+        .select(tile_expr(F.col("lon"), F.col("lat"), RES_COMPACT).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    out = None
+    for r in range(RES_COMPACT, 0, -1):
+        parent = _tile_parent("t", r)
+        # each level is staged: it feeds BOTH the anti-join at this level
+        # and the next level's rollup, and without a cut the lazy chain
+        # re-derives every level from the base once per reference
+        # (observed: 56 exchanges in the unstaged plan vs 7 staged).
+        # Levels are <= 4^res rows, so the cut is free; on a cluster this
+        # is the per-level Iceberg snapshot the resume manifest records.
+        cur_r = cur
+        nxt = stage(
+            spark,
+            (session_token(spark), sf_dir, f"cell_compact_l{r - 1}"),
+            lambda: cur_r.select(parent.alias("p"), "c")
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("c"))
+            .where(F.col("n") == 4)
+            .select(F.col("p").alias("t"), "c"),
+        )
+        lvl = (
+            cur.withColumn("p", parent)
+            .join(F.broadcast(nxt.select(F.col("t").alias("p"))), "p", "left_anti")
+            .select(
+                F.lit(r).cast("int").alias("zoom"),
+                F.col("t").alias("tile_id"),
+                F.col("c").cast("long").alias("page_count"),
+            )
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+        cur = nxt
+    top = cur.select(
+        F.lit(0).cast("int").alias("zoom"),
+        F.col("t").alias("tile_id"),
+        F.col("c").cast("long").alias("page_count"),
+    )
+    return out.unionByName(top)

@@ -36,8 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import synth
-from .queries import register, views
+from .queries import register, stage, views
 from .queries_text import _h60_sql
+from .session import session_token
 from .queries_web import (
     CANON_HOST_RE,
     RAW_HOST_RE,
@@ -643,3 +644,118 @@ def q_split_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
     )
     return g.select("host", split.alias("split"), "n_pages", "n_chars")
+
+
+# ----------------------------------------------------------------------
+# Domain-mix report: the per-source token-share table every corpus card
+# publishes (The Pile / Dolma / FineWeb all lead with it) — the top-K
+# hosts by token volume with each host's corpus share and the cumulative
+# coverage of the head, plus one '__rest__' row aggregating the tail so
+# the table always sums to the whole corpus. Heavy-tail coverage ("the
+# top 20 hosts carry X% of tokens") is the number that drives sampling
+# and quota decisions upstream of training.
+#
+# Scale shape: ONE staged partial/final host rollup (the same exchange
+# any per-host stat needs); the head is TakeOrderedAndProject (top-K by
+# (n_tokens, host) — no global sort), and the only window is the
+# cumulative sum over those K rows, explicitly bounded by MIX_TOP_K.
+# Corpus totals and the tail row are tiny aggregates over the staged
+# host table (#hosts rows, ~10^8 at 10^12 pages), never the corpus.
+# Shares are integer ppm (1e6 * tokens div total) for cross-engine
+# exactness; ties break on host string so the head set is deterministic.
+
+MIX_TOP_K = 20
+
+_MIX_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, h AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM pages
+)
+, g AS (
+  SELECT host, COUNT(*) AS n_pages, CAST(SUM(tok) AS BIGINT) AS n_tokens
+  FROM h GROUP BY host
+)
+, tot AS (
+  SELECT CAST(SUM(n_pages) AS BIGINT) AS tp, CAST(SUM(n_tokens) AS BIGINT) AS tt
+  FROM g
+)
+, top AS (
+  SELECT host, n_pages, n_tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, host) AS INT) AS rank
+  FROM g ORDER BY n_tokens DESC, host LIMIT {MIX_TOP_K}
+)
+, cum AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY rank) AS BIGINT) AS cumt
+  FROM top
+)
+SELECT rank, host, n_pages, n_tokens,
+       (1000000 * n_tokens) // tt AS share_ppm,
+       (1000000 * cumt) // tt AS cum_share_ppm
+FROM cum, tot
+UNION ALL
+SELECT CAST({MIX_TOP_K + 1} AS INT) AS rank, '__rest__' AS host,
+       tp - (SELECT CAST(SUM(n_pages) AS BIGINT) FROM top) AS n_pages,
+       tt - (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM top) AS n_tokens,
+       (1000000 * (tt - (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM top))) // tt
+         AS share_ppm,
+       CAST(1000000 AS BIGINT) AS cum_share_ppm
+FROM tot
+"""
+)
+
+
+@register("domain_mix_report", _MIX_ORACLE)
+def q_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    views(spark, sf_dir)
+    host = F.lower(F.regexp_extract("url", RAW_HOST_RE, 1))
+    g = stage(
+        spark,
+        (session_token(spark), sf_dir, "domain_mix_hosts"),
+        lambda: spark.table("pages")
+        .select(
+            host.alias("host"),
+            F.size(F.split("text", " ")).cast("long").alias("tok"),
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("tok").alias("n_tokens")),
+    )
+    tot = g.agg(
+        F.sum("n_pages").alias("tp"), F.sum("n_tokens").alias("tt")
+    )
+    order = [F.col("n_tokens").desc(), F.col("host").asc()]
+    top = (
+        g.orderBy(*order)
+        .limit(MIX_TOP_K)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+    cum = top.withColumn(
+        "cumt",
+        F.sum("n_tokens").over(
+            Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    head = cum.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "host",
+        "n_pages",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) div tt").alias("share_ppm"),
+        F.expr("(1000000 * cumt) div tt").alias("cum_share_ppm"),
+    )
+    tops = top.agg(
+        F.sum("n_pages").alias("sp"), F.sum("n_tokens").alias("st")
+    )
+    rest = tot.crossJoin(F.broadcast(tops)).select(
+        F.lit(MIX_TOP_K + 1).cast("int").alias("rank"),
+        F.lit("__rest__").alias("host"),
+        (F.col("tp") - F.col("sp")).alias("n_pages"),
+        (F.col("tt") - F.col("st")).alias("n_tokens"),
+        F.expr("(1000000 * (tt - st)) div tt").alias("share_ppm"),
+        F.lit(1000000).cast("long").alias("cum_share_ppm"),
+    )
+    return head.unionByName(rest)

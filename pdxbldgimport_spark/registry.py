@@ -17,6 +17,8 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "cell_compact",
+    "domain_mix_report",
     "split_by_host",
     "lm_score_filter",
     "kmeans_fit",

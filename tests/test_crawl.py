@@ -729,3 +729,37 @@ def test_split_by_host_matches_python(spark):
     # the split must actually split: at 250 hosts all three classes
     # should be populated (5/5/90 expected)
     assert {s for s, _, _ in got.values()} == {"train", "val", "test"}
+
+
+def test_domain_mix_report_matches_python(spark):
+    from pdxbldgimport_spark.queries_crawl import MIX_TOP_K
+
+    rows = _pages(spark, "url", "text")
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in rows:
+        m = re.match(r"^[A-Za-z]+://([^/:?#]+)", r["url"])
+        host = m.group(1).lower()
+        a = agg[host]
+        a[0] += 1
+        a[1] += len(r["text"].split(" "))
+    tp = sum(a[0] for a in agg.values())
+    tt = sum(a[1] for a in agg.values())
+    head = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:MIX_TOP_K]
+    expect = {}
+    cum = 0
+    for i, (host, (np_, nt)) in enumerate(head, start=1):
+        cum += nt
+        expect[i] = (host, np_, nt, 1000000 * nt // tt, 1000000 * cum // tt)
+    sp = sum(np_ for _, (np_, _) in head)
+    st = sum(nt for _, (_, nt) in head)
+    expect[MIX_TOP_K + 1] = (
+        "__rest__", tp - sp, tt - st, 1000000 * (tt - st) // tt, 1000000,
+    )
+    got = {
+        r["rank"]: (
+            r["host"], r["n_pages"], r["n_tokens"],
+            r["share_ppm"], r["cum_share_ppm"],
+        )
+        for r in Q.QUERIES["domain_mix_report"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -706,3 +706,31 @@ def test_split_by_host_single_rollup_no_join(spark):
     assert "MapInPandas" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cell_compact_staged_levels_broadcast_anti(spark):
+    """cell_compact: the corpus contributes one staged base agg; every
+    level is staged too, so the final plan is pure broadcast LEFT ANTI
+    joins over cell-bounded (<=4^res row) stage scans — no shuffle
+    exchange, no window, no Python in the assembled query."""
+    plan = _plan(Q.QUERIES["cell_compact"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_domain_mix_report_topk_bounded_window(spark):
+    """domain_mix_report: the host rollup is staged (one partial/final
+    agg at materialization); the head is TakeOrderedAndProject (no
+    global sort) and the only windows run AFTER the top-K cut, bounded
+    by MIX_TOP_K rows. Scalar totals attach via 1-row broadcast
+    nested-loop crossJoins — never a shuffle of the host table."""
+    plan = _plan(Q.QUERIES["domain_mix_report"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan

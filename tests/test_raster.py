@@ -128,3 +128,59 @@ def test_tile_pyramid_matches_python_reference(spark):
     n = len(pts)
     for z in (3, 4, 5):
         assert sum(c for (zz, _), c in got.items() if zz == z) == n
+
+
+def test_cell_compact_matches_python_reference(spark):
+    """H3-style compaction vs a literal Python reference over raw
+    lon/lat: same IEEE double base-cell math as tile_expr, then literal
+    bottom-up replace-complete-sibling-sets, plus the cover invariants
+    (page_count conservation, minimality, disjoint exact cover)."""
+    import math
+
+    from pdxbldgimport_spark import registry as Q
+    from pdxbldgimport_spark.geo import cells as C
+    from pdxbldgimport_spark.queries import RES_COMPACT, views
+    from tests.conftest import SF_SMOKE
+
+    views(spark, SF_SMOKE)
+    pts = spark.table("pages").select("lon", "lat").collect()
+    n = 1 << RES_COMPACT
+    level = {}
+    for r in pts:
+        ix = min(max(math.floor((r["lon"] - C.LON_W) / C.SPAN_X * float(n)), 0), n - 1)
+        iy = min(max(math.floor((r["lat"] - C.LAT_S) / C.SPAN_Y * float(n)), 0), n - 1)
+        t = iy * n + ix
+        level[t] = level.get(t, 0) + 1
+
+    def parent(t: int, res: int) -> int:
+        m = 1 << res
+        return ((t // m) // 2) * (m // 2) + (t % m) // 2
+
+    expect = {}
+    for res in range(RES_COMPACT, 0, -1):
+        groups: dict = {}
+        for t, c in level.items():
+            groups.setdefault(parent(t, res), []).append((t, c))
+        nxt = {p: sum(c for _, c in kids) for p, kids in groups.items() if len(kids) == 4}
+        for t, c in level.items():
+            if parent(t, res) not in nxt:
+                expect[(res, t)] = c
+        level = nxt
+    for t, c in level.items():
+        expect[(0, t)] = c
+
+    got = {
+        (r["zoom"], r["tile_id"]): r["page_count"]
+        for r in Q.QUERIES["cell_compact"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # exact cover: counts conserve
+    assert sum(got.values()) == len(pts)
+    # minimality: no emitted cell's ancestor is also emitted
+    emitted = set(got)
+    for zoom, t in emitted:
+        a, res = t, zoom
+        while res > 0:
+            a = parent(a, res)
+            res -= 1
+            assert (res, a) not in emitted
