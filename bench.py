@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "split_by_host",
     "cell_compact",
     "domain_mix_report",
+    "dsir_importance",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

@@ -2537,3 +2537,145 @@ def q_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= LM_KEEP_MIN).cast("long").alias("kept"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# DSIR importance weighting (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023): score every document
+# by how much its hashed-bigram distribution looks like a TARGET domain
+# (here lang='en') relative to the raw corpus. The classic recipe hashes
+# n-grams into NB buckets and weights each document by the sum of
+# log(p_target(b)/p_raw(b)) over its grams; the integer-exact surrogate
+# used here replaces the log-ratio with the floor-scaled smoothed count
+# ratio SCALE·(ct+1)/(cr+1) per bucket — the constant normalization
+# (C_raw/C_target) is dropped as rank-irrelevant, and everything stays
+# int64 in Spark, DuckDB, and Python. Distinct from lm_score_filter
+# (generative bigram-LM score): DSIR is a CONTRASTIVE weight against a
+# target distribution, and the model is bucket-hashed so its size is NB
+# (a constant), not vocabulary-sized.
+#
+# Scale shape: the model is ONE corpus pass — a single partial/final agg
+# keyed by bucket (NB=1024 groups; raw and target counts in the same
+# agg via a conditional sum), always broadcastable by construction. The
+# score pass is explode → bucket in codegen → BroadcastHashJoin → one
+# doc-keyed partial/final agg; the exchange carries one row per doc.
+# Two corpus passes total, no vocabulary-sized shuffle anywhere.
+
+DSIR_NB = 1024
+DSIR_SCALE = 1_000_000
+DSIR_TARGET_LANG = "en"
+# The keep threshold is DATA-DEPENDENT: the corpus-average bigram weight
+# G = floor(sum of all bigram weights / total bigrams). The absolute
+# weight level shifts with the target's corpus share (measured: en-doc
+# mean 458.7k at sf0.01 vs 397.2k at sf0.001), so a fixed cut cannot
+# split both scales; G sits between the target and non-target means by
+# construction (target docs are above the average they lift). One extra
+# O(#docs) rollup + a 1-row broadcast -- never a corpus pass.
+
+_DSIR_B_SPARK = (
+    f"({_h60_sql('md5(cast(concat(w1, chr(31), w2) as binary))', 'instr')}"
+    f" % {DSIR_NB})"
+)
+_DSIR_B_DUCK = f"({_h60_sql('md5(w1 || chr(31) || w2)', 'strpos')} % {DSIR_NB})"
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         UNNEST(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+)
+, bg AS (
+  SELECT doc_id, lang, w AS w1, lead(w) OVER win AS w2
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w) OVER win IS NOT NULL
+)
+, bb AS (
+  SELECT doc_id, lang, {_DSIR_B_DUCK} AS b FROM bg
+)
+, model AS (
+  SELECT b,
+         CAST({DSIR_SCALE} * (SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                       THEN 1 ELSE 0 END) + 1)
+              // (COUNT(*) + 1) AS BIGINT) AS wgt
+  FROM bb GROUP BY b
+)
+, per AS (
+  SELECT bb.doc_id, COUNT(*) AS n_bigrams, SUM(m.wgt) AS sum_w
+  FROM bb JOIN model m USING (b)
+  GROUP BY bb.doc_id
+)
+, gt AS (
+  SELECT CAST(SUM(sum_w) // SUM(n_bigrams) AS BIGINT) AS g FROM per
+)
+SELECT doc_id, n_bigrams,
+       CAST(sum_w // n_bigrams AS BIGINT) AS dsir_weight,
+       CAST(CASE WHEN sum_w // n_bigrams >= g THEN 1 ELSE 0 END AS BIGINT)
+         AS kept
+FROM per, gt
+"""
+
+
+@register("dsir_importance", _DSIR_ORACLE)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    bl = (
+        spark.table("documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("bgr"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("bgr.w1").alias("w1"),
+            F.col("bgr.w2").alias("w2"),
+        )
+        .select("doc_id", "lang", F.expr(_DSIR_B_SPARK).alias("b"))
+    )
+    model = stage(
+        spark,
+        (session_token(spark), sf_dir, "dsir_model"),
+        lambda: bl.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+        )
+        .select(
+            "b",
+            F.expr(
+                f"CAST({DSIR_SCALE} * (ct + 1) DIV (cr + 1) AS BIGINT)"
+            ).alias("wgt"),
+        ),
+    )
+    # per-doc totals staged: they feed both the output and the global
+    # threshold rollup (two consumers of one corpus-pass result)
+    per = stage(
+        spark,
+        (session_token(spark), sf_dir, "dsir_scores"),
+        lambda: bl.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("wgt").alias("sum_w"),
+        ),
+    )
+    gt = per.agg(F.expr("CAST(SUM(sum_w) DIV SUM(n_bigrams) AS BIGINT)").alias("g"))
+    score = F.expr("sum_w DIV n_bigrams")
+    return per.crossJoin(F.broadcast(gt)).select(
+        "doc_id",
+        "n_bigrams",
+        score.cast("long").alias("dsir_weight"),
+        (score >= F.col("g")).cast("long").alias("kept"),
+    )

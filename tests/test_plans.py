@@ -734,3 +734,53 @@ def test_domain_mix_report_topk_bounded_window(spark):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_importance_broadcast_model_one_doc_agg(spark):
+    """dsir_importance: model AND per-doc scores are staged, so the
+    assembled plan is a staged scan plus a 1-row broadcast scalar
+    attach — no shuffle exchange, no sort-merge join, no window, no
+    Python. The score pass's BroadcastHashJoin shape is asserted on the
+    un-staged score subtree directly (what each stage materializes)."""
+    plan = _plan(Q.QUERIES["dsir_importance"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+    # the materialized score pass: bucket model must broadcast
+    import pdxbldgimport_spark.queries_text as QT
+    from pdxbldgimport_spark.queries import views
+    from pyspark.sql import functions as F
+
+    views(spark, SF)
+    bl = (
+        spark.table("documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("bgr"),
+        )
+        .select(
+            "doc_id",
+            F.col("bgr.w1").alias("w1"),
+            F.col("bgr.w2").alias("w2"),
+        )
+        .select("doc_id", F.expr(QT._DSIR_B_SPARK).alias("b"))
+    )
+    model = bl.groupBy("b").agg(F.count(F.lit(1)).alias("wgt"))
+    score = bl.join(F.broadcast(model), "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sub = _plan(score)
+    assert "BroadcastHashJoin" in sub
+    assert "SortMergeJoin" not in sub
+    assert "BatchEvalPython" not in sub
