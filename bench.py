@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "cell_compact",
     "domain_mix_report",
     "dsir_importance",
+    "tile_focal_stats",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

@@ -1001,3 +1001,99 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("page_count"),
     )
     return out.unionByName(top)
+
+
+# ----------------------------------------------------------------------
+# Raster focal statistics (GIS "focal mean" / moving-window smoothing):
+# per-tile page density smoothed over the 3x3 neighborhood, the standard
+# raster-analysis pass every density surface / heatmap layer publishes
+# (the raster twin of tile_dissolve's vector outline; reference analog:
+# the tiler's per-quarter-section density decisions in tasks/
+# metro_quarter_secs.rake). Edge tiles average over their real (<9)
+# neighbor count rather than zero-padding, so the border is unbiased.
+#
+# Scale shape: the corpus contributes ONE staged partial/final tile agg
+# (1024 rows at RES_TILE); the neighborhood pass is a 9-way explode of
+# the TILE TABLE (never the corpus) re-aggregated by neighbor key, plus
+# a broadcast join back for each tile's own count — all grid-bounded,
+# corpus-independent. Focal mean is integer ppm (floor 1e6*sum/n) for
+# cross-engine exactness.
+
+
+def _focal_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, base AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)} AS t,
+         COUNT(*) AS c
+  FROM pages GROUP BY 1
+)
+, nb AS (
+  SELECT ((b.t // {n}) + d2.dy) * {n} + ((b.t % {n}) + d1.dx) AS t, b.c
+  FROM base b
+  CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dx) d1
+  CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS dy) d2
+  WHERE (b.t % {n}) + d1.dx BETWEEN 0 AND {n - 1}
+    AND (b.t // {n}) + d2.dy BETWEEN 0 AND {n - 1}
+)
+, focal AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS focal_sum, COUNT(*) AS n_nbrs
+  FROM nb GROUP BY 1
+)
+SELECT f.t AS tile_id,
+       CAST(coalesce(b.c, 0) AS BIGINT) AS page_count,
+       f.n_nbrs, f.focal_sum,
+       (1000000 * f.focal_sum) // f.n_nbrs AS focal_mean_ppm
+FROM focal f LEFT JOIN base b ON b.t = f.t
+"""
+    )
+
+
+@register("tile_focal_stats", _focal_oracle())
+def q_tile_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    base = stage(
+        spark,
+        (session_token(spark), sf_dir, "tile_pyramid_base"),
+        lambda: spark.table("pages")
+        .select(tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    nb = (
+        base.select("t", "c", F.explode(offsets).alias("d"))
+        .where(
+            ((F.col("t") % n) + F.col("d.dx")).between(0, n - 1)
+            & (F.expr(f"t div {n}") + F.col("d.dy")).between(0, n - 1)
+        )
+        .select(
+            (
+                (F.expr(f"t div {n}") + F.col("d.dy")) * n
+                + (F.col("t") % n)
+                + F.col("d.dx")
+            ).alias("t"),
+            "c",
+        )
+    )
+    focal = nb.groupBy("t").agg(
+        F.sum("c").alias("focal_sum"), F.count(F.lit(1)).alias("n_nbrs")
+    )
+    return focal.join(
+        F.broadcast(base.withColumnRenamed("c", "own")), "t", "left"
+    ).select(
+        F.col("t").alias("tile_id"),
+        F.coalesce("own", F.lit(0)).cast("long").alias("page_count"),
+        "n_nbrs",
+        F.col("focal_sum").cast("long").alias("focal_sum"),
+        F.expr("(1000000 * focal_sum) div n_nbrs").alias("focal_mean_ppm"),
+    )

@@ -17,6 +17,7 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "tile_focal_stats",
     "dsir_importance",
     "cell_compact",
     "domain_mix_report",

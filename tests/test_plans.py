@@ -784,3 +784,18 @@ def test_dsir_importance_broadcast_model_one_doc_agg(spark):
     assert "BroadcastHashJoin" in sub
     assert "SortMergeJoin" not in sub
     assert "BatchEvalPython" not in sub
+
+
+def test_tile_focal_stats_grid_bounded(spark):
+    """tile_focal_stats: the corpus contributes only the staged base
+    tile agg; the neighborhood pass explodes the 1024-row TILE table
+    (never the corpus) and re-aggregates by neighbor key, with the own-
+    count attach as a broadcast join. No corpus-side shuffle beyond the
+    stage, no window, no Python."""
+    plan = _plan(Q.QUERIES["tile_focal_stats"](spark, SF))
+    assert "FileScan" not in plan  # only staged-RDD scans feed the plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan

@@ -184,3 +184,47 @@ def test_cell_compact_matches_python_reference(spark):
             a = parent(a, res)
             res -= 1
             assert (res, a) not in emitted
+
+
+def test_tile_focal_stats_matches_python_reference(spark):
+    """3x3 focal mean vs a literal Python moving-window over the tile
+    grid built from raw lon/lat — edge tiles average over their real
+    neighbor count (no zero-padding bias)."""
+    import math
+
+    from pdxbldgimport_spark import registry as Q
+    from pdxbldgimport_spark.geo import cells as C
+    from pdxbldgimport_spark.queries import views
+    from tests.conftest import SF_SMOKE
+
+    views(spark, SF_SMOKE)
+    pts = spark.table("pages").select("lon", "lat").collect()
+    n = 1 << C.RES_TILE
+    base: dict = {}
+    for r in pts:
+        ix = min(max(math.floor((r["lon"] - C.LON_W) / C.SPAN_X * float(n)), 0), n - 1)
+        iy = min(max(math.floor((r["lat"] - C.LAT_S) / C.SPAN_Y * float(n)), 0), n - 1)
+        t = iy * n + ix
+        base[t] = base.get(t, 0) + 1
+    # focal targets: every cell in the 3x3 neighborhood of an occupied
+    # cell (the engine's explode direction), keyed by target tile
+    acc: dict = {}
+    for t, c in base.items():
+        ix, iy = t % n, t // n
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                if 0 <= jx < n and 0 <= jy < n:
+                    s, k = acc.get(jy * n + jx, (0, 0))
+                    acc[jy * n + jx] = (s + c, k + 1)
+    expect = {
+        t: (base.get(t, 0), k, s, 1000000 * s // k)
+        for t, (s, k) in acc.items()
+    }
+    got = {
+        r["tile_id"]: (
+            r["page_count"], r["n_nbrs"], r["focal_sum"], r["focal_mean_ppm"]
+        )
+        for r in Q.QUERIES["tile_focal_stats"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
