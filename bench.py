@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "domain_mix_report",
     "dsir_importance",
     "tile_focal_stats",
+    "dwithin_join",
+    "tile_moran",
+    "str_pack",
+    "curriculum_order",
     "dup_cluster_stats",
     "dedup_keep_best",
     "paragraph_dedup",

@@ -142,3 +142,58 @@ def knn_join(
         .where(F.col("rn") <= top_k)
         .select(point_id, cand_id, "rn")
     )
+
+
+def dwithin_pairs(
+    points: DataFrame,
+    cents: DataFrame,
+    radius_deg: float,
+    point_id: str = "page_id",
+    cand_id: str = "fp_id",
+    res: int = RES_KNN,
+    lon_col: str = "centroid_lon",
+    lat_col: str = "centroid_lat",
+    broadcast_max_ring_rows: int = BROADCAST_MAX_RING_ROWS,
+    cands_count: int | None = None,
+) -> DataFrame:
+    """ST_DWithin as a cell-ring equi-join + exact refine: every
+    (point, candidate) pair with planar squared-degree distance ≤
+    radius². Returns (point_id, cand_id, d2) with d2 the exact double.
+
+    Ring completeness: ``radius_deg`` must be < min(cell edge_x, edge_y)
+    at ``res`` — then any qualifying candidate differs by at most one
+    cell index per axis, so the 1-ring (9 cells) on the SMALL side
+    provably covers every pair (asserted below; property-tested vs brute
+    force in tests/test_spatial.py). Scale shape mirrors knn_join: the
+    point side gets one arithmetic cell projection (never explodes);
+    the 9× ring explode is on the candidate side, broadcast under the
+    same row gate, shuffle-equi-join above it."""
+    n = 1 << res
+    edge = min(C.SPAN_X / n, C.SPAN_Y / n)
+    if not radius_deg < edge:
+        raise ValueError(
+            f"radius {radius_deg} >= min cell edge {edge} at res {res}: "
+            "the 1-ring would miss qualifying pairs; raise res or use a "
+            "wider k_ring via knn_join-style expansion"
+        )
+    ring = ring_cells(
+        cents.select(cand_id, lon_col, lat_col), lon_col, lat_col, res, 1
+    )
+    if cands_count is None:
+        cands_count = cents.count()  # JVM-only count of the small side
+    ring_side = (
+        F.broadcast(ring)
+        if cands_count * 9 <= broadcast_max_ring_rows
+        else ring
+    )
+    pts = points.select(point_id, "lon", "lat").withColumn(
+        "cell", tile_expr(F.col("lon"), F.col("lat"), res)
+    )
+    dlon = F.col("lon") - F.col(lon_col)
+    dlat = F.col("lat") - F.col(lat_col)
+    d2 = dlon * dlon + dlat * dlat
+    return (
+        pts.join(ring_side, "cell")
+        .where(d2 <= F.lit(radius_deg) * F.lit(radius_deg))
+        .select(point_id, cand_id, d2.alias("d2"))
+    )

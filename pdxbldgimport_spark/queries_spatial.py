@@ -1,0 +1,385 @@
+"""Spatial-analytics family: within-distance join, spatial
+autocorrelation, R-tree bulk packing, and curriculum ordering.
+
+These extend the conflation core (queries.py) with the analysis passes a
+production geo-webtext pipeline runs AFTER assignment: ``dwithin_join``
+is the PostGIS ``ST_DWithin`` analog of the reference's
+distance-ordered candidate scan (tasks/metro_quarter_secs.rake:80-86 —
+the kNN resolver's "all candidates within radius" sibling);
+``tile_moran`` quantifies the hot-cell clustering the north_rule's
+salting path exists for (global Moran's I over the RES_TILE density
+raster); ``str_pack`` is Sort-Tile-Recursive R-tree bulk loading (the
+batch analog of the reference's GiST ``add_spatial_index`` sites, e.g.
+tasks/pdx_bldgs.rake:120-121) built on an exact distributed rank;
+``curriculum_order`` applies the same rank machinery to the corpus
+itself — a total training-curriculum order and shard assignment with no
+global sort.
+
+Cross-engine determinism: distances and centroids flow through
+identical IEEE-754 expression trees in both engines (same discipline as
+knn_unassigned); every aggregate/output is exact int64; sqrt/ceil are
+IEEE-correctly-rounded so the STR slice parameters agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import synth
+from .geo import cells as C
+from .operators.knn import RES_KNN, dwithin_pairs
+from .operators.pip_join import tile_expr
+from .operators.ranking import global_rank
+from .queries import (
+    _ix_sql,
+    _iy_sql,
+    prepared_footprints,
+    register,
+    stage,
+    views,
+)
+from .queries_text import _h60_sql
+from .session import session_token
+
+# ----------------------------------------------------------------------
+# dwithin_join: every (page, footprint-centroid) pair within DWITHIN_DEG
+# planar degrees — ST_DWithin re-expressed as the kNN kernel's cell-ring
+# equi-join with an exact distance refine.
+#
+# Completeness guarantee: DWITHIN_DEG (0.03°) is strictly less than the
+# RES_KNN cell edge in BOTH axes (edge_x = 0.05°, edge_y = 0.0375°), so
+# any candidate within the radius differs by at most one cell index per
+# axis — a 1-ring (9 cells) on the SMALL side provably covers every
+# qualifying pair (property-tested vs brute force in tests/
+# test_spatial.py). Scale shape: the page side gets one arithmetic cell
+# projection and never explodes; the ring explode is 9 × |footprints|;
+# broadcast under the same gate as knn_join, shuffle-equi-join above it.
+# The oracle is the algorithm-independent direct distance join (DuckDB
+# plans it as an IEJoin on the bbox bounds).
+
+DWITHIN_DEG = 0.03
+
+_D2_SQL = (
+    "((p.lon - f.cx) * (p.lon - f.cx) + (p.lat - f.cy) * (p.lat - f.cy))"
+)
+
+
+def _centroid_cte() -> str:
+    """Valid-footprint centroids reproducing geo.core.poly_centroid's
+    IEEE op order exactly (same discipline as queries._area_ft2_sql):
+    the engine's centroid is the area-weighted shoelace centroid over
+    the ring [x0y0, x1y0, x1y1, x0y1, x0y0], its four edge terms summed
+    left-to-right (np.bincount accumulates sequentially in edge order),
+    then divided by 3.0·(2A). A midpoint formulation ((x0+x1)/2) is
+    analytically equal but rounds differently — low-bit d2 drift flips
+    the boundary membership this query's exact gate hashes."""
+    c = ["(x0 * y0 - x1 * y0)", "(x1 * y1 - x1 * y0)",
+         "(x1 * y1 - x0 * y1)", "(x0 * y0 - x0 * y1)"]
+    wx = ["(x0 + x1)", "(x1 + x1)", "(x1 + x0)", "(x0 + x0)"]
+    wy = ["(y0 + y0)", "(y0 + y1)", "(y1 + y1)", "(y1 + y0)"]
+    cxs = f"((({wx[0]} * {c[0]} + {wx[1]} * {c[1]}) + {wx[2]} * {c[2]}) + {wx[3]} * {c[3]})"
+    cys = f"((({wy[0]} * {c[0]} + {wy[1]} * {c[1]}) + {wy[2]} * {c[2]}) + {wy[3]} * {c[3]})"
+    a2 = f"((({c[0]} + {c[1]}) + {c[2]}) + {c[3]})"
+    return f"""
+, fc AS (
+  SELECT fp_id,
+         {cxs} / (3e0 * {a2}) AS cx,
+         {cys} / (3e0 * {a2}) AS cy
+  FROM footprints_base WHERE fp_id % 97 <> 5
+)"""
+
+
+_DWITHIN_ORACLE = (
+    synth.oracle_with("pages", "footprints_base")
+    + _centroid_cte()
+    + f"""
+SELECT p.page_id, f.fp_id,
+       CAST(FLOOR({_D2_SQL} * 1000000000000e0) AS BIGINT) AS d2_e12
+FROM pages p
+JOIN fc f
+  ON p.lon >= f.cx - {DWITHIN_DEG!r}e0 AND p.lon <= f.cx + {DWITHIN_DEG!r}e0
+ AND p.lat >= f.cy - {DWITHIN_DEG!r}e0 AND p.lat <= f.cy + {DWITHIN_DEG!r}e0
+ AND {_D2_SQL} <= {DWITHIN_DEG!r}e0 * {DWITHIN_DEG!r}e0
+"""
+)
+
+
+@register("dwithin_join", _DWITHIN_ORACLE)
+def q_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    pages = spark.table("pages")
+    cents = prepared_footprints(spark, sf_dir).select(
+        "fp_id", "centroid_lon", "centroid_lat"
+    )
+    pairs = dwithin_pairs(pages, cents, DWITHIN_DEG, res=RES_KNN)
+    return pairs.select(
+        "page_id",
+        "fp_id",
+        F.floor(F.col("d2") * F.lit(1e12)).cast("long").alias("d2_e12"),
+    )
+
+
+# ----------------------------------------------------------------------
+# tile_moran: global Moran's I components over the RES_TILE page-density
+# raster with rook (4-neighbor) contiguity — the spatial-autocorrelation
+# statistic that certifies the hot-cell skew the north_rule's salting
+# path handles (a clustered-hot-parcel world must score I >> 0).
+#
+# Everything is exact int64: with n observed tiles and S total pages,
+# the per-tile deviation is dev_i = n·x_i − S (the mean-centered value
+# scaled by n, an integer), so
+#     I = (n · sum_cross) / (w_sum · sum_sq)
+# from the emitted components; no floats cross the engine boundary.
+# Scale shape: the corpus contributes ONE staged partial/final tile agg
+# (shared with tile_pyramid/tile_focal_stats); every later step operates
+# on the ≤(2^res)² tile table — a 4-way explode, a broadcast self-join,
+# and three single-row aggregates. Corpus-size-independent beyond the
+# shared base agg.
+
+
+def _moran_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, base AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)} AS t,
+         COUNT(*) AS c
+  FROM pages GROUP BY 1
+)
+, tot AS (SELECT COUNT(*) AS nt, CAST(SUM(c) AS BIGINT) AS s FROM base)
+, dev AS (SELECT b.t, t2.nt * b.c - t2.s AS d FROM base b CROSS JOIN tot t2)
+, nb AS (
+  SELECT ((b.t // {n}) + o.dy) * {n} + (b.t % {n}) + o.dx AS t, b.d AS dn
+  FROM dev b
+  CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+  WHERE (b.t % {n}) + o.dx BETWEEN 0 AND {n - 1}
+    AND (b.t // {n}) + o.dy BETWEEN 0 AND {n - 1}
+)
+, pairs AS (SELECT a.d, nb.dn FROM dev a JOIN nb ON nb.t = a.t)
+SELECT t2.nt AS n_tiles, t2.s AS total_pages, p.w_sum, p.sum_cross, q.sum_sq
+FROM tot t2
+CROSS JOIN (
+  SELECT COUNT(*) AS w_sum, CAST(SUM(d * dn) AS BIGINT) AS sum_cross
+  FROM pairs
+) p
+CROSS JOIN (SELECT CAST(SUM(d * d) AS BIGINT) AS sum_sq FROM dev) q
+"""
+    )
+
+
+@register("tile_moran", _moran_oracle())
+def q_tile_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    base = stage(
+        spark,
+        (session_token(spark), sf_dir, "tile_pyramid_base"),
+        lambda: spark.table("pages")
+        .select(tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("c").cast("long").alias("s")
+    )
+    dev = (
+        base.crossJoin(F.broadcast(tot))
+        .select("t", (F.col("nt") * F.col("c") - F.col("s")).alias("d"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    nb = (
+        dev.select("t", "d", F.explode(offsets).alias("o"))
+        .where(
+            ((F.col("t") % n) + F.col("o.dx")).between(0, n - 1)
+            & (F.expr(f"t div {n}") + F.col("o.dy")).between(0, n - 1)
+        )
+        .select(
+            (
+                (F.expr(f"t div {n}") + F.col("o.dy")) * n
+                + (F.col("t") % n)
+                + F.col("o.dx")
+            ).alias("t"),
+            F.col("d").alias("dn"),
+        )
+    )
+    cross = dev.join(F.broadcast(nb), "t").agg(
+        F.count(F.lit(1)).alias("w_sum"),
+        F.sum(F.col("d") * F.col("dn")).alias("sum_cross"),
+    )
+    sq = dev.agg(F.sum(F.col("d") * F.col("d")).alias("sum_sq"))
+    return (
+        tot.crossJoin(cross)
+        .crossJoin(sq)
+        .select(
+            F.col("nt").alias("n_tiles"),
+            F.col("s").alias("total_pages"),
+            "w_sum",
+            "sum_cross",
+            "sum_sq",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# str_pack: Sort-Tile-Recursive R-tree bulk loading (Leutenegger et al.,
+# ICDE'97) of the footprint centroids into leaf nodes of capacity B —
+# the batch index build behind every spatial query, re-expressed so the
+# two total orders it needs (global by cx, per-slice by cy) come from
+# operators.ranking.global_rank instead of single-task windows. Slice
+# count S = ceil(sqrt(N/B)) and slice size P = ceil(N/S) are computed
+# IN-PLAN from a one-row count (no driver-side collect); sqrt and ceil
+# are IEEE-correctly-rounded in both engines so the parameters agree
+# exactly. The oracle is the algorithm-independent direct formulation
+# (two plain ROW_NUMBER windows).
+
+STR_LEAF_B = 64
+_STR_BUCKET_RES = 7  # 128 rank buckets per axis for the two-phase rank
+
+
+def _str_oracle() -> str:
+    b = STR_LEAF_B
+    return (
+        synth.oracle_with("footprints_base")
+        + _centroid_cte()  # ORDER BY must see the engine's exact
+        # shoelace centroids: a midpoint formulation collapses each grid
+        # column to one tied cx, but the shoelace rounding separates
+        # them by ~1e-10 — a different total order, different slices.
+        + f"""
+, prm AS (
+  SELECT n, s, (n + s - 1) // s AS p, ((n + s - 1) // s + {b - 1}) // {b} AS nps
+  FROM (
+    SELECT n, CAST(CEIL(SQRT(n / {float(b)!r})) AS BIGINT) AS s
+    FROM (SELECT COUNT(*) AS n FROM fc)
+  )
+)
+, ranked AS (
+  SELECT fp_id, cy,
+         ROW_NUMBER() OVER (ORDER BY cx, fp_id) - 1 AS r
+  FROM fc
+)
+, sliced AS (
+  SELECT r1.fp_id, r1.cy, r1.r // p2.p AS slice, p2.nps
+  FROM ranked r1 CROSS JOIN prm p2
+)
+, yr AS (
+  SELECT fp_id, slice, nps,
+         ROW_NUMBER() OVER (PARTITION BY slice ORDER BY cy, fp_id) - 1 AS ry
+  FROM sliced
+)
+SELECT fp_id, slice, slice * nps + ry // {b} AS node_id FROM yr
+"""
+    )
+
+
+def _ix_col(c: Column, res: int, lo: float, span: float) -> Column:
+    n = 1 << res
+    v = F.floor((c - F.lit(lo)) / F.lit(span) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), v)).cast("long")
+
+
+@register("str_pack", _str_oracle())
+def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = STR_LEAF_B
+    fc = prepared_footprints(spark, sf_dir).select(
+        "fp_id",
+        F.col("centroid_lon").alias("cx"),
+        F.col("centroid_lat").alias("cy"),
+    )
+    prm = (
+        fc.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.ceil(F.sqrt(F.col("n") / F.lit(float(b)))).cast("long").alias("s"),
+        )
+        .select("n", "s", F.expr("(n + s - 1) div s").alias("p"))
+        .select("n", "s", "p", F.expr(f"(p + {b - 1}) div {b}").alias("nps"))
+    )
+    work = fc.crossJoin(F.broadcast(prm))
+    ranked = global_rank(
+        work,
+        bucket=_ix_col(F.col("cx"), _STR_BUCKET_RES, C.LON_W, C.SPAN_X),
+        order_cols=[F.col("cx"), F.col("fp_id")],
+        rank_col="r",
+    )
+    sliced = ranked.withColumn("slice", F.expr("r div p"))
+    yr = global_rank(
+        sliced,
+        bucket=_ix_col(F.col("cy"), _STR_BUCKET_RES, C.LAT_S, C.SPAN_Y),
+        order_cols=[F.col("cy"), F.col("fp_id")],
+        rank_col="ry",
+        partition_cols=["slice"],
+    )
+    return yr.select(
+        "fp_id",
+        "slice",
+        F.expr(f"slice * nps + ry div {b}").alias("node_id"),
+    )
+
+
+# ----------------------------------------------------------------------
+# curriculum_order: exact global training-curriculum position + shard
+# assignment for every page — ordered by (quality bucket asc, 60-bit
+# content hash, page_id), i.e. curriculum-graded with deterministic
+# within-grade shuffling — WITHOUT a global sort: the corpus-scale rank
+# comes from global_rank's bucket-offset decomposition (bucket =
+# qb · 256 + top-8-bits(hash), order-consistent by construction), so the
+# widest window any task executes is one (qb, hash-prefix) bucket.
+# Shards are balanced by construction: shard = pos·NSHARDS div N.
+
+CURR_NSHARDS = 16
+
+
+def _curriculum_oracle() -> str:
+    h = _h60_sql("md5(url)", "strpos")
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, scored AS (
+  SELECT page_id,
+         LEAST(9, CAST(length(text) AS BIGINT) // 256) AS qb,
+         {h} AS h
+  FROM pages
+)
+, nn AS (SELECT COUNT(*) AS n FROM scored)
+, ranked AS (
+  SELECT page_id, qb,
+         ROW_NUMBER() OVER (ORDER BY qb, h, page_id) - 1 AS pos
+  FROM scored
+)
+SELECT r.page_id, r.qb, r.pos, (r.pos * {CURR_NSHARDS}) // nn.n AS shard
+FROM ranked r CROSS JOIN nn
+"""
+    )
+
+
+@register("curriculum_order", _curriculum_oracle())
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    scored = spark.table("pages").select(
+        "page_id",
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr("CAST(length(text) AS BIGINT) div 256"),
+        ).alias("qb"),
+        F.expr(_h60_sql("md5(cast(url as binary))", "instr")).alias("h"),
+    )
+    nn = scored.agg(F.count(F.lit(1)).alias("n"))
+    bucket = F.col("qb") * F.lit(256) + F.expr(f"h div {1 << 52}")
+    ranked = global_rank(
+        scored,
+        bucket=bucket,
+        order_cols=[F.col("qb"), F.col("h"), F.col("page_id")],
+        rank_col="pos",
+    )
+    return ranked.crossJoin(F.broadcast(nn)).select(
+        "page_id",
+        "qb",
+        "pos",
+        F.expr(f"(pos * {CURR_NSHARDS}) div n").alias("shard"),
+    )

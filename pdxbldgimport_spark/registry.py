@@ -8,6 +8,7 @@ from . import queries_multimodal  # noqa: F401
 from . import queries_events  # noqa: F401
 from . import queries_web  # noqa: F401
 from . import queries_crawl  # noqa: F401
+from . import queries_spatial  # noqa: F401
 
 # The driver's correctness sweep runs queries in registry order and has
 # a finite budget (the r4 record truncated at 50 of 63 entries, cutting
@@ -17,6 +18,10 @@ from . import queries_crawl  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "dwithin_join",
+    "tile_moran",
+    "str_pack",
+    "curriculum_order",
     "tile_focal_stats",
     "dsir_importance",
     "cell_compact",

@@ -799,3 +799,43 @@ def test_tile_focal_stats_grid_bounded(spark):
     assert "Window" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dwithin_join_is_broadcast_ring_join(spark):
+    """dwithin_join: the ring side broadcasts under the gate; the page
+    side must reach the join through pure JVM arithmetic (cell
+    projection + distance refine), no Python, no sort-merge."""
+    plan = _plan(Q.QUERIES["dwithin_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tile_moran_corpus_touches_one_agg(spark):
+    """tile_moran: beyond the staged tile-count base (a checkpoint
+    scan), everything runs on the bounded tile table — broadcast joins
+    only, no sort-merge, nothing in Python."""
+    plan = _plan(Q.QUERIES["tile_moran"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_curriculum_order_no_unpartitioned_corpus_window(spark):
+    """curriculum_order: the corpus-scale window must be partitioned by
+    the rank bucket — the only unpartitioned window allowed is the
+    prefix-sum over the bounded bucket-count table (its input schema is
+    the 3-column counts row, never the corpus schema)."""
+    import re
+
+    plan = _plan(Q.QUERIES["curriculum_order"](spark, SF))
+    assert "MapInPandas" not in plan
+    # every Window over a schema containing page_id must carry a
+    # partition spec with the bucket column
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        args = m.group(0)
+        if "page_id" in args:
+            assert "__bkt" in args, args
