@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "tile_focal_stats",
     "dwithin_join",
     "tile_moran",
+    "host_triangles",
+    "heavy_hitters_cms",
+    "host_tile_affinity",
     "str_pack",
     "curriculum_order",
     "dup_cluster_stats",

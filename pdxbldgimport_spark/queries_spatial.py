@@ -383,3 +383,86 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.expr(f"(pos * {CURR_NSHARDS}) div n").alias("shard"),
     )
+
+
+# ----------------------------------------------------------------------
+# host_tile_affinity: pointwise mutual information between HOST and
+# TILE over the geocoded pages — "which hosts are geographically
+# concentrated, and where" — the geo×web affinity surface a localized
+# crawl/serving pipeline publishes (the hot host h0 must light up the
+# hot parcel's tiles). Same integer PMI surrogate as colloc_pmi_topk:
+# score = floor(SCALE · c_ht · N / (c_h · c_t)) on DECIMAL(38)/HUGEINT
+# operands — exact int64 cross-engine, rank-equivalent to PMI (log is
+# monotone). Scale shape: ONE partial/final (host, tile) agg over the
+# corpus; host and tile marginals are aggs of that table (never a
+# second corpus pass), attached by broadcast (hosts and the tile grid
+# are both bounded); N rides a one-row crossJoin. Pairs below
+# HT_MIN_COUNT are cut before the joins.
+
+HT_SCALE = 1_000_000
+HT_MIN_COUNT = 5
+
+
+def _affinity_oracle() -> str:
+    from .queries_web import RAW_HOST_RE
+
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, pt AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)} AS tile
+  FROM pages
+)
+, cht AS (
+  SELECT host, tile, COUNT(*) AS c_ht FROM pt GROUP BY 1, 2
+  HAVING COUNT(*) >= {HT_MIN_COUNT}
+)
+, ch AS (SELECT host, COUNT(*) AS c_h FROM pt GROUP BY 1)
+, ct AS (SELECT tile, COUNT(*) AS c_t FROM pt GROUP BY 1)
+, tot AS (SELECT COUNT(*) AS n FROM pt)
+SELECT b.host, b.tile, b.c_ht,
+       CAST((CAST({HT_SCALE} AS HUGEINT) * b.c_ht * t.n)
+            // (CAST(h.c_h AS HUGEINT) * c.c_t) AS BIGINT) AS pmi_scaled
+FROM cht b
+JOIN ch h ON h.host = b.host
+JOIN ct c ON c.tile = b.tile
+CROSS JOIN tot t
+"""
+    )
+
+
+@register("host_tile_affinity", _affinity_oracle())
+def q_host_tile_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_web import RAW_HOST_RE
+
+    views(spark, sf_dir)
+    pt = spark.table("pages").select(
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"),
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile"),
+    )
+    cht = (
+        pt.groupBy("host", "tile")
+        .agg(F.count(F.lit(1)).alias("c_ht"))
+        .where(F.col("c_ht") >= HT_MIN_COUNT)
+    )
+    # marginals from the (host, tile) table — bounded, never the corpus
+    full = pt.groupBy("host", "tile").agg(F.count(F.lit(1)).alias("c"))
+    ch = full.groupBy("host").agg(F.sum("c").alias("c_h"))
+    ct = full.groupBy("tile").agg(F.sum("c").alias("c_t"))
+    tot = full.agg(F.sum("c").alias("n"))
+    return (
+        cht.join(F.broadcast(ch), "host")
+        .join(F.broadcast(ct), "tile")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "tile",
+            "c_ht",
+            F.expr(
+                f"CAST((CAST({HT_SCALE} AS DECIMAL(38,0)) * c_ht * n)"
+                " DIV (CAST(c_h AS DECIMAL(38,0)) * c_t) AS BIGINT)"
+            ).alias("pmi_scaled"),
+        )
+    )

@@ -829,3 +829,230 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(h.withColumnRenamed("s", "hub_scaled"), "h")
         .select(F.col("h").alias("host"), "auth_scaled", "hub_scaled")
     )
+
+
+# ----------------------------------------------------------------------
+# host_triangles: per-host triangle counts over the undirected host link
+# graph (extracted from the html <nav>s, like link_degree_dist) — the
+# clustering/community signal a web-graph pipeline publishes alongside
+# degree and PageRank. Engine uses the standard distributed shape:
+# DEGREE ORIENTATION (each undirected edge directed from its
+# lower-(degree, host) endpoint), so every wedge is generated exactly
+# once from its lowest vertex and the join fan-out is bounded by
+# sum(min-degree²) ~ m^1.5 worst case instead of sum(degree²) — the hub
+# vertices that dominate a web graph never fan out. Scale shape: one
+# distinct on the host-contracted edge list (the only corpus-scale
+# shuffle, shared conceptually with link_degree_dist), a broadcast
+# degree attach (host-bounded), a self-join on the oriented source, and
+# a closing-edge hash join. The oracle is the algorithm-independent
+# lexicographic u<v<w three-way join.
+
+_TRI_EDGE_CTES = f"""
+, tagged AS (
+  SELECT page_id,
+         lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS src_host,
+         decode(html) AS h
+  FROM pages
+)
+, tags AS (
+  SELECT src_host,
+         UNNEST(regexp_extract_all(h, '<a href="([^"]+)">', 1)) AS href
+  FROM tagged
+)
+, e0 AS (
+  SELECT DISTINCT src_host AS a,
+         lower(regexp_extract(href, '{RAW_HOST_RE}', 1)) AS b
+  FROM tags
+)
+, und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM e0 WHERE a <> b
+)
+"""
+
+_TRI_ORACLE = (
+    synth.oracle_with("pages")
+    + _TRI_EDGE_CTES
+    + """
+, tri AS (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM und x
+  JOIN und y ON y.u = x.v
+  JOIN und z ON z.u = x.u AND z.v = y.v
+)
+SELECT h AS host, COUNT(*) AS n_tri
+FROM (SELECT UNNEST([a, b, c]) AS h FROM tri)
+GROUP BY 1
+"""
+)
+
+
+def _und_host_edges(spark: SparkSession) -> DataFrame:
+    """Distinct undirected host-host edges (u < v) off the raw navs."""
+    pat = '<a href="([^"]+)">'
+    tags = spark.table("pages").select(
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("a"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"), F.lit(pat), F.lit(1)
+            )
+        ).alias("href"),
+    )
+    e0 = tags.select(
+        "a", F.lower(F.regexp_extract("href", RAW_HOST_RE, 1)).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    return e0.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+
+
+@register("host_triangles", _TRI_ORACLE)
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return triangle_counts(_und_host_edges(spark))
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """(host, n_tri) per vertex over undirected edges (u, v) with u < v
+    and no self-loops — degree-oriented triangle enumeration (see the
+    host_triangles block comment). Property-tested vs an O(n³) brute
+    force in tests/test_graph_sketch.py."""
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from its (deg, host)-smaller endpoint; carry the
+    # head's degree so the wedge join can order its two heads without
+    # re-attaching degrees.
+    du = F.broadcast(deg.select(F.col("h").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("h").alias("v"), F.col("deg").alias("dv")))
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(du, "u").join(dv, "v")
+        .select(
+            F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(low_first, F.col("dv")).otherwise(F.col("du")).alias("degb"),
+        )
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedge = x.join(y, F.col("x.a") == F.col("y.a")).where(
+        (F.col("x.degb") < F.col("y.degb"))
+        | ((F.col("x.degb") == F.col("y.degb")) & (F.col("x.b") < F.col("y.b")))
+    )
+    closing = o.select(F.col("a").alias("cb"), F.col("b").alias("cc"))
+    tri = wedge.join(
+        closing,
+        (F.col("x.b") == F.col("cb")) & (F.col("y.b") == F.col("cc")),
+    ).select(
+        F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
+# ----------------------------------------------------------------------
+# heavy_hitters_cms: Count-Min sketch (Cormode & Muthukrishnan '05) over
+# per-host page counts — the mergeable fixed-size frequency summary a
+# streaming/sharded pipeline keeps where exact per-key counts don't fit.
+# The sketch build is the scale path: D=4 seeded-md5 row hashes per
+# page, ONE partial/final hash agg whose map-side combine collapses each
+# partition to ≤ D·W cells (2048 rows) regardless of corpus size; cell
+# arrays merge by addition across shards/batches by construction. The
+# probe joins each distinct host against the broadcast sketch and takes
+# the row-wise MIN — the classic overcount-only estimate (est ≥ true,
+# asserted in pytest; equality for collision-free hosts). true_count is
+# emitted for the gate's sake (at 10^12 pages you would keep only the
+# sketch).
+
+CMS_W = 512
+CMS_D = 4
+
+
+def _cms_hash_duck(r_expr: str, host_expr: str) -> str:
+    from .queries_text import _h60_sql
+
+    return (
+        _h60_sql(
+            f"md5('r' || CAST({r_expr} AS VARCHAR) || ':' || {host_expr})",
+            "strpos",
+        )
+        + f" % {CMS_W}"
+    )
+
+
+def _cms_hash_spark(r_expr: str, host_expr: str) -> str:
+    from .queries_text import _h60_sql
+
+    return (
+        _h60_sql(
+            f"md5(cast(concat('r', cast({r_expr} as string), ':', {host_expr})"
+            " as binary))",
+            "instr",
+        )
+        + f" % {CMS_W}"
+    )
+
+
+def _cms_oracle() -> str:
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, ph AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host FROM pages
+)
+, rows_ AS (SELECT UNNEST([{', '.join(str(r) for r in range(CMS_D))}]) AS r)
+, sketch AS (
+  SELECT r, {_cms_hash_duck('r', 'host')} AS b, COUNT(*) AS c
+  FROM ph CROSS JOIN rows_
+  GROUP BY 1, 2
+)
+, truec AS (SELECT host, COUNT(*) AS true_count FROM ph GROUP BY 1)
+, probe AS (
+  SELECT t.host, t.true_count, s.c
+  FROM truec t
+  CROSS JOIN rows_ r
+  JOIN sketch s ON s.r = r.r AND s.b = {_cms_hash_duck('r.r', 't.host')}
+)
+SELECT host, CAST(MIN(true_count) AS BIGINT) AS true_count,
+       CAST(MIN(c) AS BIGINT) AS est_count
+FROM probe GROUP BY 1
+"""
+    )
+
+
+@register("heavy_hitters_cms", _cms_oracle())
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    rows = F.array(*[F.lit(r) for r in range(CMS_D)])
+    ph = spark.table("pages").select(
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host")
+    )
+    sketch = (
+        ph.select("host", F.explode(rows).alias("r"))
+        .select("r", F.expr(_cms_hash_spark("r", "host")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truec = ph.groupBy("host").agg(F.count(F.lit(1)).alias("true_count"))
+    cells = sketch.select(
+        F.col("r").alias("sr"), F.col("b").alias("sb"), "c"
+    )
+    probe = (
+        truec.select("host", "true_count", F.explode(rows).alias("r"))
+        .withColumn("pb", F.expr(_cms_hash_spark("r", "host")))
+        .join(
+            F.broadcast(cells),
+            (F.col("r") == F.col("sr")) & (F.col("pb") == F.col("sb")),
+        )
+    )
+    return probe.groupBy("host").agg(
+        F.min("true_count").cast("long").alias("true_count"),
+        F.min("c").cast("long").alias("est_count"),
+    )

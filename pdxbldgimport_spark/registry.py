@@ -18,6 +18,9 @@ from . import queries_spatial  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "host_triangles",
+    "heavy_hitters_cms",
+    "host_tile_affinity",
     "dwithin_join",
     "tile_moran",
     "str_pack",

@@ -839,3 +839,37 @@ def test_curriculum_order_no_unpartitioned_corpus_window(spark):
         args = m.group(0)
         if "page_id" in args:
             assert "__bkt" in args, args
+
+
+def test_host_triangles_oriented_no_cartesian(spark):
+    """host_triangles: degree attach broadcasts; wedge/closing joins are
+    hash equi-joins — a Cartesian or Python operator here means the
+    orientation trick silently broke."""
+    plan = _plan(Q.QUERIES["host_triangles"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_cms_partial_agg_broadcast_probe(spark):
+    """heavy_hitters_cms: sketch build is one partial/final hash agg
+    (map-side combine to ≤ D·W cells); the probe joins the broadcast
+    sketch — no sort-merge, no Python."""
+    plan = _plan(Q.QUERIES["heavy_hitters_cms"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_tile_affinity_single_corpus_agg(spark):
+    """host_tile_affinity: marginals derive from the (host, tile) table
+    and attach broadcast — the corpus is aggregated once, never joined."""
+    plan = _plan(Q.QUERIES["host_tile_affinity"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
