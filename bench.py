@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "host_triangles",
     "heavy_hitters_cms",
     "host_tile_affinity",
+    "fp_knn_graph",
     "str_pack",
     "curriculum_order",
     "dup_cluster_stats",

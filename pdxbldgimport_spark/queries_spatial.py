@@ -466,3 +466,171 @@ def q_host_tile_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_scaled"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# tile_counts_streamed: the batch page_tile_counts twin under Structured
+# Streaming (streaming/tiles.py) — continuous tile assignment with a
+# watermarked tumbling window, the §2.9 streaming story applied to the
+# SPATIAL core. Gate plumbing (this function only): the pages table is
+# dumped once per (session, sf_dir) as partitioned parquet plus one
+# far-future sentinel file so the cold availableNow drain's watermark
+# passes the single 24h data window; the sentinel's group is filtered by
+# its negative marker. The operator under test (stream_tile_counts) is
+# the production path: map-side tile arithmetic, bounded window state,
+# append-mode exactly-once file sink. Output hash-matches the BATCH
+# page_tile_counts oracle.
+
+_TILE_SENTINEL_MARGIN_S = 48 * 3600  # > window (24h) + watermark (1h)
+_TILE_DUMP_CACHE: dict = {}
+
+
+def _pages_geo_dump(spark: SparkSession, sf_dir: str) -> str:
+    key = (session_token(spark), sf_dir)
+    hit = _TILE_DUMP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import atexit
+    import shutil
+    import tempfile
+
+    pg = spark.table("pages").select(
+        F.col("warc_ts").cast("timestamp_ntz").alias("ts"),
+        "page_id",
+        "lon",
+        "lat",
+    )
+    far = pg.agg(F.max(F.unix_micros(F.col("ts").cast("timestamp")))).first()[0]
+    root = tempfile.mkdtemp(prefix="tilecounts_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    pg.write.parquet(f"{root}/data")
+    sentinel_us = int(far) + _TILE_SENTINEL_MARGIN_S * 1_000_000
+    spark.createDataFrame(
+        [(-1, C.LON_W, C.LAT_S)], "page_id long, lon double, lat double"
+    ).select(
+        F.timestamp_micros(F.lit(sentinel_us)).cast("timestamp_ntz").alias("ts"),
+        "page_id",
+        "lon",
+        "lat",
+    ).write.parquet(f"{root}/sentinel")
+    _TILE_DUMP_CACHE[key] = f"{root}/*"
+    return _TILE_DUMP_CACHE[key]
+
+
+def _tile_counts_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+         AS tile_id,
+       COUNT(*) AS page_count
+FROM pages
+GROUP BY 1
+"""
+    )
+
+
+@register("tile_counts_streamed", _tile_counts_oracle())
+def q_tile_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from pyspark.sql import types as T
+
+    from .streaming import tiles as ST
+
+    views(spark, sf_dir)
+    src = _pages_geo_dump(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("page_id", T.LongType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="tilecounts_run_")
+    try:
+        ST.stream_tile_counts(
+            spark, src, schema, f"{root}/ckpt", f"{root}/out",
+            max_files_per_trigger=None,
+        )
+        drained = (
+            ST.read_tile_counts(spark, f"{root}/out")
+            .where(F.col("min_page_id") >= 0)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return drained.select("tile_id", "page_count")
+
+
+# ----------------------------------------------------------------------
+# fp_knn_graph: the k-nearest-neighbor GRAPH over footprint centroids
+# (k = 4, ring-bounded) — the spatial index artifact behind clustering,
+# outlier detection, and mesh simplification (and the geometry-space
+# twin of the embedding ANN family in queries_text). Built on the same
+# knn_join kernel as the north-star resolver with top_k = 5: self is
+# always rank 1 at d2 = 0 (centroids are pairwise distinct in the synth
+# world), dropped and re-based so ranks are 1..4. Semantics stay
+# ring-bounded exactly like knn_unassigned: a footprint with fewer than
+# 4 ring neighbors emits fewer rows; the oracle expresses the identical
+# ring bound.
+
+FP_KNN_K = 4
+
+
+def _fp_knn_oracle() -> str:
+    from .operators.knn import K_RING, RES_KNN
+
+    return (
+        synth.oracle_with("footprints_base")
+        + _centroid_cte()
+        + f"""
+, fcc AS (
+  SELECT fp_id, cx, cy,
+         {_ix_sql('cx', RES_KNN)} AS ix, {_iy_sql('cy', RES_KNN)} AS iy
+  FROM fc
+)
+, ranked AS (
+  SELECT a.fp_id AS src_fp, b.fp_id AS nbr_fp,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.fp_id
+           ORDER BY (a.cx - b.cx) * (a.cx - b.cx)
+                  + (a.cy - b.cy) * (a.cy - b.cy),
+                  b.fp_id
+         ) AS rnk
+  FROM fcc a
+  JOIN fcc b
+    ON abs(a.ix - b.ix) <= {K_RING}
+   AND abs(a.iy - b.iy) <= {K_RING}
+   AND a.fp_id <> b.fp_id
+)
+SELECT src_fp, nbr_fp, rnk FROM ranked WHERE rnk <= {FP_KNN_K}
+"""
+    )
+
+
+@register("fp_knn_graph", _fp_knn_oracle())
+def q_fp_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn_join
+
+    fps = prepared_footprints(spark, sf_dir)
+    pts = fps.select(
+        F.col("fp_id").alias("src_fp"),
+        F.col("centroid_lon").alias("lon"),
+        F.col("centroid_lat").alias("lat"),
+    )
+    cents = fps.select("fp_id", "centroid_lon", "centroid_lat")
+    nn = knn_join(pts, cents, "src_fp", "fp_id", top_k=FP_KNN_K + 1)
+    return (
+        nn.where(F.col("src_fp") != F.col("fp_id"))
+        .select(
+            "src_fp",
+            F.col("fp_id").alias("nbr_fp"),
+            (F.col("rn") - F.lit(1)).cast("long").alias("rnk"),
+        )
+    )
