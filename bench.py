@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "heavy_hitters_cms",
     "host_tile_affinity",
     "fp_knn_graph",
+    "zonal_stats",
+    "tile_quota_sample",
     "str_pack",
     "curriculum_order",
     "dup_cluster_stats",

@@ -634,3 +634,113 @@ def q_fp_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") - F.lit(1)).cast("long").alias("rnk"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# zonal_stats: GIS zonal statistics — per polygon zone (footprint), the
+# count / sum / max of a page metric (text length) over the pages it
+# contains. The raster-analysis companion to tile_focal_stats with
+# VECTOR zones, and the reference's per-building rollup shape
+# (tasks/pdx_shapes.rake:162-175 counts; here with metric aggregates).
+# Scale shape: the zone assignment IS the flagship PIP join (broadcast
+# cover / salted shuffle, carry threads the metric column through so
+# the corpus is scanned once), followed by ONE partial/final agg keyed
+# by zone. Nothing new shuffles — this is the pattern every "stats per
+# polygon" report reuses.
+
+
+def _zonal_oracle() -> str:
+    return (
+        synth.oracle_with("pages", "footprints_base")
+        + """
+SELECT f.fp_id, COUNT(*) AS n_pages,
+       CAST(SUM(length(p.text)) AS BIGINT) AS sum_len,
+       CAST(MAX(length(p.text)) AS BIGINT) AS max_len
+FROM pages p
+JOIN footprints_base f
+  ON p.pid = f.pid
+ AND f.fp_id % 97 <> 5
+ AND p.lon >= f.x0 AND p.lon < f.x1
+ AND p.lat >= f.y0 AND p.lat < f.y1
+GROUP BY 1
+"""
+    )
+
+
+@register("zonal_stats", _zonal_oracle())
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .queries import pip_fp_join
+
+    views(spark, sf_dir)
+    pts = spark.table("pages").select(
+        "page_id", "lon", "lat",
+        F.length("text").cast("long").alias("len_c"),
+    )
+    assigned = pip_fp_join(
+        spark, sf_dir, pts, "page_id", carry=[("len_c", T.LongType())]
+    )
+    return assigned.groupBy("fp_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("len_c").alias("sum_len"),
+        F.max("len_c").alias("max_len"),
+    )
+
+
+# ----------------------------------------------------------------------
+# tile_quota_sample: spatially stratified sampling — keep at most Q
+# pages per RES_TILE tile, chosen by deterministic hash order (the
+# balanced spatial training mix a geo-aware corpus builder emits, and
+# the spatial twin of lang_quota_sample). EXACT per-tile quotas need a
+# rank within tile; the hot tile makes an unbucketed per-tile window a
+# skew hazard at 10^12 pages, so this is global_rank's third consumer:
+# partition_cols = [tile], bucket = top-8-bits(h60) — the widest window
+# any task executes is one (tile, hash-prefix) bucket, ~1/256 of even
+# the hottest tile.
+
+TILE_QUOTA = 50
+
+
+def _tile_quota_oracle() -> str:
+    h = _h60_sql("md5(url)", "strpos")
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, pt AS (
+  SELECT page_id,
+         {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS tile_id,
+         {h} AS h
+  FROM pages
+)
+, ranked AS (
+  SELECT page_id, tile_id,
+         ROW_NUMBER() OVER (PARTITION BY tile_id ORDER BY h, page_id) - 1
+           AS rnk
+  FROM pt
+)
+SELECT tile_id, page_id, rnk FROM ranked WHERE rnk < {TILE_QUOTA}
+"""
+    )
+
+
+@register("tile_quota_sample", _tile_quota_oracle())
+def q_tile_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    pt = spark.table("pages").select(
+        "page_id",
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id"),
+        F.expr(_h60_sql("md5(cast(url as binary))", "instr")).alias("h"),
+    )
+    ranked = global_rank(
+        pt,
+        bucket=F.expr(f"h div {1 << 52}"),
+        order_cols=[F.col("h"), F.col("page_id")],
+        rank_col="rnk",
+        partition_cols=["tile_id"],
+    )
+    return ranked.where(F.col("rnk") < TILE_QUOTA).select(
+        "tile_id", "page_id", "rnk"
+    )

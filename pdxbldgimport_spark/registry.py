@@ -18,6 +18,8 @@ from . import queries_spatial  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "zonal_stats",
+    "tile_quota_sample",
     "fp_knn_graph",
     "tile_counts_streamed",
     "host_triangles",

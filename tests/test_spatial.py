@@ -212,3 +212,35 @@ def test_curriculum_order_properties(spark):
     assert len(sizes) == CURR_NSHARDS
     assert sizes.max() - sizes.min() <= 1
     assert (out.shard.to_numpy() == (out.pos.to_numpy() * CURR_NSHARDS) // n).all()
+
+
+# ----------------------------------------------------------------------
+# zonal_stats: consistent with the flagship PIP assignment; quota
+# sample: exact per-tile caps, deterministic.
+
+
+def test_zonal_stats_consistent_with_pip_assign(spark):
+    from pdxbldgimport_spark.queries import q_pip_assign
+    from pdxbldgimport_spark.queries_spatial import q_zonal_stats
+
+    z = q_zonal_stats(spark, SF).toPandas()
+    n_assigned = q_pip_assign(spark, SF).count()
+    assert int(z.n_pages.sum()) == n_assigned
+    assert (z.max_len <= z.sum_len).all()
+
+
+def test_tile_quota_sample_caps_and_determinism(spark):
+    from pdxbldgimport_spark.queries_spatial import (
+        TILE_QUOTA,
+        q_tile_quota_sample,
+    )
+
+    a = q_tile_quota_sample(spark, SF).toPandas()
+    per_tile = a.groupby("tile_id").size()
+    assert per_tile.max() <= TILE_QUOTA
+    assert (a.groupby("tile_id")["rnk"].max() + 1 == per_tile).all()
+    b = q_tile_quota_sample(spark, SF).toPandas()
+    key = ["tile_id", "page_id", "rnk"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
