@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "fp_knn_graph",
     "zonal_stats",
     "tile_quota_sample",
+    "tile_embedding_centroid",
     "str_pack",
     "curriculum_order",
     "dup_cluster_stats",

@@ -744,3 +744,84 @@ def q_tile_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rnk") < TILE_QUOTA).select(
         "tile_id", "page_id", "rnk"
     )
+
+
+# ----------------------------------------------------------------------
+# tile_embedding_centroid: the geo-semantic map — per RES_TILE tile, the
+# per-dimension SUM of the (quantized) document embeddings of the pages
+# it contains, plus the page count; centroid = qsum / n_pages on the
+# consumer side. This is the rollup behind "what is this area about"
+# layers and geo-stratified semantic sampling.
+#
+# Scale shape: the corpus contributes ONE (tile, doc) partial/final agg
+# (a ×REP contraction of the page stream); the quantized per-dim
+# embedding rows join onto that contraction — broadcast under a row
+# gate at test scale, an ordinary doc-keyed hash join at 10^12 (both
+# sides are then doc-partitioned; no corpus re-shuffle) — and the final
+# agg is grid × dims bounded. Embeddings quantize to integer
+# milli-units (operators/vectors.quantize_expr) so the sums are exact
+# int64 cross-engine: |qsum| ≤ 1000 · pages_per_tile · 1 — no overflow
+# this side of 9e15 pages per tile.
+
+EMB_BROADCAST_MAX_ROWS = 100_000
+
+
+def _tile_emb_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, pt AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS tile_id,
+         doc_id, COUNT(*) AS c
+  FROM pages GROUP BY 1, 2
+)
+, qd AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(UNNEST(embedding) * 1000e0) AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT p.tile_id, q.dim,
+       CAST(SUM(p.c * q.qv) AS BIGINT) AS qsum,
+       CAST(SUM(p.c) AS BIGINT) AS n_pages
+FROM pt p JOIN qd q ON q.vec_id = p.doc_id
+GROUP BY 1, 2
+"""
+    )
+
+
+@register("tile_embedding_centroid", _tile_emb_oracle())
+def q_tile_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import vectors as V
+
+    views(spark, sf_dir)
+    pt = (
+        spark.table("pages")
+        .select(
+            tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id"),
+            "doc_id",
+        )
+        .groupBy("tile_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    emb = spark.table("embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.posexplode(V.quantize_expr("embedding")).alias("dim", "qv"),
+    )
+    n_emb = emb.count()  # JVM-only count of the embedding side
+    qd_side = (
+        F.broadcast(qd)
+        if n_emb * 64 <= EMB_BROADCAST_MAX_ROWS * 64 and n_emb <= EMB_BROADCAST_MAX_ROWS
+        else qd
+    )
+    return (
+        pt.join(qd_side, pt.doc_id == qd.vec_id)
+        .groupBy("tile_id", "dim")
+        .agg(
+            F.sum(F.col("c") * F.col("qv")).alias("qsum"),
+            F.sum("c").alias("n_pages"),
+        )
+    )

@@ -18,6 +18,7 @@ from . import queries_spatial  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "tile_embedding_centroid",
     "zonal_stats",
     "tile_quota_sample",
     "fp_knn_graph",
