@@ -244,3 +244,49 @@ def test_tile_quota_sample_caps_and_determinism(spark):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_dwithin_shuffle_path_equals_broadcast_path(spark):
+    """Force the over-gate shuffle route (broadcast_max_ring_rows=0) and
+    assert it produces the identical pair set — the same fallback-parity
+    discipline as the PIP cover gate test."""
+    rng = np.random.default_rng(7)
+    n_pts, n_cand, radius = 300, 90, 0.03
+    pts = pd.DataFrame(
+        {
+            "page_id": np.arange(n_pts, dtype=np.int64),
+            "lon": rng.uniform(C.LON_W, C.LON_E, n_pts),
+            "lat": rng.uniform(C.LAT_S, C.LAT_N, n_pts),
+        }
+    )
+    cents = pd.DataFrame(
+        {
+            "fp_id": np.arange(n_cand, dtype=np.int64),
+            "centroid_lon": rng.uniform(C.LON_W, C.LON_E, n_cand),
+            "centroid_lat": rng.uniform(C.LAT_S, C.LAT_N, n_cand),
+        }
+    )
+    sp, sc = spark.createDataFrame(pts), spark.createDataFrame(cents)
+    a = set(
+        map(
+            tuple,
+            dwithin_pairs(sp, sc, radius)
+            .select("page_id", "fp_id")
+            .toPandas()
+            .to_numpy(),
+        )
+    )
+    # over-gate: the hint is dropped; with broadcast also disabled at
+    # the planner level the join must take the real shuffle route
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b_df = dwithin_pairs(sp, sc, radius, broadcast_max_ring_rows=0)
+        plan = b_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # the gate actually rerouted
+        b = set(
+            map(tuple, b_df.select("page_id", "fp_id").toPandas().to_numpy())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert a == b and len(a) > 0
