@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "zonal_stats",
     "tile_quota_sample",
     "tile_embedding_centroid",
+    "pricing_summary",
+    "shipping_priority",
     "str_pack",
     "curriculum_order",
     "dup_cluster_stats",

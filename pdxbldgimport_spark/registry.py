@@ -9,6 +9,7 @@ from . import queries_events  # noqa: F401
 from . import queries_web  # noqa: F401
 from . import queries_crawl  # noqa: F401
 from . import queries_spatial  # noqa: F401
+from . import queries_relational  # noqa: F401
 
 # The driver's correctness sweep runs queries in registry order and has
 # a finite budget (the r4 record truncated at 50 of 63 entries, cutting
@@ -18,6 +19,8 @@ from . import queries_spatial  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "pricing_summary",
+    "shipping_priority",
     "tile_embedding_centroid",
     "zonal_stats",
     "tile_quota_sample",

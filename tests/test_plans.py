@@ -873,3 +873,23 @@ def test_host_tile_affinity_single_corpus_agg(spark):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    """pricing_summary: the shipdate filter reaches the scan (pushed
+    filters in the FileScan) and the group-agg combines map-side."""
+    df = Q.QUERIES["pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "l_shipdate" in opt  # filter present below the aggregate
+
+
+def test_shipping_priority_topk_no_global_sort(spark):
+    """shipping_priority: top-k plans as TakeOrderedAndProject, never a
+    full Sort of the aggregated output."""
+    plan = _plan(Q.QUERIES["shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
