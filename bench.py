@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "tile_embedding_centroid",
     "pricing_summary",
     "shipping_priority",
+    "local_supplier_volume",
+    "brand_revenue",
     "str_pack",
     "curriculum_order",
     "dup_cluster_stats",

@@ -117,3 +117,103 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
         .limit(SHIP_TOP_K)
     )
+
+
+# ----------------------------------------------------------------------
+# local_supplier_volume (TPC-H Q5 shape): revenue per nation where the
+# customer and supplier share a nation, rolled up per region+nation — the classic
+# snowflake join chain (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+# nation ⋈ region). Together with brand_revenue below this puts every
+# remaining driver table (customer, supplier, nation, region, part)
+# under the gate. Engine shape: the two genuinely small dims (nation 25
+# rows, region 5) broadcast explicitly; customer/supplier join under
+# AQE (at warehouse scale customer is fact-sized — forcing a broadcast
+# there would be wrong); ONE partial/final revenue agg at the end.
+
+def _q5_li(div: str) -> str:
+    return f"""
+  SELECT l_orderkey, l_suppkey,
+         ({_CENTS} * (1000000 - {_DISC_PPM})) {div} 1000000 AS disc_c
+  FROM lineitem
+"""
+
+
+_Q5_ORACLE = f"""
+WITH li AS ({_q5_li('//')})
+SELECT r.r_name, n.n_name, CAST(SUM(li.disc_c) AS BIGINT) AS revenue_c,
+       COUNT(*) AS n_items
+FROM li
+JOIN orders o   ON o.o_orderkey = li.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate < TIMESTAMP '{CUTOFF}'
+GROUP BY 1, 2
+"""
+
+
+@register("local_supplier_volume", _Q5_ORACLE)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.sql("SELECT * FROM (" + _q5_li("div") + ")")
+    orders = spark.table("orders").where(
+        F.expr(f"o_orderdate < TIMESTAMP '{CUTOFF}'")
+    ).select("o_orderkey", "o_custkey")
+    cust = spark.table("customer").select("c_custkey", "c_nationkey")
+    supp = spark.table("supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(spark.table("nation"))
+    reg = F.broadcast(spark.table("region"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nat, nat.n_nationkey == supp.s_nationkey)
+        .join(reg, reg.r_regionkey == nat.n_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum("disc_c").alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ----------------------------------------------------------------------
+# brand_revenue: discounted revenue and volume per part brand — the
+# part-dimension rollup (broadcast the dim onto the fact stream, one
+# partial/final agg; the "broadcast small dims" lever on a true
+# dimension table).
+
+_BRAND_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey,
+         ({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000 AS disc_c,
+         {_QTY_C} AS qty_c
+  FROM lineitem
+)
+SELECT p.p_brand, CAST(SUM(li.disc_c) AS BIGINT) AS revenue_c,
+       CAST(SUM(li.qty_c) AS BIGINT) AS sum_qty_c, COUNT(*) AS n_items
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+GROUP BY 1
+"""
+
+
+@register("brand_revenue", _BRAND_ORACLE)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.sql(
+        "SELECT l_partkey, "
+        f"({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000 AS disc_c, "
+        f"{_QTY_C} AS qty_c FROM lineitem"
+    )
+    part = F.broadcast(spark.table("part").select("p_partkey", "p_brand"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("disc_c").alias("revenue_c"),
+            F.sum("qty_c").alias("sum_qty_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -19,6 +19,8 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "local_supplier_volume",
+    "brand_revenue",
     "pricing_summary",
     "shipping_priority",
     "tile_embedding_centroid",

@@ -893,3 +893,13 @@ def test_shipping_priority_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_brand_revenue_broadcast_dim(spark):
+    """brand_revenue: the part dim broadcasts onto the fact stream; one
+    partial/final agg; nothing in Python."""
+    plan = _plan(Q.QUERIES["brand_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
