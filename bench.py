@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "cross_dup_spans",
     "doclen_quantiles",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "decontam_ngram",
     "vocab_topk",
     "events_asof_join",

@@ -2679,3 +2679,98 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("long").alias("dsir_weight"),
         (score >= F.col("g")).cast("long").alias("kept"),
     )
+
+
+# ----------------------------------------------------------------------
+# Asymmetric containment dedup: score = |A∩B| / min(|A|, |B|) — the
+# doc-in-doc detector (quote pages, aggregator wrappers, boilerplate
+# supersets) that symmetric Jaccard structurally misses: a 100-shingle
+# page fully contained in a 10,000-shingle page scores ~1% Jaccard but
+# 100% containment. Same scale machinery as dedup_ngram_jaccard (one
+# distinct-shingle stage, rare-gram blocking bounds candidates to
+# (df≤RARE_DF_MAX choose 2) per gram, candidate-doc semi-join prunes
+# the refine) — only the final score differs, so the blocking recall
+# characteristics are shared and tested once.
+
+CONTAIN_PPM_MIN = 600_000  # |A∩B| ≥ 60% of the smaller doc
+
+
+@register(
+    "dedup_containment",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + f"""
+    , dsh AS (SELECT DISTINCT doc_id, sh FROM shingles)
+    , rare AS (
+      SELECT sh FROM dsh GROUP BY sh
+      HAVING COUNT(*) BETWEEN 2 AND {RARE_DF_MAX}
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dsh a JOIN rare r ON a.sh = r.sh
+      JOIN dsh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+    )
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id)
+    , sc AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter,
+             LEAST(sa.n, sb.n) AS nmin
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.doc_a
+      JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(inter * 1000000e0 / nmin) AS BIGINT) AS contain_ppm
+    FROM sc
+    WHERE CAST(FLOOR(inter * 1000000e0 / nmin) AS BIGINT)
+          >= {CONTAIN_PPM_MIN}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    dsh = _dsh_df(spark, sf_dir)
+    rare = (
+        dsh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, RARE_DF_MAX))
+        .select("sh")
+    )
+    blocked = dsh.join(rare, "sh")
+    a = blocked.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = blocked.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dsh_cand = dsh.join(cand_docs, "doc_id", "left_semi")
+    sizes = dsh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = dsh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .withColumn("nmin", F.least(F.col("na"), F.col("nb")))
+        .withColumn(
+            "contain_ppm",
+            F.floor(F.col("inter") * F.lit(1000000.0) / F.col("nmin"))
+            .cast("long"),
+        )
+        .where(F.col("contain_ppm") >= CONTAIN_PPM_MIN)
+        .select("doc_a", "doc_b", "contain_ppm")
+    )

@@ -19,6 +19,7 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "dedup_containment",
     "local_supplier_volume",
     "brand_revenue",
     "pricing_summary",
