@@ -136,6 +136,37 @@ def main() -> None:
         print(f"\n{cpus}→{cpus * 4} (ALL input sizes): pairs {n}"
               f"   all-legs aggregate {(c['tn'] / c['tw']) / 4:.3f}"
               f"   median {med:.2f}")
+    # shuffle-kind pairs (kind == "shuffle"): the exchange-throughput
+    # complement of the map-heavy headline legs — same pairing rule.
+    spairs, pending = [], None
+    for r in recs:
+        if r["kind"] != "shuffle":
+            continue
+        if (
+            pending is not None
+            and r["cpus"] == 4 * pending["cpus"]
+            and r.get("rep_mult") == pending.get("rep_mult")
+        ):
+            spairs.append((pending, r))
+            pending = None
+        else:
+            pending = r
+    if spairs:
+        print()
+        for pn, pw in spairs:
+            eff = (pw["groups_per_sec"] / pn["groups_per_sec"]) / 4
+            bw = nearest(bwprobes, pw["t_wall"])
+            print(
+                f"shuffle {pn['cpus']}→{pw['cpus']}"
+                f" (rep={pn.get('rep_mult')}): {pn['sec']:.1f}s →"
+                f" {pw['sec']:.1f}s  eff {eff:.2f}"
+                f"  bw {bw if bw is None else round(bw, 2)}"
+            )
+        agg = (
+            sum(pn["sec"] for pn, _ in spairs)
+            / sum(pw["sec"] for _, pw in spairs)
+        ) / 4
+        print(f"shuffle all-legs aggregate {agg:.3f} over {len(spairs)} pairs")
     if bwprobes:
         bws = ", ".join(
             f"{c['cpus']}→{c['cpus'] * 4}:{c['ratio']:.2f}" for c in bwprobes

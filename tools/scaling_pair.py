@@ -118,6 +118,46 @@ def bench(cpus: int) -> None:
               "docs_per_sec": d["value"]})
 
 
+
+
+def shuffle(cpus: int) -> None:
+    """SHUFFLE-heavy scaling leg — the complement of the map-heavy
+    headline legs: a full-width exchange (groupBy on the ~unique page
+    url) at REP-multiplied volume, so the measured quantity is hash
+    partitioning + spill + merge throughput rather than codegen scan
+    throughput. Guards the evidence against the critique that the
+    engine only demonstrates embarrassingly-parallel scaling. Volume
+    knob PAIR_SHUFFLE_REP (default 1024 → ~327M pages ≈ 16 GB
+    exchanged at sf0.1)."""
+    sys.path.insert(0, REPO)
+    from pdxbldgimport_spark import queries as base
+    from pdxbldgimport_spark import synth
+    from pdxbldgimport_spark.session import get_spark
+    from pdxbldgimport_spark.shipping import ship
+
+    rep_mult = int(os.environ.get("PAIR_SHUFFLE_REP", "1024"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name=f"pair_shuffle{cpus}", cores=cpus)
+    ship(spark)
+    base.views(spark, sf_dir)
+    params = dict(synth._CONST)
+    params.update(synth._DIALECT["spark"])
+    big_rep = int(params["REP"]) * rep_mult
+    params["REP"] = str(big_rep)
+    params["CROSS_REP"] = (
+        f"CROSS JOIN (SELECT id AS r FROM range({big_rep})) r"
+    )
+    pages = spark.sql(synth._force_double(synth._PAGES.format(**params)))
+    urls = pages.selectExpr("url")
+    urls.limit(1000).groupBy("url").count().count()  # warm codegen
+    t0 = time.time()
+    n_groups = urls.groupBy("url").count().count()
+    dt = round(time.time() - t0, 3)
+    log_line({"kind": "shuffle", "cpus": cpus, "rep_mult": rep_mult,
+              "n_groups": n_groups, "sec": dt,
+              "groups_per_sec": round(n_groups / dt, 1)})
+
+
 if __name__ == "__main__":
     kind, cpus = sys.argv[1], int(sys.argv[2])
-    {"probe": probe, "bwprobe": bwprobe, "bench": bench}[kind](cpus)
+    {"probe": probe, "bwprobe": bwprobe, "bench": bench, "shuffle": shuffle}[kind](cpus)
