@@ -759,3 +759,71 @@ def q_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000).cast("long").alias("cum_share_ppm"),
     )
     return head.unionByName(rest)
+
+
+# ----------------------------------------------------------------------
+# url_frontier: politeness-scheduled crawl frontier — within every host,
+# URLs are ordered by a deterministic priority hash and assigned a fetch
+# WAVE (0-based position in the host's queue; each wave takes at most
+# one URL per host, the classic per-host politeness constraint), capped
+# at FRONTIER_WAVES. The scheduled offset is wave × the host's
+# crawl-delay (derived per host: 1 + host-number % 5 seconds — in
+# production the robots.txt Crawl-delay). This is the scheduling stage
+# between the link graph (outlink_extract) and fetch.
+#
+# Scale shape: EXACT within-host rank without a per-host skew window —
+# the hot host (~1/7 of the corpus) would serialize a naive
+# row_number() OVER (PARTITION BY host) into one task, so this is
+# global_rank's fourth consumer: partition_cols=[host], bucket =
+# top-8-bits of the priority hash — the widest window any task executes
+# is one (host, hash-prefix) bucket, ~1/256 of even the hottest host.
+
+FRONTIER_WAVES = 100
+
+
+def _url_frontier_oracle() -> str:
+    h = _h60_sql("md5(url)", "strpos")
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, p AS (
+  SELECT page_id,
+         lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         {h} AS h
+  FROM pages
+)
+, r AS (
+  SELECT page_id, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY h, page_id) - 1
+           AS wave
+  FROM p
+)
+SELECT page_id, host, wave,
+       wave * (1 + CAST(regexp_extract(host, '[0-9]+') AS BIGINT) % 5)
+         AS sched_s
+FROM r WHERE wave < {FRONTIER_WAVES}
+"""
+    )
+
+
+@register("url_frontier", _url_frontier_oracle())
+def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import global_rank
+
+    views(spark, sf_dir)
+    p = spark.table("pages").select(
+        "page_id",
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"),
+        F.expr(_h60_sql("md5(cast(url as binary))", "instr")).alias("h"),
+    )
+    ranked = global_rank(
+        p,
+        bucket=F.expr(f"h div {1 << 52}"),
+        order_cols=[F.col("h"), F.col("page_id")],
+        rank_col="wave",
+        partition_cols=["host"],
+    )
+    delay = F.lit(1) + F.regexp_extract("host", "[0-9]+", 0).cast("long") % 5
+    return ranked.where(F.col("wave") < FRONTIER_WAVES).select(
+        "page_id", "host", "wave", (F.col("wave") * delay).alias("sched_s")
+    )

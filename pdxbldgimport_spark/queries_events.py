@@ -398,3 +398,145 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).alias("k_max"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# events_funnel: ordered multi-step conversion funnel (view → click →
+# purchase). Step N counts users whose FIRST step-N event occurs at or
+# after their first qualifying step-(N-1) event — the sequential
+# semantics product analytics tools call a "strict-order funnel" (the
+# reference has no temporal ops; this extends the engine's events
+# family alongside events_sessions / events_asof_join).
+#
+# Scale shape: each step is one user-keyed partial/final MIN agg plus
+# one user-keyed hash join against the (shrinking) survivor set of the
+# previous step — every stage is keyed by user_id, so on a real cluster
+# the three aggs and two joins reuse one hashpartitioning(user_id)
+# exchange; there is no window, no collect, no Python. Lag sums are
+# exact integer microseconds (no float accumulation).
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users,
+       CAST(0 AS BIGINT) AS lag_us_sum FROM s1
+UNION ALL
+SELECT 2, 'click', COUNT(*),
+       CAST(COALESCE(SUM(epoch_us(s2.t2) - epoch_us(s1.t1)), 0) AS BIGINT)
+FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+UNION ALL
+SELECT 3, 'purchase', COUNT(*),
+       CAST(COALESCE(SUM(epoch_us(s3.t3) - epoch_us(s2.t2)), 0) AS BIGINT)
+FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "event_type", "ts")
+
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def _row(df: DataFrame, step: int, etype: str, lag) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.coalesce(F.sum(lag), F.lit(0)).cast("long").alias("lag_us_sum"),
+        ).select(
+            F.lit(step).alias("step"),
+            F.lit(etype).alias("event_type"),
+            "n_users",
+            "lag_us_sum",
+        )
+
+    def _us(col: str):  # parquet ts is NTZ; session tz is pinned UTC
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    zero = F.lit(0).cast("long")
+    out1 = _row(s1, 1, "view", zero)
+    out2 = _row(s2, 2, "click", _us("t2") - _us("t1"))
+    out3 = _row(s3, 3, "purchase", _us("t3") - _us("t2"))
+    return out1.unionByName(out2).unionByName(out3)
+
+
+# ----------------------------------------------------------------------
+# events_retention: weekly cohort retention — cohort = Monday-truncated
+# week of a user's first event; a (cohort_week, week_offset) cell counts
+# the cohort's users active in that later week. The standard retention
+# triangle behind "day/week-N retention" dashboards.
+#
+# Scale shape: one user-keyed MIN agg (cohort assignment), one
+# (user, week) DISTINCT contraction of the event stream, one user-keyed
+# hash join between the two contractions (both already user-partitioned
+# — on a cluster the join reuses the agg exchanges), and one final
+# grid-bounded agg (cohorts × offsets rows). week_offset is exact:
+# both engines truncate to Monday, so the day difference is a multiple
+# of 7 and divides exactly.
+_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                      CAST(a.week_start AS DATE)) / 7 AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM active a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention", _RETENTION_ORACLE)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week_start")
+    ).distinct()
+    offset = (
+        F.datediff(F.to_date("week_start"), F.to_date("cohort_week")) / 7
+    ).cast("long")
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

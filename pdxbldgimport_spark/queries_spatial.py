@@ -825,3 +825,64 @@ def q_tile_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_pages"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# tile_rollup: OLAP subtotal hierarchy over the tile grid — page counts
+# at (ix, iy), per-column (ix, ALL), and grand-total levels in ONE
+# result (GROUP BY ROLLUP), the materialization behind drill-down tile
+# dashboards. Rolled-up key columns surface as -1 sentinels plus the
+# standard grouping_id bit vector (0 detail / 1 iy-rolled / 3 total),
+# identical bit order in Spark's grouping_id() and DuckDB's GROUPING().
+#
+# Scale shape: the corpus contributes ONE partial/final hash agg (the
+# grid-bounded detail contraction — ≤ 2^(2·RES_TILE) rows); the ROLLUP's
+# Expand (×3 row multiplication) runs on that bounded table, never on
+# the 10^12-page stream. Putting rollup() directly on pages would
+# triple-scan the corpus through Expand — the detail-first agg-of-agg
+# chain is the shape that survives the scale-up (same discipline as
+# tile_pyramid's zoom chain).
+
+
+def _tile_rollup_oracle() -> str:
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, d AS (
+  SELECT {_ix_sql('lon', C.RES_TILE)} AS ix,
+         {_iy_sql('lat', C.RES_TILE)} AS iy,
+         COUNT(*) AS n
+  FROM pages GROUP BY 1, 2
+)
+SELECT COALESCE(ix, -1) AS ix, COALESCE(iy, -1) AS iy,
+       CAST(GROUPING(ix, iy) AS BIGINT) AS gid,
+       CAST(SUM(n) AS BIGINT) AS n_pages
+FROM d GROUP BY ROLLUP(ix, iy)
+"""
+    )
+
+
+@register("tile_rollup", _tile_rollup_oracle())
+def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    detail = (
+        spark.table("pages")
+        .groupBy(
+            F.expr(_ix_sql("lon", C.RES_TILE)).alias("ix"),
+            F.expr(_iy_sql("lat", C.RES_TILE)).alias("iy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        detail.rollup("ix", "iy")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("n").alias("n_pages"),
+        )
+        .select(
+            F.coalesce("ix", F.lit(-1)).alias("ix"),
+            F.coalesce("iy", F.lit(-1)).alias("iy"),
+            "gid",
+            "n_pages",
+        )
+    )

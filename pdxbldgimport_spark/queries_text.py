@@ -2774,3 +2774,85 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("contain_ppm") >= CONTAIN_PPM_MIN)
         .select("doc_a", "doc_b", "contain_ppm")
     )
+
+
+# ----------------------------------------------------------------------
+# score_normalize: per-language winsorized min-max normalization of a
+# per-doc quality signal (n_chars here; any integer score in
+# production) — the calibration step before mixing quality-filtered
+# corpora across languages, where raw score scales differ per lang.
+# Exact P05/P95 per lang from an integer histogram; scores clamp to
+# [lo, hi] and map to 0..1e6 ppm by integer floor division.
+#
+# Scale shape: ONE partial/final (lang, score) histogram agg bounds the
+# windowed work to distinct-score rows per lang (≤ max doc length —
+# corpus-size-independent); the cumulative window partitions by lang
+# over that bounded table; the per-lang (lo, hi) row broadcasts back
+# onto the corpus for a pure map pass. The corpus is never shuffled and
+# never windowed. hi = lo (degenerate lang) yields 0 ppm by rule.
+
+NORM_P_LO = 5
+NORM_P_HI = 95
+
+
+@register(
+    "score_normalize",
+    f"""
+    WITH hist AS (
+      SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, n_chars, c,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ), bounds AS (
+      SELECT lang,
+             MIN(CASE WHEN 100 * cum >= {NORM_P_LO} * n THEN n_chars END)
+               AS lo,
+             MIN(CASE WHEN 100 * cum >= {NORM_P_HI} * n THEN n_chars END)
+               AS hi
+      FROM cum GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, b.lo, b.hi,
+           CASE WHEN b.hi = b.lo THEN 0
+                ELSE (1000000 * (LEAST(GREATEST(d.n_chars, b.lo), b.hi)
+                                 - b.lo)) // (b.hi - b.lo)
+           END AS norm_ppm
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    """,
+)
+def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    docs = spark.table("documents")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    lw = Wnd.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("c")
+        .over(lw.orderBy("n_chars").rowsBetween(Wnd.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("c").over(lw).alias("n"),
+    )
+    bounds = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.expr(f"100 * cum >= {NORM_P_LO} * n"), F.col("n_chars"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.expr(f"100 * cum >= {NORM_P_HI} * n"), F.col("n_chars"))
+        ).alias("hi"),
+    )
+    return docs.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "lo",
+        "hi",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "(1000000 * (LEAST(GREATEST(n_chars, lo), hi) - lo)) "
+                "div (hi - lo)"
+            )
+        )
+        .alias("norm_ppm"),
+    )

@@ -1056,3 +1056,64 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("true_count").cast("long").alias("true_count"),
         F.min("c").cast("long").alias("est_count"),
     )
+
+
+# ----------------------------------------------------------------------
+# phrase_search: exact-phrase retrieval — documents containing the
+# 2-token query phrase as ADJACENT whitespace tokens, with per-doc
+# occurrence counts, top-K by (count desc, doc_id). The positional
+# twin of bm25_topk: BM25 ranks bags of words; a phrase query needs
+# token positions (the reason real postings lists carry them —
+# index_postings' schema extends to (doc_id, pos) exactly this way).
+#
+# Scale shape: tokenize → filter to the two query terms BEFORE anything
+# moves (the inverted-index probe: only the query terms' postings leave
+# the scan — a ~1e-5 fraction of corpus tokens), then ONE doc-keyed
+# hash join intersects positions (pos2 = pos1 + 1), one doc-keyed
+# partial/final count agg, TakeOrderedAndProject for the top-K. No
+# window, no full-token shuffle, no Python. The oracle is the
+# algorithm-independent list-lambda scan over each doc's token array.
+
+PHRASE_W1, PHRASE_W2 = "table", "value"
+PHRASE_TOP_K = 50
+
+_PHRASE_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), n AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(w)),
+             i -> w[i] = '{PHRASE_W1}' AND w[i + 1] = '{PHRASE_W2}'))
+           AS n_occ
+  FROM ws
+)
+SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ FROM n
+WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id
+LIMIT {PHRASE_TOP_K}
+"""
+
+
+@register("phrase_search", _PHRASE_ORACLE)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    t1 = toks.where(F.col("w") == PHRASE_W1).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = toks.where(F.col("w") == PHRASE_W2).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    hits = t1.join(
+        t2,
+        (t1.doc_id == t2.doc_id) & (t2.p2 == t1.p1 + 1),
+    ).select(t1.doc_id)
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "doc_id")
+        .limit(PHRASE_TOP_K)
+    )

@@ -19,6 +19,12 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "score_normalize",
+    "phrase_search",
+    "events_funnel",
+    "events_retention",
+    "tile_rollup",
+    "url_frontier",
     "dedup_containment",
     "local_supplier_volume",
     "brand_revenue",

@@ -1,0 +1,226 @@
+"""Brute-force property checks for the round-5 analytics batch:
+events_funnel / events_retention vs literal per-user Python over the
+real sf0.001 events, tile_rollup vs a dict-roll of the per-tile counts,
+and url_frontier vs a per-host sort — each independent of the DuckDB
+oracle's SQL formulation, so a shared SQL misunderstanding can't hide."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import datetime, timedelta
+
+from pdxbldgimport_spark import registry as Q
+from tests.conftest import SF_SMOKE
+
+
+def _events(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT event_id, user_id, event_type, "
+        "cast(ts as timestamp) AS ts, "
+        "unix_micros(cast(ts as timestamp)) AS us FROM events"
+    ).collect()
+    return [r.asDict() for r in rows]
+
+
+def test_events_funnel_matches_bruteforce(spark):
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    n = [0, 0, 0]
+    lag = [0, 0, 0]
+    for rows in by_user.values():
+        t1 = min((r["us"] for r in rows if r["event_type"] == "view"),
+                 default=None)
+        if t1 is None:
+            continue
+        n[0] += 1
+        t2 = min((r["us"] for r in rows
+                  if r["event_type"] == "click" and r["us"] >= t1),
+                 default=None)
+        if t2 is None:
+            continue
+        n[1] += 1
+        lag[1] += t2 - t1
+        t3 = min((r["us"] for r in rows
+                  if r["event_type"] == "purchase" and r["us"] >= t2),
+                 default=None)
+        if t3 is None:
+            continue
+        n[2] += 1
+        lag[2] += t3 - t2
+    got = {
+        r["step"]: (r["n_users"], r["lag_us_sum"])
+        for r in (x.asDict()
+                  for x in Q.QUERIES["events_funnel"](spark, SF_SMOKE).collect())
+    }
+    assert got == {1: (n[0], 0), 2: (n[1], lag[1]), 3: (n[2], lag[2])}
+    assert n[0] > 0 and n[2] <= n[1] <= n[0]
+
+
+def _monday(ts: datetime) -> datetime:
+    d = ts.date() - timedelta(days=ts.weekday())
+    return datetime(d.year, d.month, d.day)
+
+
+def test_events_retention_matches_bruteforce(spark):
+    ev = _events(spark)
+    first = {}
+    for e in ev:
+        u = e["user_id"]
+        if u not in first or e["ts"] < first[u]:
+            first[u] = e["ts"]
+    cohort = {u: _monday(t) for u, t in first.items()}
+    cells = defaultdict(set)
+    for e in ev:
+        w = _monday(e["ts"])
+        off = (w - cohort[e["user_id"]]).days // 7
+        cells[(cohort[e["user_id"]], off)].add(e["user_id"])
+    expect = {k: len(v) for k, v in cells.items()}
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in (x.asDict() for x in
+                  Q.QUERIES["events_retention"](spark, SF_SMOKE).collect())
+    }
+    assert got == expect and all(
+        (c, 0) in got for c, _ in got
+    )  # every cohort has an offset-0 cell by construction
+
+
+def test_tile_rollup_matches_dict_roll(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    from pdxbldgimport_spark.geo import cells as C
+    from pdxbldgimport_spark.queries import _ix_sql, _iy_sql
+
+    detail = {
+        (r["ix"], r["iy"]): r["n"]
+        for r in spark.sql(
+            f"SELECT {_ix_sql('lon', C.RES_TILE)} AS ix, "
+            f"{_iy_sql('lat', C.RES_TILE)} AS iy, COUNT(*) AS n "
+            "FROM pages GROUP BY 1, 2"
+        ).collect()
+    }
+    expect = {}
+    for (ix, iy), v in detail.items():
+        expect[(ix, iy, 0)] = expect.get((ix, iy, 0), 0) + v
+        expect[(ix, -1, 1)] = expect.get((ix, -1, 1), 0) + v
+        expect[(-1, -1, 3)] = expect.get((-1, -1, 3), 0) + v
+    got = {
+        (r["ix"], r["iy"], r["gid"]): r["n_pages"]
+        for r in (x.asDict() for x in
+                  Q.QUERIES["tile_rollup"](spark, SF_SMOKE).collect())
+    }
+    assert got == expect
+    assert got[(-1, -1, 3)] == sum(detail.values())
+
+
+def test_url_frontier_matches_per_host_sort(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_crawl import FRONTIER_WAVES
+    from pdxbldgimport_spark.queries_text import _h60_sql
+    from pdxbldgimport_spark.queries_web import RAW_HOST_RE
+
+    views(spark, SF_SMOKE)
+    h = _h60_sql("md5(cast(url as binary))", "instr")
+    rows = spark.sql(
+        f"SELECT page_id, lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) "
+        f"AS host, {h} AS h FROM pages"
+    ).collect()
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append((r["h"], r["page_id"]))
+    expect = {}
+    for host, lst in by_host.items():
+        delay = 1 + int("".join(c for c in host if c.isdigit()) or 0) % 5
+        for wave, (_, pid) in enumerate(sorted(lst)):
+            if wave >= FRONTIER_WAVES:
+                break
+            expect[pid] = (host, wave, wave * delay)
+    got = {
+        r["page_id"]: (r["host"], r["wave"], r["sched_s"])
+        for r in (x.asDict() for x in
+                  Q.QUERIES["url_frontier"](spark, SF_SMOKE).collect())
+    }
+    assert got == expect and len(got) > 0
+    # politeness invariant: waves within a host are dense from 0
+    per_host = defaultdict(list)
+    for host, wave, _ in got.values():
+        per_host[host].append(wave)
+    for waves in per_host.values():
+        assert sorted(waves) == list(range(len(waves)))
+
+
+def test_score_normalize_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    docs = [r.asDict() for r in
+            spark.sql("SELECT doc_id, lang, n_chars FROM documents").collect()]
+    by_lang = defaultdict(list)
+    for d in docs:
+        by_lang[d["lang"]].append(d["n_chars"])
+    bounds = {}
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+
+        def pct(p):
+            # smallest value whose cumulative count reaches p% of n
+            cum = 0
+            seen = 0
+            for v in vals:
+                cum += 1
+                if 100 * cum >= p * n:
+                    return v
+            return vals[-1]
+
+        bounds[lang] = (pct(5), pct(95))
+    expect = {}
+    for d in docs:
+        lo, hi = bounds[d["lang"]]
+        c = min(max(d["n_chars"], lo), hi)
+        ppm = 0 if hi == lo else (1000000 * (c - lo)) // (hi - lo)
+        expect[d["doc_id"]] = (d["lang"], lo, hi, ppm)
+    got = {
+        r["doc_id"]: (r["lang"], r["lo"], r["hi"], r["norm_ppm"])
+        for r in (x.asDict() for x in
+                  Q.QUERIES["score_normalize"](spark, SF_SMOKE).collect())
+    }
+    assert got == expect and len(got) == len(docs)
+    assert all(0 <= v[3] <= 1_000_000 for v in got.values())
+
+
+def test_phrase_search_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import (
+        PHRASE_TOP_K,
+        PHRASE_W1,
+        PHRASE_W2,
+    )
+
+    views(spark, SF_SMOKE)
+    docs = [r.asDict() for r in
+            spark.sql("SELECT doc_id, text FROM documents").collect()]
+    counts = {}
+    for d in docs:
+        w = d["text"].split(" ")
+        n = sum(
+            1
+            for i in range(len(w) - 1)
+            if w[i] == PHRASE_W1 and w[i + 1] == PHRASE_W2
+        )
+        if n > 0:
+            counts[d["doc_id"]] = n
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = expect[:PHRASE_TOP_K]
+    got = [
+        (r["doc_id"], r["n_occ"])
+        for r in (x.asDict() for x in
+                  Q.QUERIES["phrase_search"](spark, SF_SMOKE).collect())
+    ]
+    assert got == expect and len(got) > 0

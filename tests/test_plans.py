@@ -903,3 +903,81 @@ def test_brand_revenue_broadcast_dim(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_events_funnel_user_keyed_no_window(spark):
+    """events_funnel: three user-keyed MIN aggs + shrinking hash joins —
+    a Window or Python operator here means the sequential-step logic
+    regressed to a per-user sort."""
+    plan = _plan(Q.QUERIES["events_funnel"](spark, SF))
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per step
+
+
+def test_events_retention_two_contractions_one_join(spark):
+    """events_retention: cohort MIN agg + (user, week) distinct, joined
+    user-keyed, final grid-bounded agg — no window, no Python."""
+    plan = _plan(Q.QUERIES["events_retention"](spark, SF))
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_tile_rollup_expand_on_contracted_detail_only(spark):
+    """tile_rollup: exactly ONE Expand (the ROLLUP), fed by the grid-
+    bounded detail aggregation — the corpus must contract through a
+    partial/final agg BEFORE the row-multiplying Expand."""
+    plan = _plan(Q.QUERIES["tile_rollup"](spark, SF))
+    assert plan.count("Expand") == 1
+    # detail agg pair + rollup agg pair
+    assert plan.count("HashAggregate") >= 4
+    assert "MapInPandas" not in plan
+    # Expand's input schema is the contracted (ix, iy, n) row — the
+    # corpus columns (lon/lat/url) must not appear in the Expand args
+    import re
+
+    m = re.search(r"Expand \[.*", plan)
+    assert m and "lon" not in m.group(0) and "url" not in m.group(0)
+
+
+def test_url_frontier_no_unpartitioned_host_window(spark):
+    """url_frontier: the corpus-scale window must be partitioned by the
+    rank bucket (global_rank's skew-safe shape) — never a bare
+    PARTITION BY host that serializes the hot host into one task."""
+    import re
+
+    plan = _plan(Q.QUERIES["url_frontier"](spark, SF))
+    assert "MapInPandas" not in plan
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        args = m.group(0)
+        if "page_id" in args:
+            assert "__bkt" in args, args
+
+
+def test_score_normalize_corpus_never_windowed(spark):
+    """score_normalize: windows run only over the bounded (lang, score)
+    histogram — never a schema carrying corpus columns — and the
+    per-lang bounds come back via broadcast."""
+    import re
+
+    plan = _plan(Q.QUERIES["score_normalize"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        assert "text" not in m.group(0) and "doc_id" not in m.group(0)
+
+
+def test_phrase_search_topk_no_global_sort(spark):
+    """phrase_search: postings filter before the position-intersect
+    join; top-K via TakeOrderedAndProject — a global Sort or a window
+    means the retrieval shape regressed."""
+    plan = _plan(Q.QUERIES["phrase_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
