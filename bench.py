@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "vocab_topk",
     "events_asof_join",
     "events_range_join",
+    "events_funnel",
+    "events_retention",
+    "tile_rollup",
+    "url_frontier",
+    "score_normalize",
+    "phrase_search",
     "text_repetition",
     "corpus_sample",
     "lang_quota_sample",

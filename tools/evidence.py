@@ -24,6 +24,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
@@ -61,14 +62,17 @@ def run_correctness(sf_dir: str, out_path: str) -> int:
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "spark_rows": None,
                "oracle_rows": None, "err": None}
+        t0 = time.perf_counter()
         try:
             sp = fn(spark, sf_dir).toPandas()
+            rec["spark_sec"] = round(time.perf_counter() - t0, 3)
             rec["spark_rows"] = len(sp)
             if name not in oracles:
                 rec.update(rows_match=len(sp) > 0, schema_match=None,
                            hash_match=None, err="rows-only (no oracle)")
                 record[name] = rec
-                print(f"{name}: rows-only ({len(sp)})")
+                print(f"{name}: rows-only ({len(sp)}) "
+                      f"[{rec['spark_sec']}s]")
                 continue
             du = con.sql(oracles[name]).df()
             rec["oracle_rows"] = len(du)
@@ -81,7 +85,8 @@ def run_correctness(sf_dir: str, out_path: str) -> int:
                     == hashlib.md5(b.to_csv(index=False).encode()).hexdigest()
                 )
             status = "OK" if rec["hash_match"] else "MISMATCH"
-            print(f"{name}: {status} ({len(sp)} rows)")
+            print(f"{name}: {status} ({len(sp)} rows) "
+                  f"[{rec['spark_sec']}s]")
         except Exception as ex:  # noqa: BLE001 - recorded, not hidden
             rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
             print(f"{name}: ERR {rec['err']}")
