@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "url_frontier",
     "score_normalize",
     "phrase_search",
+    "embedding_gram",
+    "skyline_pareto",
+    "zorder_layout",
     "text_repetition",
     "corpus_sample",
     "lang_quota_sample",

@@ -198,3 +198,42 @@ def kmeans_partials(
             )
 
     return vecs.select(id_col, q_col).mapInPandas(gen, schema)
+
+
+def gram_partials(
+    vecs: DataFrame,
+    q_col: str = "q",
+) -> DataFrame:
+    """Upper-triangle Gram-matrix partials: one Arrow batch → ONE
+    dims·(dims+1)/2-row partial (i, j, g) with g = Σ q_i·q_j over the
+    batch, i ≤ j, 0-based. The corpus never leaves the map side — the
+    downstream SUM agg sees ≤ 2080 rows per batch (dims = 64)
+    regardless of corpus size, so the full second-moment matrix (the
+    input to PCA / whitening / covariance, which derive from it plus
+    the column-sum vector) is one map pass + one bounded aggregation.
+
+    int64-exact: |q| ≤ 1000 per dim → per-row product ≤ 1e6; a batch
+    partial of 10^6 rows is ≤ 1e12, and the final cross-corpus sums
+    stay < 9.2e18 up to ~10^12 rows — within int64, and bit-identical
+    to the DuckDB oracle's HUGEINT-free BIGINT sum."""
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("g", T.LongType()),
+        ]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            qm = np.stack(pdf[q_col].to_numpy()).astype(np.int64)
+            gm = qm.T @ qm
+            iu, ju = np.triu_indices(gm.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+                 "g": gm[iu, ju]}
+            )
+
+    return vecs.select(q_col).mapInPandas(gen, schema)

@@ -886,3 +886,76 @@ def q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pages",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# zorder_layout: Morton (Z-order) data-layout planning — the OPTIMIZE
+# ZORDER BY (lon, lat) pass a lakehouse table format runs so that
+# spatially-close pages land in the same data file and a bbox query
+# prunes to O(query area) files. Every page gets its 16-bit interleaved
+# Morton key at RES_Z bits per axis and an exact target file id
+# (position in the global z-order, binned at ZORDER_ROWS_PER_FILE rows
+# per file — balanced by construction, no greedy bin packing).
+#
+# Scale shape: the z-key is pure integer codegen (16 shift/mask terms);
+# the exact global position comes from global_rank's bucket-offset
+# decomposition (bucket = top 8 z-key bits — a monotone coarsening, so
+# order-consistency holds) — ONE corpus agg + a 256-row offset window +
+# a broadcast back; no global sort, no unpartitioned corpus window. The
+# real write would then be write.partitionBy(file_id) with rows already
+# hash-local to their file — the layout cost is one exchange total.
+
+RES_Z = 8
+ZORDER_ROWS_PER_FILE = 4096
+
+
+def _morton_sql(ix: str, iy: str, bits: int, divop: str) -> str:
+    """Interleaved-bit Morton key as a flat integer expression; the
+    only dialect split is the floor-division operator (Spark ``div``,
+    DuckDB ``//``) — everything else is shared arithmetic text."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({ix} {divop} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({iy} {divop} {1 << b}) % 2) * {1 << (2 * b)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _zorder_oracle() -> str:
+    ix = _ix_sql("lon", RES_Z)
+    iy = _iy_sql("lat", RES_Z)
+    z = _morton_sql("ix", "iy", RES_Z, "//")
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (SELECT page_id, {ix} AS ix, {iy} AS iy FROM pages)
+, z AS (SELECT page_id, {z} AS zkey FROM g)
+SELECT page_id, zkey,
+       (ROW_NUMBER() OVER (ORDER BY zkey, page_id) - 1)
+         // {ZORDER_ROWS_PER_FILE} AS file_id
+FROM z
+"""
+    )
+
+
+@register("zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = spark.table("pages").select(
+        "page_id",
+        F.expr(_ix_sql("lon", RES_Z)).alias("ix"),
+        F.expr(_iy_sql("lat", RES_Z)).alias("iy"),
+    )
+    z = g.select(
+        "page_id", F.expr(_morton_sql("ix", "iy", RES_Z, "div")).alias("zkey")
+    )
+    ranked = global_rank(
+        z,
+        bucket=F.expr("zkey div 256"),
+        order_cols=[F.col("zkey"), F.col("page_id")],
+        rank_col="pos",
+    )
+    return ranked.select(
+        "page_id",
+        "zkey",
+        F.expr(f"pos div {ZORDER_ROWS_PER_FILE}").alias("file_id"),
+    )

@@ -2856,3 +2856,108 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("norm_ppm"),
     )
+
+
+# ----------------------------------------------------------------------
+# embedding_gram: exact second-moment (Gram) matrix of the quantized
+# embedding corpus — the bounded-size statistic PCA / whitening /
+# covariance all derive from (cov = (G − s·sᵀ/n)/n needs only G plus
+# the column-sum vector; both come from the same partials pass). Output
+# is the upper triangle (i ≤ j, 0-based), dims·(dims+1)/2 = 2080 rows.
+#
+# Scale shape: the one operator family where a vectorized Arrow kernel
+# IS the scale path — a per-dim-pair JVM expression tree (64² terms)
+# blows Janino's method limit (measured for the 8×64 LSH signature,
+# operators/vectors.py:with_sig), while the numpy syrk per batch emits
+# ONE 2080-row partial per Arrow batch. The corpus never shuffles; the
+# final SUM agg is over bounded partials. int64-exact end-to-end (see
+# gram_partials for the ≤10^12-row overflow budget).
+@register(
+    "embedding_gram",
+    """
+    WITH eq AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(FLOOR(x * 1000e0) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT i.i, j.j, CAST(SUM(q[i.i + 1] * q[j.j + 1]) AS BIGINT) AS g
+    FROM eq, range(0, 64) i(i), range(0, 64) j(j)
+    WHERE i.i <= j.j
+    GROUP BY i.i, j.j
+    """,
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    eq = spark.table("embeddings").select(
+        V.quantize_expr("embedding").alias("q")
+    )
+    return (
+        V.gram_partials(eq)
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+# ----------------------------------------------------------------------
+# skyline_pareto: the Pareto frontier of the corpus under two quality
+# axes — documents not dominated by any other on (n_chars, n_types)
+# where n_types = distinct-token count (a doc dominates another iff ≥
+# on both axes and > on at least one). The multi-objective counterpart
+# of lm_score_filter's single-score cut: the frontier is what a data-
+# mixing policy inspects when no single score orders the corpus.
+#
+# Scale shape: the classic skyline trick — the corpus CONTRACTS to the
+# per-x maxima first (one partial/final hash agg, bounded by distinct
+# n_chars values, corpus-size-independent), the strictly-greater-x
+# suffix maximum runs as a window over that bounded table only, and
+# the bounded frontier-level table broadcasts back onto the corpus for
+# a map-side filter. The corpus is never windowed and never shuffled.
+# Oracle: the algorithm-independent NOT EXISTS domination scan.
+@register(
+    "skyline_pareto",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_types
+      FROM documents
+    )
+    SELECT a.doc_id, a.n_chars, a.n_types
+    FROM d a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d b
+      WHERE b.n_chars >= a.n_chars AND b.n_types >= a.n_types
+        AND (b.n_chars > a.n_chars OR b.n_types > a.n_types)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_types"),
+    )
+    perx = d.groupBy("n_chars").agg(F.max("n_types").alias("my"))
+    # suffix max of my over strictly greater x — window over the
+    # BOUNDED per-x table (distinct n_chars), same discipline as
+    # global_rank's offset table; partitionBy(lit(1)) keeps the intent
+    # explicit (single bounded partition, never the corpus).
+    w = (
+        Wnd.partitionBy(F.lit(1))
+        .orderBy(F.col("n_chars").desc())
+        .rowsBetween(Wnd.unboundedPreceding, -1)
+    )
+    levels = perx.select(
+        "n_chars", "my", F.max("my").over(w).alias("sup")
+    )
+    return (
+        d.join(F.broadcast(levels), "n_chars")
+        .where(
+            (F.col("n_types") == F.col("my"))
+            & (F.col("sup").isNull() | (F.col("n_types") > F.col("sup")))
+        )
+        .select("doc_id", "n_chars", "n_types")
+    )

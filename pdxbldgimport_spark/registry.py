@@ -19,6 +19,9 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "embedding_gram",
+    "skyline_pareto",
+    "zorder_layout",
     "score_normalize",
     "phrase_search",
     "events_funnel",

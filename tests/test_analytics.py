@@ -224,3 +224,83 @@ def test_phrase_search_matches_bruteforce(spark):
                   Q.QUERIES["phrase_search"](spark, SF_SMOKE).collect())
     ]
     assert got == expect and len(got) > 0
+
+
+def test_skyline_pareto_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    docs = [
+        (r["doc_id"], r["n_chars"], len(set(r["text"].split(" "))))
+        for r in spark.table("documents").collect()
+    ]
+    expect = {
+        (i, x, y)
+        for i, x, y in docs
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y)
+            for _, bx, by in docs
+        )
+    }
+    got = {
+        (r["doc_id"], r["n_chars"], r["n_types"])
+        for r in Q.QUERIES["skyline_pareto"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert got  # frontier is never empty
+
+
+def test_embedding_gram_matches_numpy(spark):
+    import numpy as np
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    raw = spark.table("embeddings").collect()
+    qm = np.floor(
+        np.array([r["embedding"] for r in raw], dtype=np.float64) * 1000.0
+    ).astype(np.int64)
+    gm = qm.T @ qm
+    got = {
+        (r["i"], r["j"]): r["g"]
+        for r in Q.QUERIES["embedding_gram"](spark, SF_SMOKE).collect()
+    }
+    d = qm.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), g in got.items():
+        assert g == int(gm[i, j]), (i, j)
+
+
+def test_zorder_layout_matches_python_sort(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_spatial import (
+        RES_Z,
+        ZORDER_ROWS_PER_FILE,
+    )
+    from pdxbldgimport_spark.geo import cells as C
+
+    views(spark, SF_SMOKE)
+    n = 1 << RES_Z
+    pages = spark.sql("SELECT page_id, lon, lat FROM pages").collect()
+
+    import math
+
+    def zkey(lon, lat):
+        ix = min(max(int(math.floor((lon - C.LON_W) / C.SPAN_X * n)), 0), n - 1)
+        iy = min(max(int(math.floor((lat - C.LAT_S) / C.SPAN_Y * n)), 0), n - 1)
+        z = 0
+        for b in range(RES_Z):
+            z |= ((ix >> b) & 1) << (2 * b + 1)
+            z |= ((iy >> b) & 1) << (2 * b)
+        return z
+
+    order = sorted((zkey(r["lon"], r["lat"]), r["page_id"]) for r in pages)
+    expect = {
+        pid: (z, pos // ZORDER_ROWS_PER_FILE)
+        for pos, (z, pid) in enumerate(order)
+    }
+    got = {
+        r["page_id"]: (r["zkey"], r["file_id"])
+        for r in Q.QUERIES["zorder_layout"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -981,3 +981,41 @@ def test_phrase_search_topk_no_global_sort(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_embedding_gram_bounded_partials(spark):
+    """embedding_gram: the Arrow kernel (MapInPandas) IS the intended
+    path here — per-batch syrk partials — followed by a partial/final
+    SUM agg over bounded rows. A Window or a join means the bounded-
+    partials contraction regressed to a pairwise formulation."""
+    plan = _plan(Q.QUERIES["embedding_gram"](spark, SF))
+    assert "MapInPandas" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_skyline_pareto_corpus_never_windowed(spark):
+    """skyline_pareto: windows run only over the bounded per-x maxima
+    table; frontier levels broadcast back onto the corpus."""
+    import re
+
+    plan = _plan(Q.QUERIES["skyline_pareto"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        assert "doc_id" not in m.group(0) and "text" not in m.group(0)
+
+
+def test_zorder_layout_no_global_sort(spark):
+    """zorder_layout: the exact z-order position must come from
+    global_rank's bucket decomposition — corpus windows partitioned by
+    __bkt, never a bare ORDER BY zkey over the corpus."""
+    import re
+
+    plan = _plan(Q.QUERIES["zorder_layout"](spark, SF))
+    assert "MapInPandas" not in plan
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        if "page_id" in m.group(0):
+            assert "__bkt" in m.group(0), m.group(0)
