@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_funnel",
     "events_retention",
+    "events_transitions",
     "tile_rollup",
     "url_frontier",
     "score_normalize",

@@ -540,3 +540,59 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ----------------------------------------------------------------------
+# events_transitions: the session-scoped Markov transition matrix of
+# the event stream — (src event_type → next event_type) counts plus the
+# exact integer-µs dwell-time sum, counting only consecutive pairs
+# within SESSION_GAP_S (the same inactivity rule as events_sessions, so
+# "transition" never spans a session boundary). The input to funnel
+# discovery / next-action models, complementing events_funnel's fixed
+# 3-step path with the full data-derived graph.
+#
+# Scale shape: ONE user-keyed exchange feeds a LEAD window partitioned
+# by user_id (high-cardinality key — parallel, skew-safe; the per-user
+# sort is bounded by per-user event counts), then the stream contracts
+# straight to the event_type × event_type grid via a partial/final hash
+# agg — map-side combine makes the post-window shuffle carry at most
+# |types|² rows per task. Ordering ties pinned by event_id; sums are
+# exact integer microseconds.
+_TRANSITIONS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER w AS dst,
+         LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS src, dst, COUNT(*) AS n_trans,
+       CAST(SUM(gap_us) AS BIGINT) AS gap_us_sum
+FROM seq
+WHERE dst IS NOT NULL AND gap_us <= {SESSION_GAP_S} * 1000000
+GROUP BY 1, 2
+"""
+
+
+@register("events_transitions", _TRANSITIONS_ORACLE)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    w = Wnd.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = spark.table("events").select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    )
+    return (
+        seq.where(
+            F.col("dst").isNotNull()
+            & (F.col("gap_us") <= SESSION_GAP_S * 1_000_000)
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("gap_us").cast("long").alias("gap_us_sum"),
+        )
+    )

@@ -19,6 +19,7 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "events_transitions",
     "embedding_gram",
     "skyline_pareto",
     "zorder_layout",

@@ -304,3 +304,27 @@ def test_zorder_layout_matches_python_sort(spark):
         for r in Q.QUERIES["zorder_layout"](spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_events_transitions_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_events import SESSION_GAP_S
+
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    expect = defaultdict(lambda: [0, 0])
+    for rows in by_user.values():
+        rows.sort(key=lambda e: (e["ts"], e["event_id"]))
+        for a, b in zip(rows, rows[1:]):
+            gap = b["us"] - a["us"]
+            if gap <= SESSION_GAP_S * 1_000_000:
+                cell = expect[(a["event_type"], b["event_type"])]
+                cell[0] += 1
+                cell[1] += gap
+    got = {
+        (r["src"], r["dst"]): [r["n_trans"], r["gap_us_sum"]]
+        for r in Q.QUERIES["events_transitions"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(expect)
+    assert got

@@ -1019,3 +1019,17 @@ def test_zorder_layout_no_global_sort(spark):
     for m in re.finditer(r"Window \[([^\]]*)\]", plan):
         if "page_id" in m.group(0):
             assert "__bkt" in m.group(0), m.group(0)
+
+
+def test_events_transitions_single_user_exchange(spark):
+    """events_transitions: one user-partitioned LEAD window, then a
+    straight contraction to the bounded type-pair grid — no Python, no
+    unpartitioned window, no join."""
+    import re
+
+    plan = _plan(Q.QUERIES["events_transitions"](spark, SF))
+    assert "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final grid agg
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        assert "user_id" in m.group(0)
