@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_transitions",
+    "events_anomaly",
+    "geohash_encode",
     "tile_rollup",
     "url_frontier",
     "score_normalize",

@@ -596,3 +596,64 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").cast("long").alias("gap_us_sum"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# events_anomaly: hourly volume anomalies per event_type — hours whose
+# event count deviates from that type's mean by more than 3σ (the
+# ops-observability "traffic spike/drop" detector). Entirely in exact
+# integer arithmetic: with n hours, S = Σc, Q = Σc², hour c is anomalous
+# iff (n·c − S)² > 9·(n·Q − S²) — the 3σ rule cleared of divisions, so
+# both engines compare identical int64/int128-free quantities (bounds:
+# c ≤ 10^12/n_hours keeps (n·c)² inside int64 for any realistic grid;
+# DECIMAL(38,0) on the oracle side for the same reason).
+#
+# Scale shape: ONE corpus partial/final agg to the (event_type, hour)
+# grid (bounded: types × hours, corpus-size-independent); the per-type
+# moments are an agg OF that grid; the flag is a broadcast join back
+# onto the grid — the corpus is touched exactly once.
+_ANOMALY_ORACLE = """
+WITH grid AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(c) AS s, SUM(c * c) AS q
+  FROM grid GROUP BY 1
+)
+SELECT g.event_type, g.hr, g.c
+FROM grid g JOIN mom m ON g.event_type = m.event_type
+WHERE CAST((m.n * g.c - m.s) AS DECIMAL(38, 0))
+      * CAST((m.n * g.c - m.s) AS DECIMAL(38, 0))
+      > 9 * (CAST(m.n AS DECIMAL(38, 0)) * m.q
+             - CAST(m.s AS DECIMAL(38, 0)) * m.s)
+"""
+
+
+@register("events_anomaly", _ANOMALY_ORACLE)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    grid = (
+        spark.table("events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mom = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    dev = (F.col("n") * F.col("c") - F.col("s")).cast("decimal(38,0)")
+    spread = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    return (
+        grid.join(F.broadcast(mom), "event_type")
+        .where(dev * dev > F.lit(9) * spread)
+        .select("event_type", "hr", "c")
+    )

@@ -959,3 +959,75 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zkey",
         F.expr(f"pos div {ZORDER_ROWS_PER_FILE}").alias("file_id"),
     )
+
+
+# ----------------------------------------------------------------------
+# geohash_encode: standard base32 geohash (6 characters = 30 bits,
+# lon-first bit interleave over the global ±180/±90 ranges) for every
+# page — the interoperable sibling of the engine's internal tile_expr
+# grid: geohash prefixes are what external systems (Elasticsearch,
+# Redis GEO, BigQuery ST_GEOHASH) expect for cell joins, and a prefix
+# of length k is exactly a 5k-bit Morton cell, so all the engine's
+# cell-bucketed join machinery applies to geohash keys unchanged.
+#
+# Scale shape: pure per-row integer codegen (two quantizations, a
+# 30-term interleave, six substring lookups) — no shuffle, no Python,
+# no window; the encode rides whatever scan already touches the page.
+# Property-tested against the textbook bit-by-bit interval-halving
+# encoder (an independent formulation) in tests/test_analytics.py.
+
+GH_BITS = 15  # per axis; 30 bits = 6 base32 chars
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_axis_sql(v: str, lo: float, span: float) -> str:
+    n = 1 << GH_BITS
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({v} - ({lo!r})) / {span!r} * {n}e0),"
+        f" 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def _gh_sql(divop: str) -> str:
+    """geohash6 from lon/lat columns: lon bits occupy the even bit
+    positions counted from the MSB (the geohash convention), which in
+    LSB-weighted arithmetic is the ×2 slot of each interleave pair —
+    the same layout _morton_sql gives its first argument."""
+    ix = _gh_axis_sql("lon", -180.0, 360.0)
+    iy = _gh_axis_sql("lat", -90.0, 180.0)
+    z = _morton_sql("gx", "gy", GH_BITS, divop)
+    chars = " || ".join(
+        f"substring('{_GH_ALPHABET}', "
+        f"CAST((z {divop} {1 << (5 * (5 - k))}) % 32 AS INT) + 1, 1)"
+        for k in range(6)
+    )
+    return ix, iy, z, chars
+
+
+@register(
+    "geohash_encode",
+    synth.oracle_with("pages")
+    + """
+, g AS (SELECT page_id, {ix} AS gx, {iy} AS gy FROM pages)
+, zz AS (SELECT page_id, {z} AS z FROM g)
+SELECT page_id, {chars} AS geohash6 FROM zz
+""".format(
+        ix=_gh_sql("//")[0],
+        iy=_gh_sql("//")[1],
+        z=_gh_sql("//")[2],
+        chars=_gh_sql("//")[3],
+    ),
+)
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ix, iy, z, chars = _gh_sql("div")
+    return (
+        spark.table("pages")
+        .select(
+            "page_id",
+            F.expr(ix).alias("gx"),
+            F.expr(iy).alias("gy"),
+        )
+        .select("page_id", F.expr(z).alias("z"))
+        .select("page_id", F.expr(chars).alias("geohash6"))
+    )

@@ -19,6 +19,8 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "events_anomaly",
+    "geohash_encode",
     "events_transitions",
     "embedding_gram",
     "skyline_pareto",

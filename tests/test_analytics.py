@@ -328,3 +328,69 @@ def test_events_transitions_matches_bruteforce(spark):
     }
     assert got == dict(expect)
     assert got
+
+
+def test_events_anomaly_matches_bruteforce(spark):
+    ev = _events(spark)
+    grid = defaultdict(int)
+    for e in ev:
+        hr = e["ts"].replace(minute=0, second=0, microsecond=0)
+        grid[(e["event_type"], hr)] += 1
+    by_type = defaultdict(list)
+    for (et, hr), c in grid.items():
+        by_type[et].append((hr, c))
+    expect = set()
+    for et, cells in by_type.items():
+        n = len(cells)
+        s = sum(c for _, c in cells)
+        q = sum(c * c for _, c in cells)
+        for hr, c in cells:
+            if (n * c - s) ** 2 > 9 * (n * q - s * s):
+                expect.add((et, hr, c))
+    got = {
+        (r["event_type"], r["hr"], r["c"])
+        for r in Q.QUERIES["events_anomaly"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def _geohash_ref(lon: float, lat: float, nchars: int = 6) -> str:
+    """Textbook interval-halving geohash encoder (independent of the
+    engine's Morton formulation)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo = [-90.0, -180.0]  # lat, lon
+    hi = [90.0, 180.0]
+    vals = {0: lat, 1: lon}
+    bits = []
+    axis = 1  # geohash starts with a longitude bit
+    while len(bits) < 5 * nchars:
+        mid = (lo[axis] + hi[axis]) / 2
+        if vals[axis] >= mid:
+            bits.append(1)
+            lo[axis] = mid
+        else:
+            bits.append(0)
+            hi[axis] = mid
+        axis = 1 - axis
+    out = []
+    for k in range(nchars):
+        v = 0
+        for b in bits[5 * k : 5 * k + 5]:
+            v = v * 2 + b
+        out.append(alphabet[v])
+    return "".join(out)
+
+
+def test_geohash_encode_matches_interval_halving(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    pages = spark.sql("SELECT page_id, lon, lat FROM pages").collect()
+    expect = {
+        r["page_id"]: _geohash_ref(r["lon"], r["lat"]) for r in pages
+    }
+    got = {
+        r["page_id"]: r["geohash6"]
+        for r in Q.QUERIES["geohash_encode"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0

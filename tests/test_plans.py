@@ -1033,3 +1033,25 @@ def test_events_transitions_single_user_exchange(spark):
     assert plan.count("HashAggregate") >= 2  # partial+final grid agg
     for m in re.finditer(r"Window \[([^\]]*)\]", plan):
         assert "user_id" in m.group(0)
+
+
+def test_events_anomaly_single_corpus_pass(spark):
+    """events_anomaly: corpus contracts once to the (type, hour) grid;
+    moments are an agg OF the grid, flag is a broadcast join back."""
+    plan = _plan(Q.QUERIES["events_anomaly"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("HashAggregate") >= 4  # grid pair + moments pair
+
+
+def test_geohash_encode_pure_map(spark):
+    """geohash_encode: pure map — no keyed shuffle, no join, no window,
+    no Python; the encode must ride the scan. (The synth pages view's
+    own RoundRobin fan-out exchange is the source, not the query.)"""
+    plan = _plan(Q.QUERIES["geohash_encode"](spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
