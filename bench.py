@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "embedding_gram",
     "skyline_pareto",
     "zorder_layout",
+    "events_downsample",
+    "session_path_topk",
+    "host_reach2",
+    "tfidf_topk",
+    "bloom_dedup_probe",
     "text_repetition",
     "corpus_sample",
     "lang_quota_sample",

@@ -657,3 +657,147 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dev * dev > F.lit(9) * spread)
         .select("event_type", "hr", "c")
     )
+
+
+# ----------------------------------------------------------------------
+# events_downsample: OHLC-style per (event_type, hour) downsampling —
+# open/close are the first/last event's value in the bucket (total order
+# ts, event_id), lo/hi the extremes, plus count and quantized volume.
+# The time-series "resample to dashboard resolution" primitive.
+#
+# Scale shape: ONE partial/final aggregation over the corpus — the
+# first/last selections ride min(struct(us, event_id, cents)) /
+# max(struct(...)), which are map-side combinable (each partition keeps
+# one candidate struct per group), so there is NO per-group window and
+# NO second pass; output is grid-bounded (types × hours). Struct
+# min/max buffers aren't fixed-width, so Spark plans SortAggregate
+# rather than HashAggregate — still partial+final around a single
+# grid-keyed exchange (the per-partition sort is on the bounded grid
+# keys, not a global sort; guarded in tests/test_plans.py). Values are
+# half-up-quantized to integer cents before aggregation so open/close/
+# lo/hi/volume are cross-engine exact (no float accumulation order).
+# Oracle formulation is deliberately different: ROW_NUMBER windows pick
+# the endpoints.
+_DOWNSAMPLE_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hr
+                            ORDER BY us, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hr
+                            ORDER BY us DESC, event_id DESC) AS rd
+  FROM e
+)
+SELECT event_type, hr,
+       MIN(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+       MIN(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS vol_cents
+FROM r GROUP BY 1, 2
+"""
+
+
+@register("events_downsample", _DOWNSAMPLE_ORACLE)
+def q_events_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    e = spark.table("events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        us.alias("us"),
+        "event_id",
+        cents.alias("cents"),
+    )
+    # struct order (us, event_id, cents): event_id is unique, so the
+    # trailing cents never decides — min/max(struct) == the oracle's
+    # ROW_NUMBER endpoints, but partial-aggregatable.
+    first = F.min(F.struct("us", "event_id", "cents"))
+    last = F.max(F.struct("us", "event_id", "cents"))
+    return e.groupBy("event_type", "hr").agg(
+        first.getField("cents").alias("open_cents"),
+        last.getField("cents").alias("close_cents"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("vol_cents"),
+    )
+
+
+# ----------------------------------------------------------------------
+# session_path_topk: the K most common session paths — each session's
+# ordered event_type sequence joined with '>' (the product-analytics
+# "top user journeys" query). Sessions are the SAME gap rule as
+# events_sessions (one definition of a session across the family).
+#
+# Scale shape: the session numbering is the user-keyed window (bounded
+# per user); the path build is ONE hash agg per (user, session) whose
+# state is the session's own events (bounded by the gap rule — a
+# session is a burst, not the corpus): array_sort(collect_list(struct))
+# sorts WITHIN one group's collected array, map-side combinable, no
+# second window. The final top-K is a grid-bounded count agg +
+# TakeOrderedAndProject (per-partition heaps; no global sort). Ties
+# pinned by path text so the cut is deterministic.
+K_PATHS = 20
+
+_PATH_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_S} * 1000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) AS session_no
+  FROM gaps
+), paths AS (
+  SELECT user_id, session_no,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT {K_PATHS}
+"""
+
+
+@register("session_path_topk", _PATH_ORACLE)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    w = Wnd.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("us", us)
+        .withColumn("session_no", F.sum(is_start).over(w))
+        .select("user_id", "session_no", "us", "event_id", "event_type")
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda x: x.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(K_PATHS)
+    )

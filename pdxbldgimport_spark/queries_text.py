@@ -98,12 +98,14 @@ MH_B = [(40503 * (i + 1) + 17) % MH_P for i in range(K_MINHASH)]
 _HEX = "0123456789abcdef"
 
 
-def _h60_sql(md5_expr: str, strpos_fn: str) -> str:
-    """60-bit integer from the 15 leading hex nibbles of an md5: nibble n
-    contributes (hexdigit_n) · 16^n. Identical text (modulo strpos/instr
-    spelling) in Spark SQL and DuckDB → identical int64."""
+def _h60_sql(md5_expr: str, strpos_fn: str, off: int = 0) -> str:
+    """60-bit integer from 15 hex nibbles of an md5 starting at nibble
+    ``off`` (0-based): nibble n contributes (hexdigit_n) · 16^n.
+    Identical text (modulo strpos/instr spelling) in Spark SQL and
+    DuckDB → identical int64. off=15 yields a second independent hash
+    from the same digest (nibbles 16-30) — the double-hashing pair."""
     terms = [
-        f"CAST({strpos_fn}('{_HEX}', substr({md5_expr}, {n + 1}, 1)) - 1 "
+        f"CAST({strpos_fn}('{_HEX}', substr({md5_expr}, {off + n + 1}, 1)) - 1 "
         f"AS BIGINT) * {16 ** n}"
         for n in range(15)
     ]
@@ -2960,4 +2962,176 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sup").isNull() | (F.col("n_types") > F.col("sup")))
         )
         .select("doc_id", "n_chars", "n_types")
+    )
+
+
+# ----------------------------------------------------------------------
+# tfidf_topk: per-document top-K terms by TF-IDF — the retrieval /
+# keyword-extraction companion to vocab_topk (corpus-global) and
+# bm25_topk (query-scoring). Integer-exact cross-engine: the float
+# log-IDF is replaced by the order-equivalent scaled rational
+# score = tf · N · 10^6 div df (floor division; monotone in tf·N/df,
+# ties pinned by term text), so both engines rank identical int64s —
+# no log, no float. Bounds: tf ≤ doc tokens, N = corpus docs; the
+# product stays far inside int64 at any SF this repo targets (1e4 tf ·
+# 1e9 docs would need the DECIMAL variant — noted, not needed).
+#
+# Scale shape: ONE (doc, term) hash agg for tf (partial/final), ONE
+# term-keyed distinct agg for df (vocab-bounded output), the N scalar
+# via a 1-row broadcast cross join, tf ⋈ df on term (vocab-bounded
+# build side — broadcast at gate scale, plain shuffle hash join at
+# corpus vocab scale), and the per-doc top-K via a window PARTITIONED
+# BY doc_id — bounded by the doc's own vocabulary, never the corpus.
+N_TFIDF_TOP = 3
+
+_TFIDF_ORACLE = (
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + f"""
+, tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tokens GROUP BY 1, 2)
+, dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1)
+, nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+, scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+         CAST(tf.tf * nd.n_docs * 1000000 // dfreq.df AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN nd
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, w) AS rn
+  FROM scored
+)
+SELECT doc_id, w, tf, df, score FROM r WHERE rn <= {N_TFIDF_TOP}
+"""
+)
+
+
+@register("tfidf_topk", _TFIDF_ORACLE)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    toks = _tokens(spark).select("doc_id", "w")
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = spark.table("documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            "df",
+            F.expr("tf * n_docs * 1000000L div df").alias("score"),
+        )
+    )
+    w = Wnd.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= N_TFIDF_TOP)
+        .select("doc_id", "w", "tf", "df", "score")
+    )
+
+
+# ----------------------------------------------------------------------
+# bloom_dedup_probe: Bloom-filter membership pre-screen for incremental
+# dedup — build a Bloom filter over the already-ingested corpus's text
+# hashes (docs with doc_id % 3 != 0 stand in for "yesterday"), probe
+# each new doc (doc_id % 3 == 0) and report the bloom verdict alongside
+# ground truth, so false positives are first-class output (the filter
+# never false-negatives — asserted by the oracle match itself: every
+# true_dup=1 row must carry bloom_hit=1 in both engines).
+#
+# Construction is the textbook k-hash/m-bit filter via Kirsch-
+# Mitzenmacher double hashing: pos_i = (h1 + i·h2) mod m, h1/h2 = two
+# independent 60-bit integers from ONE md5 per doc (nibbles 0-14 and
+# 15-29). The "bitset" is expressed relationally as the DISTINCT
+# position set — semantically identical, and bounded by m rows.
+#
+# Scale shape: the filter build is one map pass + a distinct bounded at
+# m rows (at 100 TB, m is sized n·k/ln2 and the distinct-position
+# relation IS the broadcast bitmap — a few hundred MB for billions of
+# keys; the production refinement packs it into int64 words via a
+# bitwise-OR agg, same semantics). The probe side is a k-row map-side
+# explode + BROADCAST left join + one doc-keyed count agg — the corpus
+# never shuffles by position. Ground truth is the md5-keyed
+# co-partitioned join (the dedup_incremental shape), NOT broadcast —
+# the seen-hash relation is corpus-sized.
+BLOOM_M = 8192  # bits; gate-scale (synth corpus ~hundreds of seen docs)
+BLOOM_K = 4
+
+_BLOOM_H1 = _h60_sql("m", "strpos", 0)
+_BLOOM_H2 = _h60_sql("m", "strpos", 15)
+
+_BLOOM_ORACLE = f"""
+WITH d AS (SELECT doc_id, md5(text) AS m FROM documents),
+seen AS (SELECT doc_id, m FROM d WHERE doc_id % 3 <> 0),
+cand AS (SELECT doc_id, m FROM d WHERE doc_id % 3 = 0),
+ii AS (SELECT UNNEST([0, 1, 2, 3]) AS i),
+spos AS (
+  SELECT DISTINCT ({_BLOOM_H1} + i * {_BLOOM_H2}) % {BLOOM_M} AS pos
+  FROM seen, ii
+),
+cpos AS (
+  SELECT DISTINCT doc_id, ({_BLOOM_H1} + i * {_BLOOM_H2}) % {BLOOM_M} AS pos
+  FROM cand, ii
+),
+per AS (
+  SELECT c.doc_id, COUNT(*) AS n_probe, COUNT(s.pos) AS n_hit
+  FROM cpos c LEFT JOIN spos s ON c.pos = s.pos GROUP BY 1
+),
+sh AS (SELECT DISTINCT m FROM seen)
+SELECT cand.doc_id,
+       CAST(CASE WHEN per.n_hit = per.n_probe THEN 1 ELSE 0 END
+            AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN sh.m IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS true_dup
+FROM cand JOIN per USING (doc_id) LEFT JOIN sh ON cand.m = sh.m
+"""
+
+
+@register("bloom_dedup_probe", _BLOOM_ORACLE)
+def q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("m")
+    )
+    h1 = F.expr(_h60_sql("m", "instr", 0))
+    h2 = F.expr(_h60_sql("m", "instr", 15))
+    i = F.explode(F.array(*[F.lit(k) for k in range(BLOOM_K)])).alias("i")
+    seen = d.where(F.col("doc_id") % 3 != 0)
+    cand = d.where(F.col("doc_id") % 3 == 0)
+    spos = (
+        seen.select(h1.alias("h1"), h2.alias("h2"), i)
+        .select(((F.col("h1") + F.col("i") * F.col("h2")) % BLOOM_M).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cpos = (
+        cand.select("doc_id", h1.alias("h1"), h2.alias("h2"), i)
+        .select(
+            "doc_id",
+            ((F.col("h1") + F.col("i") * F.col("h2")) % BLOOM_M).alias("pos"),
+        )
+        .distinct()
+    )
+    per = (
+        cpos.join(F.broadcast(spos), "pos", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    sh = seen.select("m").distinct().withColumn("dup", F.lit(1))
+    return (
+        cand.join(per, "doc_id")
+        .join(sh, "m", "left")  # md5-keyed shuffle join: seen is corpus-sized
+        .select(
+            "doc_id",
+            (F.col("n_hit") == F.col("n_probe"))
+            .cast("long")
+            .alias("bloom_hit"),
+            F.col("dup").isNotNull().cast("long").alias("true_dup"),
+        )
     )

@@ -1127,3 +1127,54 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "doc_id")
         .limit(PHRASE_TOP_K)
     )
+
+
+# ----------------------------------------------------------------------
+# host_reach2: two-hop reach per host over the REAL extracted link
+# graph — |{h2 : host→x→h2, h2 ≠ host}| distinct, the "influence
+# radius" companion to link_degree_dist (same staged distinct edge
+# list). Scale shape: the host-contracted DISTINCT edge list is the big
+# corpus shuffle (shared across the graph family via the stage cache);
+# the 2-hop expansion is edges ⋈ edges on the intermediate host — its
+# fan-out is Σ_x in(x)·out(x), bounded in practice by the distinct
+# contraction BEFORE (pair-distinct edges) and AFTER (distinct (src,
+# dst2) before counting, so the count agg never sees multiplicity). At
+# pathological hub skew the standard refinement is degree-capping /
+# two-level aggregation of the hub's neighbor set — noted, not needed
+# at gate scale; AQE skew-join split handles the shuffle side.
+_REACH2_ORACLE = (
+    synth.oracle_with("pages")
+    + _HOST_EDGES_CTES
+    + """
+, e AS (SELECT DISTINCT src_host, dst_host FROM he)
+, two AS (
+  SELECT DISTINCT a.src_host AS host, b.dst_host AS dst2
+  FROM e a JOIN e b ON a.dst_host = b.src_host
+  WHERE b.dst_host <> a.src_host
+)
+SELECT host, COUNT(*) AS reach2
+FROM two GROUP BY 1
+"""
+)
+
+
+@register("host_reach2", _REACH2_ORACLE)
+def q_host_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    e = stage(
+        spark,
+        (session_token(spark), sf_dir, "reach_edges"),
+        lambda: _host_edges_df(spark).distinct(),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    two = (
+        a.join(b, F.col("a.dst_host") == F.col("b.src_host"))
+        .where(F.col("b.dst_host") != F.col("a.src_host"))
+        .select(
+            F.col("a.src_host").alias("host"),
+            F.col("b.dst_host").alias("dst2"),
+        )
+        .distinct()
+    )
+    return two.groupBy("host").agg(F.count(F.lit(1)).alias("reach2"))

@@ -19,6 +19,11 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "events_downsample",
+    "session_path_topk",
+    "host_reach2",
+    "tfidf_topk",
+    "bloom_dedup_probe",
     "events_anomaly",
     "geohash_encode",
     "events_transitions",

@@ -394,3 +394,169 @@ def test_geohash_encode_matches_interval_halving(spark):
         for r in Q.QUERIES["geohash_encode"](spark, SF_SMOKE).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_events_downsample_matches_bruteforce(spark):
+    import math
+
+    ev = _events(spark)
+    vals = {
+        r["event_id"]: r
+        for r in (
+            x.asDict()
+            for x in spark.sql(
+                "SELECT event_id, value FROM events"
+            ).collect()
+        )
+    }
+    groups = defaultdict(list)
+    for e in ev:
+        hr = e["ts"].replace(minute=0, second=0, microsecond=0)
+        cents = int(math.floor(vals[e["event_id"]]["value"] * 100 + 0.5))
+        groups[(e["event_type"], hr)].append((e["us"], e["event_id"], cents))
+    expect = {}
+    for k, rows in groups.items():
+        rows.sort()
+        cents = [c for _, _, c in rows]
+        expect[k] = (
+            rows[0][2], rows[-1][2], min(cents), max(cents),
+            len(rows), sum(cents),
+        )
+    got = {
+        (r["event_type"], r["hr"]): (
+            r["open_cents"], r["close_cents"], r["lo_cents"],
+            r["hi_cents"], r["n_events"], r["vol_cents"],
+        )
+        for r in (
+            x.asDict()
+            for x in Q.QUERIES["events_downsample"](spark, SF_SMOKE).collect()
+        )
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_session_path_topk_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_events import K_PATHS, SESSION_GAP_S
+
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append((e["us"], e["event_id"], e["event_type"]))
+    paths = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort()
+        cur = []
+        prev = None
+        for us, _, et in rows:
+            if prev is not None and us - prev > SESSION_GAP_S * 1_000_000:
+                paths[">".join(cur)] += 1
+                cur = []
+            cur.append(et)
+            prev = us
+        if cur:
+            paths[">".join(cur)] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:K_PATHS]
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in (
+            x.asDict()
+            for x in Q.QUERIES["session_path_topk"](spark, SF_SMOKE).collect()
+        )
+    ]
+    assert got == expect and len(got) > 0
+
+
+def test_host_reach2_matches_set_algebra(spark):
+    """2-hop logic vs Python set algebra over the SAME extracted edge
+    list (the extraction itself is gated by outlink_extract's oracle +
+    test_web.py) — verifies the join/distinct/count composition."""
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import _host_edges_df
+
+    views(spark, SF_SMOKE)
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for r in _host_edges_df(spark).distinct().collect()
+    }
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+    expect = {}
+    for s in out:
+        two = {d2 for x in out[s] for d2 in out.get(x, ()) if d2 != s}
+        if two:
+            expect[s] = len(two)
+    got = {
+        r["host"]: r["reach2"]
+        for r in Q.QUERIES["host_reach2"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_tfidf_topk_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import N_TFIDF_TOP
+
+    views(spark, SF_SMOKE)
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.table("documents").collect()
+    }
+    n_docs = len(docs)
+    df = defaultdict(int)
+    for toks in docs.values():
+        for w in set(toks):
+            df[w] += 1
+    expect = set()
+    for d, toks in docs.items():
+        tf = defaultdict(int)
+        for w in toks:
+            tf[w] += 1
+        scored = sorted(
+            ((tf[w] * n_docs * 1_000_000) // df[w], w) for w in tf
+        )
+        top = sorted(scored, key=lambda sw: (-sw[0], sw[1]))[:N_TFIDF_TOP]
+        for s, w in top:
+            expect.add((d, w, tf[w], df[w], s))
+    got = {
+        (r["doc_id"], r["w"], r["tf"], r["df"], r["score"])
+        for r in Q.QUERIES["tfidf_topk"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_bloom_dedup_probe_matches_bruteforce(spark):
+    import hashlib
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import BLOOM_K, BLOOM_M
+
+    views(spark, SF_SMOKE)
+    docs = [
+        (r["doc_id"], hashlib.md5(r["text"].encode()).hexdigest())
+        for r in spark.table("documents").collect()
+    ]
+
+    def h60(hx, off):
+        return sum(int(hx[off + n], 16) * 16 ** n for n in range(15))
+
+    def positions(hx):
+        h1, h2 = h60(hx, 0), h60(hx, 15)
+        return {(h1 + i * h2) % BLOOM_M for i in range(BLOOM_K)}
+
+    seen = [(d, m) for d, m in docs if d % 3 != 0]
+    cand = [(d, m) for d, m in docs if d % 3 == 0]
+    bits = set()
+    for _, m in seen:
+        bits |= positions(m)
+    seen_h = {m for _, m in seen}
+    expect = {
+        (d, int(positions(m) <= bits), int(m in seen_h)) for d, m in cand
+    }
+    got = {
+        (r["doc_id"], r["bloom_hit"], r["true_dup"])
+        for r in Q.QUERIES["bloom_dedup_probe"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+    # a Bloom filter never false-negatives: every true dup must hit
+    assert all(bh == 1 for _, bh, td in got if td == 1)

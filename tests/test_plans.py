@@ -1055,3 +1055,54 @@ def test_geohash_encode_pure_map(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_events_downsample_partial_final_single_exchange(spark):
+    """OHLC endpoints ride min/max(struct) — partial+final SortAggregate
+    (struct buffers aren't hash-able) around ONE grid-keyed exchange;
+    no Window, no second corpus pass, nothing in Python."""
+    plan = _plan(Q.QUERIES["events_downsample"](spark, SF))
+    assert plan.count("SortAggregate") >= 2
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_session_path_topk_takeordered_cut(spark):
+    """Top-K paths end in TakeOrderedAndProject (per-partition heaps,
+    no global sort); path build is agg-side (collect_list within one
+    group), the only window is the user-keyed session numbering."""
+    plan = _plan(Q.QUERIES["session_path_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """The position 'bitset' (bounded by BLOOM_M rows) must reach the
+    probe as a broadcast — the candidate corpus never shuffles by
+    position."""
+    plan = _plan(Q.QUERIES["bloom_dedup_probe"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" not in plan
+
+
+def test_host_reach2_distinct_contractions(spark):
+    """Edge list is pair-distinct BEFORE the 2-hop join and (src,dst2)
+    is distinct BEFORE the count — aggs on both sides of the join."""
+    plan = _plan(Q.QUERIES["host_reach2"](spark, SF))
+    assert plan.count("HashAggregate") >= 4  # 2 distincts, partial+final
+    assert "MapInPandas" not in plan
+
+
+def test_tfidf_topk_window_only_per_doc(spark):
+    """The only window is the per-doc top-K rank (bounded by the doc's
+    own vocabulary); tf and df are partial/final hash aggs and the
+    1-row N scalar arrives via broadcast."""
+    plan = _plan(Q.QUERIES["tfidf_topk"](spark, SF))
+    assert plan.count("Window [") == 1
+    # rank-limit pushdown: partial WindowGroupLimit keeps only the
+    # top-K per doc MAP-SIDE before the doc exchange — the shuffle
+    # carries ≤ K rows per document, not the full (doc, term) relation
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" not in plan
