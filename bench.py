@@ -104,6 +104,14 @@ BENCH_QUERIES = [
     "embedding_gram",
     "skyline_pareto",
     "zorder_layout",
+    "host_components",
+    "events_dau_wau",
+    "events_rate_flags",
+    "token_diversity",
+    "events_value_quantiles",
+    "type_cooccurrence",
+    "host_gini",
+    "link_reciprocity",
     "events_downsample",
     "session_path_topk",
     "host_reach2",

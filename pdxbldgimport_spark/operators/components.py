@@ -42,12 +42,17 @@ BATCH_ROUNDS = 1
 
 def _checksum(edges: DataFrame) -> tuple:
     """Order-insensitive fingerprint of an edge set (count + summed
-    hashes). One small collect per round — the convergence test."""
+    hashes). One small collect per round — the convergence test.
+    Sums accumulate in DECIMAL(38,0): node ids may use the full 60-bit
+    hash-id space (host_components), where an int64 SUM overflows under
+    ANSI after a few hundred rows; 38 digits hold any edge set this
+    operator will ever see (10^19 ids × 10^18 edges < 10^38)."""
+    dec = "decimal(38,0)"
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.hash("u", "v").cast("long")).alias("h"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
+        F.sum(F.hash("u", "v").cast(dec)).alias("h"),
+        F.sum(F.col("u").cast(dec)).alias("su"),
+        F.sum(F.col("v").cast(dec)).alias("sv"),
     ).first()
     return (row["n"], row["h"], row["su"], row["sv"])
 

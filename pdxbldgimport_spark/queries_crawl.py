@@ -827,3 +827,77 @@ def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("wave") < FRONTIER_WAVES).select(
         "page_id", "host", "wave", (F.col("wave") * delay).alias("sched_s")
     )
+
+
+# ----------------------------------------------------------------------
+# host_gini: corpus-card concentration report — the Gini coefficient of
+# pages-per-host (how head-heavy is the crawl), in exact integer ppm.
+# With hosts ranked ascending by page count (i = 1..n, ties pinned by
+# host name), G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx); the engine emits
+# gini_ppm = ⌊10^6·G⌋ via integral division so both engines compare
+# identical int64s (numerator is provably ≥ 0 for an ascending
+# ranking, so floor == integral division in both dialects).
+#
+# Scale shape: corpus → host counts is ONE partial/final hash agg
+# (host-contracted, ~10^8 rows at 10^12 pages); the ascending rank uses
+# operators.ranking.global_rank — bucket = the count itself (the
+# bounded distinct-count histogram, same discipline as
+# doclen_quantiles), so there is NO single-task global window; the
+# final three sums are one tiny agg over the ranked host table.
+# DECIMAL(38,0)/HUGEINT intermediates keep Σ i·x_i exact at any scale.
+_GINI_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, hc AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         COUNT(*) AS x
+  FROM pages GROUP BY 1
+)
+, r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, host) AS i FROM hc
+)
+, a AS (
+  SELECT SUM(CAST(i AS HUGEINT) * x) AS s1,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM r
+)
+SELECT CAST(((2 * s1 - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT)
+         AS gini_ppm,
+       CAST(n AS BIGINT) AS n_hosts,
+       CAST(sx AS BIGINT) AS n_pages
+FROM a
+"""
+)
+
+
+@register("host_gini", _GINI_ORACLE)
+def q_host_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import global_rank
+
+    views(spark, sf_dir)
+    hc = (
+        spark.table("pages")
+        .groupBy(
+            F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = global_rank(
+        hc, F.col("x"), [F.col("x"), F.col("host")], rank_col="rk"
+    )
+    a = ranked.agg(
+        F.sum(
+            (F.col("rk") + 1).cast("decimal(38,0)") * F.col("x")
+        ).alias("s1"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    return a.select(
+        F.expr(
+            "CAST(((2 * s1 - (n + 1) * sx) * 1000000) div (n * sx)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.col("n").cast("long").alias("n_hosts"),
+        F.col("sx").cast("long").alias("n_pages"),
+    )

@@ -801,3 +801,218 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(K_PATHS)
     )
+
+
+# ----------------------------------------------------------------------
+# events_value_quantiles: exact per-type value percentiles (p50/p90/p99)
+# — the latency/价值 distribution rollup, computed EXACTLY (no
+# approx_percentile, whose sketch differs engine-to-engine) over the
+# integer-cents domain. Definition: pK = smallest cents with
+# 100·cum ≥ K·n (the classic "lower" quantile), pinned and identical in
+# both engines.
+#
+# Scale shape: the corpus contracts ONCE to the (event_type, cents)
+# histogram (bounded by the value domain, not the corpus — same
+# discipline as doclen_quantiles, here per group); the cumulative sum
+# is a window over that bounded histogram partitioned by type; the
+# quantile picks are ONE conditional-min agg per type. No corpus
+# window, no sort of raw events.
+_VQ_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), g AS (
+  SELECT event_type, cents, COUNT(*) AS n FROM e GROUP BY 1, 2
+), c AS (
+  SELECT event_type, cents, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY cents)
+              AS BIGINT) AS cum
+  FROM g
+), t AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS ntot FROM g GROUP BY 1
+)
+SELECT c.event_type,
+       MIN(CASE WHEN 100 * cum >= 50 * ntot THEN cents END) AS p50_cents,
+       MIN(CASE WHEN 100 * cum >= 90 * ntot THEN cents END) AS p90_cents,
+       MIN(CASE WHEN 100 * cum >= 99 * ntot THEN cents END) AS p99_cents,
+       MIN(ntot) AS n_events
+FROM c JOIN t USING (event_type) GROUP BY 1
+"""
+
+
+@register("events_value_quantiles", _VQ_ORACLE)
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = (
+        spark.table("events")
+        .groupBy("event_type", cents.alias("cents"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Wnd.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Wnd.unboundedPreceding, 0)
+    )
+    c = g.withColumn("cum", F.sum("n").over(w))
+    t = g.groupBy("event_type").agg(F.sum("n").alias("ntot"))
+
+    def pick(k: int, name: str):
+        return F.min(
+            F.when(100 * F.col("cum") >= k * F.col("ntot"), F.col("cents"))
+        ).alias(name)
+
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            pick(50, "p50_cents"),
+            pick(90, "p90_cents"),
+            pick(99, "p99_cents"),
+            F.min("ntot").alias("n_events"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# type_cooccurrence: event-type co-visitation — for every unordered type
+# pair, how many users did BOTH (the recsys/product "also does" matrix,
+# here over the bounded event-type vocabulary). Scale shape: ONE
+# distinct contraction to (user, type) — bounded at users × types —
+# then a user-keyed self-join whose per-user fan-out is at most
+# C(types_per_user, 2) (type vocabulary is small and fixed), and a
+# final grid-bounded count agg. The corpus is touched once.
+_COOC_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("type_cooccurrence", _COOC_ORACLE)
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ut = spark.table("events").select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ----------------------------------------------------------------------
+# events_rate_flags: sliding-window rate limiting — per event, the
+# count of the same user's events in the trailing RATE_WINDOW_S
+# seconds (value-based RANGE frame, so simultaneous events share one
+# frame in both engines), flagged when it exceeds RATE_K (the abuse /
+# scraper-throttle primitive).
+#
+# Scale shape: ONE user-keyed exchange feeding a RANGE-frame window —
+# the frame is value-bounded (a day of one user's events), never the
+# corpus; identical discipline to events_asof_join's single exchange.
+# Microsecond-integer ordering keeps the frame edge exact cross-engine.
+RATE_WINDOW_S = 86400
+RATE_K = 5
+
+_RATE_ORACLE = f"""
+WITH w AS (
+  SELECT event_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN {RATE_WINDOW_S * 1000000} PRECEDING
+                        AND CURRENT ROW) AS n_win
+  FROM events
+)
+SELECT event_id, CAST(n_win AS BIGINT) AS n_win,
+       CAST(CASE WHEN n_win > {RATE_K} THEN 1 ELSE 0 END AS BIGINT)
+         AS flagged
+FROM w
+"""
+
+
+@register("events_rate_flags", _RATE_ORACLE)
+def q_events_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Wnd.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-RATE_WINDOW_S * 1_000_000, 0)
+    )
+    return spark.table("events").select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).select(
+        "event_id",
+        "n_win",
+        (F.col("n_win") > RATE_K).cast("long").alias("flagged"),
+    )
+
+
+# ----------------------------------------------------------------------
+# events_dau_wau: daily/weekly active users — per calendar day (integer
+# epoch-day index, exact cross-engine), the distinct users active that
+# day (DAU) and in the trailing 7-day window (WAU). The growth-
+# dashboard staple, computed EXACTLY without approx sketches.
+#
+# Scale shape: corpus → (day, user) distinct is the one big
+# contraction; DAU is a grid-bounded agg of it. WAU avoids a distinct-
+# per-sliding-window pass via the standard contribution explode: each
+# (day, user) row contributes to exactly 7 target days (bounded
+# fan-out), then ONE distinct + agg on (target_day, user). No window
+# over the corpus, no per-day re-scan.
+_DAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS dd, user_id FROM events
+), dau AS (
+  SELECT dd, COUNT(*) AS dau FROM du GROUP BY 1
+), contrib AS (
+  SELECT DISTINCT t.td, du.user_id
+  FROM du, UNNEST(generate_series(du.dd, du.dd + 6)) AS t(td)
+), wau AS (
+  SELECT td AS dd, COUNT(*) AS wau FROM contrib GROUP BY 1
+)
+SELECT CAST(dau.dd AS BIGINT) AS day_idx, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.dd = wau.dd
+"""
+
+
+@register("events_dau_wau", _DAU_ORACLE)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    du = (
+        spark.table("events")
+        .select(
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("dd"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("dd").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        du.select(
+            F.explode(F.sequence(F.col("dd"), F.col("dd") + 6)).alias("td"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("td").alias("dd")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, "dd")
+        .select(F.col("dd").cast("long").alias("day_idx"), "dau", "wau")
+    )

@@ -3135,3 +3135,61 @@ def q_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup").isNotNull().cast("long").alias("true_dup"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# token_diversity: per-document lexical-diversity card — type-token
+# ratio and the Gini IMPURITY of the unigram distribution (1 − Σp²),
+# both in exact integer ppm. Impurity is the rational stand-in for
+# Shannon entropy (no cross-engine float log): impurity_ppm =
+# (n² − Σc_w²)·10^6 // n², monotone in the same "how repetitive is
+# this doc" direction, exact in int64 for any doc under ~3M tokens
+# (n² ≤ 9·10^12 · 10^6 ⇒ use the DECIMAL variant beyond that — noted).
+#
+# Scale shape: tokens → (doc, w) counts is one partial/final hash agg;
+# the per-doc rollup (Σc, count, Σc²) is a second — both map-side
+# combinable, no window, no join, pure codegen.
+_DIVERSITY_ORACLE = (
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + """
+, tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tokens GROUP BY 1, 2)
+, d AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS sumsq
+  FROM tc GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST((n_tokens * n_tokens - sumsq) * 1000000
+            // (n_tokens * n_tokens) AS BIGINT) AS impurity_ppm
+FROM d
+"""
+)
+
+
+@register("token_diversity", _DIVERSITY_ORACLE)
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    tc = (
+        _tokens(spark)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr("n_types * 1000000L div n_tokens").alias("ttr_ppm"),
+        F.expr(
+            "(n_tokens * n_tokens - sumsq) * 1000000L"
+            " div (n_tokens * n_tokens)"
+        ).alias("impurity_ppm"),
+    )

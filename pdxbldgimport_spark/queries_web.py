@@ -1178,3 +1178,160 @@ def q_host_reach2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return two.groupBy("host").agg(F.count(F.lit(1)).alias("reach2"))
+
+
+# ----------------------------------------------------------------------
+# link_reciprocity: one-row link-graph report — how many directed host
+# edges have a reciprocal twin (B→A for A→B), and the reciprocity ratio
+# in exact ppm. The classic graph-health metric (crawl link farms push
+# it up; pure hierarchies push it to 0). Self-loops excluded on both
+# sides of the ratio.
+#
+# Scale shape: the distinct host-contracted edge list (shared stage
+# with the rest of the graph family) self-joins on the REVERSED key —
+# one shuffle join keyed (dst, src) vs (src, dst), each side already
+# pair-distinct so the join is 1:≤1 per edge; the two counts collapse
+# to a single-row agg cross-joined into the report. No corpus pass
+# beyond the shared edge extraction.
+_RECIP_ORACLE = (
+    synth.oracle_with("pages")
+    + _HOST_EDGES_CTES
+    + """
+, e AS (
+  SELECT DISTINCT src_host, dst_host FROM he WHERE src_host <> dst_host
+)
+, m AS (
+  SELECT COUNT(*) AS n_mutual
+  FROM e a JOIN e b ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       n_mutual,
+       CAST(n_mutual * 1000000 // (SELECT COUNT(*) FROM e) AS BIGINT)
+         AS reciprocity_ppm
+FROM m
+"""
+)
+
+
+@register("link_reciprocity", _RECIP_ORACLE)
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    e = stage(
+        spark,
+        (session_token(spark), sf_dir, "recip_edges"),
+        lambda: _host_edges_df(spark)
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct(),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    mutual = a.join(
+        b,
+        (F.col("a.src_host") == F.col("b.dst_host"))
+        & (F.col("a.dst_host") == F.col("b.src_host")),
+    ).agg(F.count(F.lit(1)).alias("n_mutual"))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return mutual.crossJoin(F.broadcast(edges)).select(
+        "n_edges",
+        "n_mutual",
+        F.expr("CAST(n_mutual * 1000000 div n_edges AS BIGINT)").alias(
+            "reciprocity_ppm"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+# host_components: connected components over the REAL extracted host
+# link graph (treated undirected) — the "site cluster / link farm"
+# detector, and the operator-reuse proof that operators/components.py
+# (alternating large-star/small-star contraction, O(log n) rounds of
+# bounded shuffles) is graph-agnostic: the same kernel labels minhash
+# doc clusters (dedup_components) and host clusters here. Hosts map to
+# 60-bit integer ids via one md5 (identical arithmetic in both
+# engines — a collision would affect both identically, keeping the
+# gate deterministic); labels map back to host names at the end.
+# Oracle: algorithm-independent recursive transitive closure.
+def _hostcc_oracle() -> str:
+    from .queries_text import _h60_sql
+
+    hid = _h60_sql("md5(h)", "strpos")
+    # The recursion lives in a NESTED scope: putting WITH RECURSIVE on
+    # the outer chain makes DuckDB re-plan the whole html-extraction
+    # pipeline under recursive-CTE rules (observed: the plain chain
+    # runs in ~2 s, the same chain under an outer RECURSIVE prefix
+    # never finishes). The inner recursive CTE references the outer
+    # MATERIALIZED relations, which are evaluated once.
+    return (
+        synth.oracle_with("pages")
+        + _HOST_EDGES_CTES
+        + f"""
+, e0 AS MATERIALIZED (
+  SELECT DISTINCT src_host AS sh, dst_host AS dh FROM he
+  WHERE src_host <> dst_host
+)
+, hosts AS (SELECT sh AS h FROM e0 UNION SELECT dh FROM e0)
+, hid AS MATERIALIZED (SELECT h, {hid} AS id FROM hosts)
+, edges AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v
+  FROM e0 JOIN hid a ON e0.sh = a.h JOIN hid b ON e0.dh = b.h
+  UNION
+  SELECT b.id AS u, a.id AS v
+  FROM e0 JOIN hid a ON e0.sh = a.h JOIN hid b ON e0.dh = b.h
+)
+SELECT hid.h AS host, c.component_id
+FROM (
+  WITH RECURSIVE reach(a, b) AS (
+    SELECT id, id FROM hid
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+  )
+  SELECT a, MIN(b) AS component_id FROM reach GROUP BY a
+) c
+JOIN hid ON hid.id = c.a
+"""
+    )
+
+
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import components as C
+    from .queries_text import _h60_sql
+
+    views(spark, sf_dir)
+    e0 = stage(
+        spark,
+        (session_token(spark), sf_dir, "hostcc_edges"),
+        lambda: _host_edges_df(spark)
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct(),
+    )
+    # the id dictionary is staged (materialized once): the 15-term h60
+    # expression otherwise rides THREE lineages (edge relabel, CC node
+    # set, final label join) and the final self-join's attribute dedup
+    # over that expression stalls the optimizer — and at scale the host
+    # dictionary is a build-once artifact anyway.
+    hid = stage(
+        spark,
+        (session_token(spark), sf_dir, "hostcc_hid"),
+        lambda: e0.select(F.col("src_host").alias("h"))
+        .union(e0.select(F.col("dst_host").alias("h")))
+        .distinct()
+        .withColumn(
+            "id", F.expr(_h60_sql("md5(cast(h as binary))", "instr"))
+        ),
+    )
+    a = hid.select(F.col("h").alias("sh"), F.col("id").alias("u"))
+    b = hid.select(F.col("h").alias("dh"), F.col("id").alias("v"))
+    edges = (
+        e0.join(a, e0.src_host == a.sh)
+        .join(b, e0.dst_host == b.dh)
+        .select("u", "v")
+    )
+    labels = C.connected_components(
+        hid.select(F.col("id").alias("host_id")), edges, id_col="host_id"
+    )
+    return labels.join(hid, labels.host_id == hid.id).select(
+        F.col("h").alias("host"), "component_id"
+    )
+
+
+register("host_components", _hostcc_oracle())(q_host_components)

@@ -19,6 +19,14 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "host_components",
+    "events_dau_wau",
+    "events_rate_flags",
+    "token_diversity",
+    "events_value_quantiles",
+    "type_cooccurrence",
+    "host_gini",
+    "link_reciprocity",
     "events_downsample",
     "session_path_topk",
     "host_reach2",

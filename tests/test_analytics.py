@@ -560,3 +560,208 @@ def test_bloom_dedup_probe_matches_bruteforce(spark):
     assert got == expect and len(got) > 0
     # a Bloom filter never false-negatives: every true dup must hit
     assert all(bh == 1 for _, bh, td in got if td == 1)
+
+
+def test_events_value_quantiles_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT event_type, value FROM events"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(
+            int(math.floor(r["value"] * 100 + 0.5))
+        )
+    expect = {}
+    for t, cents in by_type.items():
+        cents.sort()
+        n = len(cents)
+
+        def pick(k):
+            for i, c in enumerate(cents, 1):
+                if 100 * i >= k * n:
+                    return c
+
+        expect[t] = (pick(50), pick(90), pick(99), n)
+    got = {
+        r["event_type"]: (
+            r["p50_cents"], r["p90_cents"], r["p99_cents"], r["n_events"]
+        )
+        for r in Q.QUERIES["events_value_quantiles"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_type_cooccurrence_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql("SELECT user_id, event_type FROM events").collect()
+    types = defaultdict(set)
+    for r in rows:
+        types[r["user_id"]].add(r["event_type"])
+    pairs = defaultdict(int)
+    for ts in types.values():
+        s = sorted(ts)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pairs[(s[i], s[j])] += 1
+    got = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in Q.QUERIES["type_cooccurrence"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(pairs) and len(got) > 0
+
+
+def test_host_gini_matches_bruteforce(spark):
+    import re
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    urls = [r["url"] for r in spark.sql("SELECT url FROM pages").collect()]
+    counts = defaultdict(int)
+    for u in urls:
+        counts[re.match(r"^[A-Za-z]+://([^/:?#]+)", u).group(1).lower()] += 1
+    xs = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    sx = sum(x for _, x in xs)
+    s1 = sum(i * x for i, (_, x) in enumerate(xs, 1))
+    gini_ppm = ((2 * s1 - (n + 1) * sx) * 1_000_000) // (n * sx)
+    row = Q.QUERIES["host_gini"](spark, SF_SMOKE).collect()[0]
+    assert (row["gini_ppm"], row["n_hosts"], row["n_pages"]) == (
+        gini_ppm, n, sx,
+    )
+
+
+def test_link_reciprocity_matches_set_algebra(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import _host_edges_df
+
+    views(spark, SF_SMOKE)
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for r in _host_edges_df(spark).distinct().collect()
+        if r["src_host"] != r["dst_host"]
+    }
+    n_mutual = sum(1 for s, d in edges if (d, s) in edges)
+    row = Q.QUERIES["link_reciprocity"](spark, SF_SMOKE).collect()[0]
+    assert (row["n_edges"], row["n_mutual"], row["reciprocity_ppm"]) == (
+        len(edges), n_mutual, n_mutual * 1_000_000 // len(edges),
+    )
+    assert len(edges) > 0
+
+
+def test_events_rate_flags_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_events import RATE_K, RATE_WINDOW_S
+
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append((e["us"], e["event_id"]))
+    expect = {}
+    win = RATE_WINDOW_S * 1_000_000
+    for rows in by_user.values():
+        for us, eid in rows:
+            n = sum(1 for u2, _ in rows if us - win <= u2 <= us)
+            expect[eid] = (n, int(n > RATE_K))
+    got = {
+        r["event_id"]: (r["n_win"], r["flagged"])
+        for r in Q.QUERIES["events_rate_flags"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_token_diversity_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.table("documents").collect()
+    }
+    expect = {}
+    for d, toks in docs.items():
+        c = defaultdict(int)
+        for w in toks:
+            c[w] += 1
+        n = len(toks)
+        sumsq = sum(v * v for v in c.values())
+        expect[d] = (
+            n, len(c), len(c) * 1_000_000 // n,
+            (n * n - sumsq) * 1_000_000 // (n * n),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_types"], r["ttr_ppm"], r["impurity_ppm"]
+        )
+        for r in Q.QUERIES["token_diversity"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_host_components_matches_union_find(spark):
+    import hashlib
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import _host_edges_df
+
+    views(spark, SF_SMOKE)
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for r in _host_edges_df(spark).distinct().collect()
+        if r["src_host"] != r["dst_host"]
+    }
+    hosts = {h for e in edges for h in e}
+
+    def h60(h):
+        hx = hashlib.md5(h.encode()).hexdigest()
+        return sum(int(hx[n], 16) * 16 ** n for n in range(15))
+
+    parent = {h: h for h in hosts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = defaultdict(set)
+    for h in hosts:
+        comps[find(h)].add(h)
+    expect = {}
+    for members in comps.values():
+        label = min(h60(h) for h in members)
+        for h in members:
+            expect[h] = label
+    got = {
+        r["host"]: r["component_id"]
+        for r in Q.QUERIES["host_components"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_events_dau_wau_matches_bruteforce(spark):
+    ev = _events(spark)
+    by_day = defaultdict(set)
+    for e in ev:
+        by_day[e["us"] // 86_400_000_000].add(e["user_id"])
+    expect = {}
+    for d, users in by_day.items():
+        wau = set()
+        for k in range(7):
+            wau |= by_day.get(d - k, set())
+        expect[d] = (len(users), len(wau))
+    got = {
+        r["day_idx"]: (r["dau"], r["wau"])
+        for r in Q.QUERIES["events_dau_wau"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0

@@ -1106,3 +1106,76 @@ def test_tfidf_topk_window_only_per_doc(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "MapInPandas" not in plan
+
+
+def test_events_value_quantiles_histogram_window_only(spark):
+    """The cumulative window runs over the (type, cents) HISTOGRAM
+    (bounded by the value domain), never the raw events — the corpus
+    contracts in a partial/final hash agg first; quantile picks are one
+    conditional-min agg."""
+    plan = _plan(Q.QUERIES["events_value_quantiles"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Window [") == 1
+    assert "MapInPandas" not in plan
+
+
+def test_type_cooccurrence_distinct_contraction_first(spark):
+    """(user, type) distinct contraction BEFORE the user-keyed
+    self-join — the join input is bounded at users × types."""
+    plan = _plan(Q.QUERIES["type_cooccurrence"](spark, SF))
+    assert plan.count("HashAggregate") >= 4  # distinct + final count
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_host_gini_no_unpartitioned_corpus_window(spark):
+    """host_gini ranks via global_rank's bucket decomposition: any
+    window over a schema carrying the host column must be partitioned
+    by the rank bucket; the only bare window is the prefix-sum over the
+    bounded bucket-count table."""
+    import re
+
+    plan = _plan(Q.QUERIES["host_gini"](spark, SF))
+    assert "MapInPandas" not in plan
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        args = m.group(0)
+        if "host" in args and "__bkt" not in args:
+            raise AssertionError(args)
+
+
+def test_link_reciprocity_single_row_report(spark):
+    plan = _plan(Q.QUERIES["link_reciprocity"](spark, SF))
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_events_rate_flags_single_exchange_range_window(spark):
+    """Sliding rate count: ONE user-keyed exchange feeding the RANGE
+    window — no join, no second corpus pass, nothing in Python."""
+    plan = _plan(Q.QUERIES["events_rate_flags"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_token_diversity_two_hash_aggs_no_window(spark):
+    plan = _plan(Q.QUERIES["token_diversity"](spark, SF))
+    assert plan.count("HashAggregate") >= 4  # two partial/final levels
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_events_dau_wau_bounded_explode_no_window(spark):
+    """WAU via the 7-day contribution explode over the ALREADY-distinct
+    (day, user) contraction — no corpus window, no per-day re-scan."""
+    plan = _plan(Q.QUERIES["events_dau_wau"](spark, SF))
+    assert "Generate" in plan  # the bounded sequence explode
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_host_components_no_python(spark):
+    plan = _plan(Q.QUERIES["host_components"](spark, SF))
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
