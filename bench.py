@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "embedding_gram",
     "skyline_pareto",
     "zorder_layout",
+    "tile_rate_smoothed",
+    "crawl_budget_apportion",
     "host_components",
     "events_dau_wau",
     "events_rate_flags",

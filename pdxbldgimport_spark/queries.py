@@ -1097,3 +1097,77 @@ def q_tile_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("focal_sum").cast("long").alias("focal_sum"),
         F.expr("(1000000 * focal_sum) div n_nbrs").alias("focal_mean_ppm"),
     )
+
+
+# ----------------------------------------------------------------------
+# tile_rate_smoothed: empirical-Bayes shrinkage of a per-tile incidence
+# rate toward the corpus rate — the standard small-area fix for sparse
+# tiles (a 2-page tile with 1 hit is NOT a 500000-ppm hotspot). Incident
+# flag: the page text contains the tracked term. With per-tile (n, c)
+# and corpus totals (N, C), prior strength K:
+#   smoothed = (c + K·C/N) / (n + K)  →  exactly, in ppm:
+#   smoothed_ppm = (c·N + K·C)·10^6 div (N·(n + K))
+# computed in DECIMAL(38,0)/HUGEINT so c·N stays exact at any corpus
+# size. Raw rate rides along for comparison.
+#
+# Scale shape: ONE partial/final hash agg to the bounded tile grid, a
+# 1-row totals agg broadcast back onto the grid, pure codegen
+# arithmetic — the corpus is touched once (same scan shape as
+# page_tile_counts, plus the contains() flag map-side).
+SMOOTH_TERM = "spark"
+SMOOTH_K = 20
+
+_TILE_SQL = (
+    f"CAST(LEAST(GREATEST(FLOOR((lat - ({C.LAT_S!r})) / {C.SPAN_Y!r} * 32e0), 0), 31) AS BIGINT) * 32"
+    f" + CAST(LEAST(GREATEST(FLOOR((lon - ({C.LON_W!r})) / {C.SPAN_X!r} * 32e0), 0), 31) AS BIGINT)"
+)
+
+_SMOOTH_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, g AS (
+  SELECT {_TILE_SQL} AS tile_id,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN contains(text, '{SMOOTH_TERM}') THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM pages GROUP BY 1
+)
+, tot AS (
+  SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(c) AS HUGEINT) AS cc
+  FROM g
+)
+SELECT tile_id, n, c,
+       CAST(c * 1000000 // n AS BIGINT) AS raw_ppm,
+       CAST((c * nn + {SMOOTH_K} * cc) * 1000000
+            // (nn * (n + {SMOOTH_K})) AS BIGINT) AS smoothed_ppm
+FROM g, tot
+"""
+)
+
+
+@register("tile_rate_smoothed", _SMOOTH_ORACLE)
+def q_tile_rate_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = (
+        spark.table("pages")
+        .select(
+            tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("tile_id"),
+            F.col("text").contains(SMOOTH_TERM).cast("long").alias("hit"),
+        )
+        .groupBy("tile_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("hit").alias("c"))
+    )
+    tot = g.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("c").cast("decimal(38,0)").alias("cc"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "tile_id",
+        "n",
+        "c",
+        F.expr("c * 1000000L div n").alias("raw_ppm"),
+        F.expr(
+            f"CAST((CAST(c AS DECIMAL(38,0)) * nn + {SMOOTH_K} * cc)"
+            f" * 1000000 div (nn * (n + {SMOOTH_K})) AS BIGINT)"
+        ).alias("smoothed_ppm"),
+    )

@@ -901,3 +901,82 @@ def q_host_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_hosts"),
         F.col("sx").cast("long").alias("n_pages"),
     )
+
+
+# ----------------------------------------------------------------------
+# crawl_budget_apportion: split a fixed crawl budget across hosts
+# proportionally to their page mass with the LARGEST-REMAINDER method
+# (Hamilton apportionment) — every host gets ⌊B·x/Σx⌋ fetches, and the
+# B − Σ⌊·⌋ leftover goes to the hosts with the largest remainders
+# (ties pinned by host name), so Σ alloc == B EXACTLY — the invariant
+# quota systems need and naive per-host rounding violates.
+#
+# Scale shape: corpus → host counts is one partial/final hash agg; the
+# totals are a 1-row broadcast; the remainder rank uses
+# operators.ranking.global_rank (bucket = −remainder, a monotone
+# coarsening of the DESC sort key) over the HOST-contracted table — no
+# single-task window; the top-up is a broadcast scalar comparison.
+CRAWL_BUDGET = 100_000
+
+_APPORTION_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, hc AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         COUNT(*) AS x
+  FROM pages GROUP BY 1
+)
+, tot AS (SELECT CAST(SUM(x) AS BIGINT) AS sx FROM hc)
+, b AS (
+  SELECT host, x,
+         ({CRAWL_BUDGET} * x) // sx AS base,
+         ({CRAWL_BUDGET} * x) % sx AS rem
+  FROM hc, tot
+)
+, r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rk FROM b
+)
+, topup AS (SELECT {CRAWL_BUDGET} - CAST(SUM(base) AS BIGINT) AS t FROM b)
+SELECT host, x,
+       CAST(base + CASE WHEN rk <= t THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r, topup
+"""
+)
+
+
+@register("crawl_budget_apportion", _APPORTION_ORACLE)
+def q_crawl_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import global_rank
+
+    views(spark, sf_dir)
+    hc = (
+        spark.table("pages")
+        .groupBy(
+            F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = hc.agg(F.sum("x").alias("sx"))
+    b = hc.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "x",
+        F.expr(f"{CRAWL_BUDGET}L * x div sx").alias("base"),
+        F.expr(f"{CRAWL_BUDGET}L * x % sx").alias("rem"),
+    )
+    ranked = global_rank(
+        b,
+        -F.col("rem"),
+        [F.col("rem").desc(), F.col("host")],
+        rank_col="rk",
+    )
+    topup = b.agg(
+        (F.lit(CRAWL_BUDGET) - F.sum("base")).cast("long").alias("t")
+    )
+    return ranked.crossJoin(F.broadcast(topup)).select(
+        "host",
+        "x",
+        (
+            F.col("base")
+            + (F.col("rk") + 1 <= F.col("t")).cast("long")
+        ).alias("alloc"),
+    )

@@ -19,6 +19,8 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "tile_rate_smoothed",
+    "crawl_budget_apportion",
     "host_components",
     "events_dau_wau",
     "events_rate_flags",

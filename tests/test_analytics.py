@@ -765,3 +765,64 @@ def test_events_dau_wau_matches_bruteforce(spark):
         for r in Q.QUERIES["events_dau_wau"](spark, SF_SMOKE).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_tile_rate_smoothed_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.geo import cells as GC
+    from pdxbldgimport_spark.queries import SMOOTH_K, SMOOTH_TERM, views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql("SELECT lon, lat, text FROM pages").collect()
+    g = defaultdict(lambda: [0, 0])
+    for r in rows:
+        ix = min(max(math.floor((r["lon"] - GC.LON_W) / GC.SPAN_X * 32), 0), 31)
+        iy = min(max(math.floor((r["lat"] - GC.LAT_S) / GC.SPAN_Y * 32), 0), 31)
+        t = iy * 32 + ix
+        g[t][0] += 1
+        g[t][1] += int(SMOOTH_TERM in r["text"])
+    nn = sum(v[0] for v in g.values())
+    cc = sum(v[1] for v in g.values())
+    expect = {
+        t: (n, c, c * 1_000_000 // n,
+            (c * nn + SMOOTH_K * cc) * 1_000_000 // (nn * (n + SMOOTH_K)))
+        for t, (n, c) in g.items()
+    }
+    got = {
+        r["tile_id"]: (r["n"], r["c"], r["raw_ppm"], r["smoothed_ppm"])
+        for r in Q.QUERIES["tile_rate_smoothed"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+    # shrinkage sanity: sparse tiles sit closer to the corpus rate
+    corpus_ppm = cc * 1_000_000 // nn
+    for t, (n, c, raw, sm) in got.items():
+        assert min(raw, corpus_ppm) - 1 <= sm <= max(raw, corpus_ppm) + 1
+
+
+def test_crawl_budget_apportion_sums_exactly(spark):
+    import re
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_crawl import CRAWL_BUDGET
+
+    views(spark, SF_SMOKE)
+    urls = [r["url"] for r in spark.sql("SELECT url FROM pages").collect()]
+    counts = defaultdict(int)
+    for u in urls:
+        counts[re.match(r"^[A-Za-z]+://([^/:?#]+)", u).group(1).lower()] += 1
+    sx = sum(counts.values())
+    base = {h: CRAWL_BUDGET * x // sx for h, x in counts.items()}
+    rem = {h: CRAWL_BUDGET * x % sx for h, x in counts.items()}
+    topup = CRAWL_BUDGET - sum(base.values())
+    order = sorted(counts, key=lambda h: (-rem[h], h))
+    expect = {
+        h: (counts[h], base[h] + (1 if i < topup else 0))
+        for i, h in enumerate(order)
+    }
+    got = {
+        r["host"]: (r["x"], r["alloc"])
+        for r in Q.QUERIES["crawl_budget_apportion"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert sum(a for _, a in got.values()) == CRAWL_BUDGET

@@ -1179,3 +1179,26 @@ def test_host_components_no_python(spark):
     plan = _plan(Q.QUERIES["host_components"](spark, SF))
     assert "MapInPandas" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_tile_rate_smoothed_single_corpus_pass(spark):
+    """Corpus contracts once to the tile grid; totals arrive as a 1-row
+    broadcast; smoothing is codegen arithmetic — no window, no Python."""
+    plan = _plan(Q.QUERIES["tile_rate_smoothed"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_crawl_budget_no_unpartitioned_corpus_window(spark):
+    """Remainder ranking uses global_rank's bucket decomposition over
+    the HOST-contracted table — any window over a schema carrying host
+    must be partitioned by the rank bucket."""
+    import re
+
+    plan = _plan(Q.QUERIES["crawl_budget_apportion"](spark, SF))
+    assert "MapInPandas" not in plan
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        args = m.group(0)
+        if "host" in args and "__bkt" not in args:
+            raise AssertionError(args)
