@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "embedding_gram",
     "skyline_pareto",
     "zorder_layout",
+    "corpus_drift",
+    "table_profile",
     "tile_rate_smoothed",
     "crawl_budget_apportion",
     "host_components",

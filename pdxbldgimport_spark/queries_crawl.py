@@ -980,3 +980,78 @@ def q_crawl_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("rk") + 1 <= F.col("t")).cast("long")
         ).alias("alloc"),
     )
+
+
+# ----------------------------------------------------------------------
+# corpus_drift: distribution-drift report between two crawl snapshots
+# (same time split as dedup_incremental: hour(warc_ts) < CORPUS_HOURS
+# = the standing corpus, rest = the new batch) over document-length
+# buckets — the "did the new crawl change shape" monitor a training-
+# data pipeline runs before ingesting. Shares are integer ppm; the
+# per-bucket drift score is the exact integer surrogate
+# (share_a_ppm − share_b_ppm)² div (share_a_ppm + share_b_ppm + 1)
+# (χ²-shaped: squared share gap normalized by bucket mass; the +1
+# avoids 0-division and is identical in both engines). No float, no
+# log — ppm ≤ 10^6 keeps the square inside int64.
+#
+# Scale shape: ONE corpus pass to the bounded (bucket, side) grid,
+# 1-row totals broadcast, pure codegen arithmetic — the
+# page_tile_counts discipline applied to the length histogram.
+DRIFT_BUCKET_CHARS = 100
+
+_DRIFT_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, s AS (
+  SELECT length(text) // {DRIFT_BUCKET_CHARS} AS len_bucket,
+         CASE WHEN EXTRACT(hour FROM warc_ts) < {CORPUS_HOURS}
+              THEN 1 ELSE 0 END AS is_a
+  FROM pages
+)
+, g AS (
+  SELECT len_bucket,
+         CAST(SUM(is_a) AS BIGINT) AS a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS b
+  FROM s GROUP BY 1
+)
+, tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+  FROM g
+)
+SELECT len_bucket, a, b,
+       a * 1000000 // na AS share_a_ppm,
+       b * 1000000 // nb AS share_b_ppm,
+       (a * 1000000 // na - b * 1000000 // nb)
+         * (a * 1000000 // na - b * 1000000 // nb)
+         // (a * 1000000 // na + b * 1000000 // nb + 1) AS drift_score
+FROM g, tot
+"""
+)
+
+
+@register("corpus_drift", _DRIFT_ORACLE)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    s = spark.table("pages").select(
+        F.expr(f"length(text) div {DRIFT_BUCKET_CHARS}").alias("len_bucket"),
+        (F.hour("warc_ts") < CORPUS_HOURS).cast("long").alias("is_a"),
+    )
+    g = s.groupBy("len_bucket").agg(
+        F.sum("is_a").alias("a"),
+        F.sum(1 - F.col("is_a")).alias("b"),
+    )
+    tot = g.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "len_bucket",
+        "a",
+        "b",
+        F.expr("a * 1000000L div na").alias("share_a_ppm"),
+        F.expr("b * 1000000L div nb").alias("share_b_ppm"),
+        F.expr(
+            "(a * 1000000L div na - b * 1000000L div nb)"
+            " * (a * 1000000L div na - b * 1000000L div nb)"
+            " div (a * 1000000L div na + b * 1000000L div nb + 1)"
+        ).alias("drift_score"),
+    )

@@ -217,3 +217,91 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# table_profile: per-column data-quality profile of lineitem — row
+# count, nulls, exact distinct count, min/max — the ingest-validation
+# pass every pipeline runs before trusting a new table drop. Every
+# value is first mapped to ONE canonical 20-digit zero-padded string
+# (doubles quantized to half-up cents, timestamps to epoch
+# microseconds) so lexicographic MIN/MAX equals numeric min/max and
+# the same bytes cross both engines; the spec dict below generates the
+# Spark expressions AND the oracle SQL, so the two sides cannot drift.
+#
+# Scale shape: the unpivot is a map-side stack (|cols| rows out per
+# row in — explicit, no planner Expand), then ONE hash agg keyed by
+# column name; |cols| groups. Exact per-column DISTINCT is the honest
+# gate-scale choice; at 100 TB the same pass swaps COUNT(DISTINCT) for
+# the mergeable FM sketch this repo already ships
+# (distinct_sketch_fm) — documented, not silently approximated here.
+_PROFILE_COLS: dict[str, tuple[str, str]] = {
+    # col -> (spark canonical expr, duckdb canonical expr)
+    "l_orderkey": ("lpad(cast(l_orderkey as string), 20, '0')",
+                   "lpad(CAST(l_orderkey AS VARCHAR), 20, '0')"),
+    "l_partkey": ("lpad(cast(l_partkey as string), 20, '0')",
+                  "lpad(CAST(l_partkey AS VARCHAR), 20, '0')"),
+    "l_suppkey": ("lpad(cast(l_suppkey as string), 20, '0')",
+                  "lpad(CAST(l_suppkey AS VARCHAR), 20, '0')"),
+    "l_linenumber": ("lpad(cast(l_linenumber as string), 20, '0')",
+                     "lpad(CAST(l_linenumber AS VARCHAR), 20, '0')"),
+    "l_quantity": (
+        "lpad(cast(cast(floor(l_quantity * 100 + 0.5) as bigint) as string), 20, '0')",
+        "lpad(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+    ),
+    "l_extendedprice": (
+        "lpad(cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint) as string), 20, '0')",
+        "lpad(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+    ),
+    "l_discount": (
+        "lpad(cast(cast(floor(l_discount * 100 + 0.5) as bigint) as string), 20, '0')",
+        "lpad(CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+    ),
+    "l_tax": (
+        "lpad(cast(cast(floor(l_tax * 100 + 0.5) as bigint) as string), 20, '0')",
+        "lpad(CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+    ),
+    "l_returnflag": ("l_returnflag", "l_returnflag"),
+    "l_linestatus": ("l_linestatus", "l_linestatus"),
+    "l_shipdate": (
+        "lpad(cast(unix_micros(cast(l_shipdate as timestamp)) as string), 20, '0')",
+        "lpad(CAST(epoch_us(l_shipdate) AS VARCHAR), 20, '0')",
+    ),
+}
+
+_PROFILE_ORACLE = (
+    "WITH u AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT '{c}' AS col, {duck} AS val FROM lineitem"
+        for c, (_, duck) in _PROFILE_COLS.items()
+    )
+    + """
+)
+SELECT col,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(val) AS n_null,
+       COUNT(DISTINCT val) AS n_distinct,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val
+FROM u GROUP BY col
+"""
+)
+
+
+@register("table_profile", _PROFILE_ORACLE)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = len(_PROFILE_COLS)
+    stack_args = ", ".join(
+        f"'{c}', {sp}" for c, (sp, _) in _PROFILE_COLS.items()
+    )
+    u = spark.table("lineitem").select(
+        F.expr(f"stack({n}, {stack_args}) AS (col, val)")
+    )
+    return u.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

@@ -19,6 +19,8 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "corpus_drift",
+    "table_profile",
     "tile_rate_smoothed",
     "crawl_budget_apportion",
     "host_components",

@@ -826,3 +826,74 @@ def test_crawl_budget_apportion_sums_exactly(spark):
     }
     assert got == expect
     assert sum(a for _, a in got.values()) == CRAWL_BUDGET
+
+
+def test_corpus_drift_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_crawl import (
+        CORPUS_HOURS, DRIFT_BUCKET_CHARS,
+    )
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT length(text) AS L, hour(warc_ts) AS h FROM pages"
+    ).collect()
+    g = defaultdict(lambda: [0, 0])
+    for r in rows:
+        g[r["L"] // DRIFT_BUCKET_CHARS][0 if r["h"] < CORPUS_HOURS else 1] += 1
+    na = sum(v[0] for v in g.values())
+    nb = sum(v[1] for v in g.values())
+    expect = {}
+    for k, (a, b) in g.items():
+        sa, sb = a * 1_000_000 // na, b * 1_000_000 // nb
+        expect[k] = (a, b, sa, sb, (sa - sb) * (sa - sb) // (sa + sb + 1))
+    got = {
+        r["len_bucket"]: (
+            r["a"], r["b"], r["share_a_ppm"], r["share_b_ppm"],
+            r["drift_score"],
+        )
+        for r in Q.QUERIES["corpus_drift"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_table_profile_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = [r.asDict() for r in spark.table("lineitem").collect()]
+
+    def canon(c, v):
+        if v is None:
+            return None
+        if c in ("l_returnflag", "l_linestatus"):
+            return v
+        if c == "l_shipdate":
+            iv = int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") else v
+            # spark collects NTZ as naive datetime; epoch from utc
+            import calendar
+            iv = calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+            return str(iv).zfill(20)
+        if c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+            return str(int(math.floor(v * 100 + 0.5))).zfill(20)
+        return str(v).zfill(20)
+
+    from pdxbldgimport_spark.queries_relational import _PROFILE_COLS
+
+    expect = {}
+    for c in _PROFILE_COLS:
+        vals = [canon(c, r[c]) for r in rows]
+        nn = [v for v in vals if v is not None]
+        expect[c] = (
+            len(vals), len(vals) - len(nn), len(set(nn)), min(nn), max(nn)
+        )
+    got = {
+        r["col"]: (
+            r["n_rows"], r["n_null"], r["n_distinct"],
+            r["min_val"], r["max_val"],
+        )
+        for r in Q.QUERIES["table_profile"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) == len(_PROFILE_COLS)

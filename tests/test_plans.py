@@ -1202,3 +1202,19 @@ def test_crawl_budget_no_unpartitioned_corpus_window(spark):
         args = m.group(0)
         if "host" in args and "__bkt" not in args:
             raise AssertionError(args)
+
+
+def test_corpus_drift_single_pass(spark):
+    plan = _plan(Q.QUERIES["corpus_drift"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_table_profile_stack_not_expand_heavy(spark):
+    """Unpivot is the explicit map-side stack Generate + ONE col-keyed
+    agg chain; no Python, no window."""
+    plan = _plan(Q.QUERIES["table_profile"](spark, SF))
+    assert "Generate" in plan or "Expand" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
