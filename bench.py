@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     "zorder_layout",
     "corpus_drift",
     "table_profile",
+    "host_typo_pairs",
+    "orders_month_pivot",
+    "media_dedup_exact",
     "tile_rate_smoothed",
     "crawl_budget_apportion",
     "host_components",

@@ -186,3 +186,83 @@ def q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return MM.audio_rms_milli(spark.table("media"))
+
+
+# ----------------------------------------------------------------------
+# media_dedup_exact: exact content dedup of media at FRAME granularity —
+# every frame (video), image grid, or audio buffer is sliced from the
+# binary payload, content-hashed map-side, and grouped by digest; each
+# cluster reports copy count, distinct carrying docs, and the pinned
+# keeper (lexicographically least (doc_id, frame_idx)). Synth videos
+# repeat one frame n_frames times, so live dup clusters of size 4-8 are
+# guaranteed alongside image/audio singletons.
+#
+# Scale shape: bounded ×MAX_FRAMES explode, md5 computed before the
+# exchange, ONE partial/final hash agg keyed by digest — count/min
+# partials collapse within-video duplicates map-side, so the shuffle
+# carries ~|distinct frames| rows, exactly the content-hash dedup you
+# would run on a 100-TB media corpus. Keeper is packed as
+# doc_id*16+frame_idx (frame_idx < 16 by MEDIA_MAX_FRAMES) so MIN is a
+# plain partial-aggregatable long, decomposed after the agg.
+_MDE_ORACLE = (
+    _MEDIA_ORACLE
+    + """
+, fr AS (
+  SELECT doc_id, f.i AS frame_idx,
+         md5(substr(payload_str, CAST(1 + f.i * frame_len AS BIGINT),
+                    CAST(frame_len AS BIGINT))) AS digest
+  FROM media_base m, range(0, {MAX_F}) f(i)
+  WHERE f.i < COALESCE(m.n_frames, 1)
+)
+SELECT digest,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id * 16 + frame_idx) // 16 AS keeper_doc,
+       MIN(doc_id * 16 + frame_idx) % 16 AS keeper_frame
+FROM fr GROUP BY digest
+""".format(MAX_F=synth.MEDIA_MAX_FRAMES + 1)
+)
+
+
+@register("media_dedup_exact", _MDE_ORACLE)
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    fr = (
+        spark.table("media")
+        .select(
+            "doc_id",
+            "frame_len",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("n_frames"), F.lit(1)) - 1,
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.md5(
+                F.expr(
+                    "substring(payload, CAST(frame_idx * frame_len + 1 AS INT),"
+                    " CAST(frame_len AS INT))"
+                )
+            ).alias("digest"),
+        )
+    )
+    return (
+        fr.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.col("doc_id") * 16 + F.col("frame_idx")).alias("k"),
+        )
+        .select(
+            "digest",
+            "n_copies",
+            "n_docs",
+            F.expr("k div 16").alias("keeper_doc"),
+            F.expr("k % 16").alias("keeper_frame"),
+        )
+    )

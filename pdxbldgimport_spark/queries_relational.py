@@ -305,3 +305,55 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+# ----------------------------------------------------------------------
+# orders_month_pivot: the classic warehouse PIVOT report — order revenue
+# (exact integer cents) as a priority × month matrix for one year. The
+# engine uses DataFrame ``pivot`` with the month list pinned (no extra
+# distinct-values pass); Spark compiles it to ONE partial/final hash
+# aggregate whose pivot cells are conditional aggregates — same shape
+# as a 5-group rollup, no Expand, no second scan. The oracle is the
+# conditional-aggregation formulation (SUM(CASE WHEN month=m ...)), a
+# genuinely different spelling of the same matrix. Empty cells stay
+# NULL in both engines.
+_MONTHS = list(range(1, 13))
+_PIVOT_YEAR = 1997
+
+_PIVOT_ORACLE = (
+    "SELECT o_orderpriority,\n"
+    + ",\n".join(
+        f"       CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = {m}"
+        f" THEN CAST(FLOOR(o_totalprice * 100e0) AS BIGINT) END)"
+        f" AS BIGINT) AS m{m:02d}"
+        for m in _MONTHS
+    )
+    + f"""
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = {_PIVOT_YEAR}
+GROUP BY o_orderpriority
+"""
+)
+
+
+@register("orders_month_pivot", _PIVOT_ORACLE)
+def q_orders_month_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .where(F.year("o_orderdate") == _PIVOT_YEAR)
+        .select(
+            "o_orderpriority",
+            F.month("o_orderdate").alias("m"),
+            F.expr("CAST(FLOOR(o_totalprice * 100e0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    p = base.groupBy("o_orderpriority").pivot("m", _MONTHS).agg(
+        F.sum("cents")
+    )
+    return p.select(
+        "o_orderpriority",
+        *[F.col(f"`{m}`").alias(f"m{m:02d}") for m in _MONTHS],
+    )

@@ -1335,3 +1335,80 @@ def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("host_components", _hostcc_oracle())(q_host_components)
+
+
+# ----------------------------------------------------------------------
+# host_typo_pairs: typosquat / near-miss host detection — every pair of
+# distinct crawled hosts at edit distance exactly 1 (same length, one
+# substituted character: the classic squatted-domain shape), with both
+# hosts' page counts attached so the asymmetric pair (big site, tiny
+# imposter) is readable straight off the row.
+#
+# Scale shape (the masked-position pigeonhole): each distinct host of
+# length L emits L blocking keys — the host with character i replaced
+# by a sentinel byte that no hostname can contain. Two equal-length
+# hosts at Hamming distance 1 collide on EXACTLY one key (the differing
+# position), so the self-join on the masked string enumerates every
+# candidate pair exactly once — no O(n²) cross join, no post-join
+# dedup, and block sizes equal real neighbor-cluster sizes (no
+# degenerate shared-suffix bucket, unlike half-split blocking where
+# every *.example.com host lands in one giant right-half block). The
+# levenshtein refine is a guaranteed-true safety assertion kept against
+# sentinel collisions. The oracle is the genuinely different naive
+# formulation: same-length cross join + levenshtein(a,b)=1.
+_TYPO_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, hosts AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         COUNT(*) AS hits
+  FROM pages GROUP BY 1
+)
+SELECT a.host AS host_a, b.host AS host_b,
+       a.hits AS hits_a, b.hits AS hits_b
+FROM hosts a JOIN hosts b
+  ON length(a.host) = length(b.host) AND a.host < b.host
+WHERE levenshtein(a.host, b.host) = 1
+"""
+)
+
+
+@register("host_typo_pairs", _TYPO_ORACLE)
+def q_host_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    hosts = (
+        spark.table("pages")
+        .select(F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    keyed = (
+        hosts.select(
+            "host",
+            "hits",
+            F.explode(F.sequence(F.lit(1), F.length("host"))).alias("i"),
+        )
+        # sentinel \x01 cannot occur in a hostname, so masked-string
+        # equality implies same length AND same masked position.
+        .select(
+            "host",
+            "hits",
+            F.concat(
+                F.expr("substring(host, 1, i - 1)"),
+                F.lit("\x01"),
+                F.expr("substring(host, i + 1, length(host))"),
+            ).alias("blk"),
+        )
+    )
+    a = keyed.select(
+        F.col("host").alias("host_a"), F.col("hits").alias("hits_a"), "blk"
+    )
+    b = keyed.select(
+        F.col("host").alias("host_b"), F.col("hits").alias("hits_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("host_a") < F.col("host_b"))
+        .where(F.levenshtein("host_a", "host_b") == 1)
+        .select("host_a", "host_b", "hits_a", "hits_b")
+    )

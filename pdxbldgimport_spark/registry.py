@@ -19,6 +19,9 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "host_typo_pairs",
+    "orders_month_pivot",
+    "media_dedup_exact",
     "corpus_drift",
     "table_profile",
     "tile_rate_smoothed",

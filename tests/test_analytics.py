@@ -897,3 +897,87 @@ def test_table_profile_matches_bruteforce(spark):
         for r in Q.QUERIES["table_profile"](spark, SF_SMOKE).collect()
     }
     assert got == expect and len(got) == len(_PROFILE_COLS)
+
+
+def test_host_typo_pairs_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS h,"
+        " count(*) AS n FROM pages GROUP BY 1"
+    ).collect()
+    hosts = sorted((r["h"], r["n"]) for r in rows)
+    expect = set()
+    for i in range(len(hosts)):
+        a, na = hosts[i]
+        for j in range(i + 1, len(hosts)):
+            b, nb = hosts[j]
+            if len(a) == len(b) and sum(x != y for x, y in zip(a, b)) == 1:
+                expect.add((a, b, na, nb))
+    out = Q.QUERIES["host_typo_pairs"](spark, SF_SMOKE).collect()
+    got = {
+        (r["host_a"], r["host_b"], r["hits_a"], r["hits_b"]) for r in out
+    }
+    assert len(out) == len(got)  # exactly-once pair enumeration
+    assert got == expect and len(got) > 0
+
+
+def test_orders_month_pivot_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_relational import _PIVOT_YEAR
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT o_orderpriority AS p, month(o_orderdate) AS m,"
+        " year(o_orderdate) AS y, o_totalprice AS v FROM orders"
+    ).collect()
+    agg = defaultdict(lambda: [None] * 12)
+    for r in rows:
+        if r["y"] != _PIVOT_YEAR:
+            continue
+        cur = agg[r["p"]]
+        c = math.floor(r["v"] * 100)
+        cur[r["m"] - 1] = (cur[r["m"] - 1] or 0) + c
+    got = {
+        r["o_orderpriority"]: tuple(r[f"m{m:02d}"] for m in range(1, 13))
+        for r in Q.QUERIES["orders_month_pivot"](spark, SF_SMOKE).collect()
+    }
+    assert got == {p: tuple(v) for p, v in agg.items()} and len(got) > 0
+
+
+def test_media_dedup_exact_matches_bruteforce(spark):
+    import hashlib
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.table("media").select(
+        "doc_id", "frame_len", "n_frames", "payload"
+    ).collect()
+    agg = {}
+    for r in rows:
+        nf = r["n_frames"] or 1
+        fl = r["frame_len"]
+        pay = bytes(r["payload"])
+        for i in range(nf):
+            d = hashlib.md5(pay[i * fl:(i + 1) * fl]).hexdigest()
+            cur = agg.setdefault(d, [0, set(), None])
+            cur[0] += 1
+            cur[1].add(r["doc_id"])
+            k = r["doc_id"] * 16 + i
+            cur[2] = k if cur[2] is None or k < cur[2] else cur[2]
+    expect = {
+        d: (c, len(s), k // 16, k % 16) for d, (c, s, k) in agg.items()
+    }
+    got = {
+        r["digest"]: (
+            r["n_copies"], r["n_docs"], r["keeper_doc"], r["keeper_frame"]
+        )
+        for r in Q.QUERIES["media_dedup_exact"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # synth videos repeat one frame n_frames times: live dup clusters
+    assert max(c for c, *_ in expect.values()) >= 4

@@ -1218,3 +1218,35 @@ def test_table_profile_stack_not_expand_heavy(spark):
     assert "Generate" in plan or "Expand" in plan
     assert "Window" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_host_typo_pairs_blocked_not_cartesian(spark):
+    """Masked-position pigeonhole: candidate pairs come from an equi
+    self-join on the masked key — never a cross/nested-loop product."""
+    plan = _plan(Q.QUERIES["host_typo_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_orders_month_pivot_no_python_no_window(spark):
+    plan = _plan(Q.QUERIES["orders_month_pivot"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_media_dedup_exact_hash_before_exchange(spark):
+    """md5 is computed map-side (below every Exchange) so the shuffle
+    carries digests + partial counts, not payload bytes."""
+    plan = _plan(Q.QUERIES["media_dedup_exact"](spark, SF))
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    # plan text is top-down (scan last): the Project computing md5 must
+    # sit BELOW every digest-keyed Exchange, i.e. appear after the last
+    # one (the synth views' round-robin repartition at the scan sits
+    # below the Project — only digest exchanges carry the claim).
+    last_digest_ex = plan.rfind("hashpartitioning(digest")
+    assert last_digest_ex > 0
+    assert plan.lower().rfind("md5(") > last_digest_ex
