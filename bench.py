@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "host_typo_pairs",
     "orders_month_pivot",
     "media_dedup_exact",
+    "encoding_quality",
+    "fk_integrity",
+    "revenue_rollup",
+    "path_prefix_rollup",
     "tile_rate_smoothed",
     "crawl_budget_apportion",
     "host_components",

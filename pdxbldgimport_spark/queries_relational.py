@@ -357,3 +357,154 @@ def q_orders_month_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.col(f"`{m}`").alias(f"m{m:02d}") for m in _MONTHS],
     )
+
+
+# ----------------------------------------------------------------------
+# fk_integrity: referential-integrity audit over every FK edge in the
+# driver's TPC-H-style star — per relationship: child rows, orphan
+# children (FK value with no parent), parent rows, childless parents.
+# The single-source _FK_EDGES spec drives BOTH engines (the same
+# pattern as functions/maps.py), so an edge added later cannot drift.
+# On this data orphans are structurally 0 (the generator is consistent)
+# while childless parents are live (TPC-H-style: ~1/3 of customers
+# place no orders; parts/suppliers unreferenced at small SF) — the
+# audit asserts the former and measures the latter.
+#
+# Scale shape: per edge, ONE full-outer join of two partial-aggregated
+# key-cardinality relations (child groupBy key with map-side combine,
+# parent keys distinct) followed by a partial-agg count rollup — the
+# shuffle carries |distinct keys| rows, never raw children; the seven
+# edges are independent branches of one job. At 10^12 child rows this
+# is the audit you can actually afford: no row-level join output ever
+# materializes.
+_FK_EDGES = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{rel}' AS rel,
+       (SELECT COUNT(*) FROM {ct}) AS n_child,
+       (SELECT COUNT(*) FROM {ct} c LEFT JOIN {pt} p ON c.{ck} = p.{pk}
+         WHERE p.{pk} IS NULL) AS n_orphan,
+       (SELECT COUNT(*) FROM {pt}) AS n_parent,
+       (SELECT COUNT(*) FROM {pt} p WHERE NOT EXISTS
+         (SELECT 1 FROM {ct} c WHERE c.{ck} = p.{pk})) AS n_childless
+"""
+    for rel, ct, ck, pt, pk in _FK_EDGES
+)
+
+
+@register("fk_integrity", _FK_ORACLE)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    out = None
+    for rel, ct, ck, pt, pk in _FK_EDGES:
+        ckeys = (
+            spark.table(ct)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        pkeys = (
+            spark.table(pt)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("is_p", F.lit(1))
+        )
+        summary = (
+            ckeys.join(pkeys, "k", "full_outer")
+            .agg(
+                F.coalesce(F.sum("nc"), F.lit(0)).alias("n_child"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_p").isNull(), F.col("nc"))),
+                    F.lit(0),
+                ).alias("n_orphan"),
+                F.count("is_p").alias("n_parent"),
+                F.count(
+                    F.when(
+                        F.col("is_p").isNotNull() & F.col("nc").isNull(), 1
+                    )
+                ).alias("n_childless"),
+            )
+            .select(
+                F.lit(rel).alias("rel"),
+                "n_child",
+                "n_orphan",
+                "n_parent",
+                "n_childless",
+            )
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+# ----------------------------------------------------------------------
+# revenue_rollup: nation × order-year revenue with ROLLUP subtotals —
+# the warehouse drill-path report (detail → per-nation → grand total)
+# in ONE pass. Spark's .rollup() compiles to a single Expand (3 grouping
+# sets) feeding one partial/final hash agg — subtotals cost one extra
+# replicated row per input row, never a second scan. grouping_id()
+# disambiguates subtotal rows from a hypothetical real ('ALL', -1)
+# group; both engines use the same standard bit order (first rollup
+# column = MSB). Money is exact integer cents end-to-end.
+_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT n.n_name,
+         EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(FLOOR(o.o_totalprice * 100e0) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       CAST(COALESCE(o_year, -1) AS BIGINT) AS o_year,
+       CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS BIGINT) AS lvl,
+       CAST(SUM(cents) AS BIGINT) AS revenue_c,
+       COUNT(*) AS n_orders
+FROM base
+GROUP BY ROLLUP(n_name, o_year)
+"""
+
+
+@register("revenue_rollup", _ROLLUP_ORACLE)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            spark.table("nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr("CAST(FLOOR(o_totalprice * 100e0) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    return (
+        base.rollup("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.sum("cents").alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_year", F.lit(-1)).cast("long").alias("o_year"),
+            "lvl",
+            "revenue_c",
+            "n_orders",
+        )
+    )

@@ -1412,3 +1412,91 @@ def q_host_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("host_a", "host_b") == 1)
         .select("host_a", "host_b", "hits_a", "hits_b")
     )
+
+
+# ----------------------------------------------------------------------
+# path_prefix_rollup: hierarchical URL-path census — for every (host,
+# path-prefix) at depths 1..2, page count and distinct-doc count: the
+# "du -d2" of a crawl, the input to per-directory crawl budgets and
+# sitemap inference. Normalization: trailing slashes stripped, query/
+# fragment excluded (the pages fixture carries trailing-slash, port,
+# and pathless variants, all exercised). The oracle enumerates depths
+# via UNION ALL — a genuinely different spelling of the same rollup.
+#
+# Scale shape: a bounded ≤2× explode (array of regexp prefixes, empty
+# slots filtered) then ONE partial/final hash agg keyed (host, prefix)
+# — count partials collapse map-side, distinct-doc is the only
+# key-width cost; no window, no join, no Python. Depth is derived from
+# the prefix itself (slash count), not carried through the shuffle.
+_PPR_PATH_RE = "^[A-Za-z]+://[^/?#]+([^?#]*)"
+
+
+def _ppr_oracle() -> str:
+    legs = "\nUNION ALL\n".join(
+        f"SELECT host, doc_id, regexp_extract(path, '^((/[^/]+){{{d}}})', 1)"
+        " AS p FROM b"
+        for d in (1, 2)
+    )
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, b AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         regexp_replace(
+           regexp_extract(url, '{_PPR_PATH_RE}', 1), '/+$', '') AS path,
+         doc_id
+  FROM pages
+), pref AS ({legs})
+SELECT host, p AS prefix,
+       CAST(length(p) - length(replace(p, '/', '')) AS BIGINT) AS depth,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM pref WHERE p <> '' GROUP BY 1, 2, 3
+"""
+    )
+
+
+@register("path_prefix_rollup", _ppr_oracle())
+def q_path_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    b = spark.table("pages").select(
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"),
+        F.regexp_replace(
+            F.regexp_extract("url", _PPR_PATH_RE, 1), "/+$", ""
+        ).alias("path"),
+        "doc_id",
+    )
+    pref = b.select(
+        "host",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.regexp_extract(
+                            "path", f"^((/[^/]+){{{d}}})", 1
+                        )
+                        for d in (1, 2)
+                    ]
+                ),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("prefix"),
+    )
+    return (
+        pref.groupBy("host", "prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(
+            "host",
+            "prefix",
+            (
+                F.length("prefix")
+                - F.length(F.replace(F.col("prefix"), F.lit("/"), F.lit("")))
+            ).cast("long").alias("depth"),
+            "n_pages",
+            "n_docs",
+        )
+    )

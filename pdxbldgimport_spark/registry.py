@@ -19,6 +19,10 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "encoding_quality",
+    "fk_integrity",
+    "revenue_rollup",
+    "path_prefix_rollup",
     "host_typo_pairs",
     "orders_month_pivot",
     "media_dedup_exact",

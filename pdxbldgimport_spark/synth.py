@@ -501,9 +501,36 @@ SELECT doc_id, kind, width, height, n_frames, n_samples, sample_rate,
 FROM media_base
 """
 
+# docs_noisy: documents with deterministic encoding defects injected,
+# the live fixture for encoding/mojibake quality scoring (clean synth
+# text is pure ASCII, so without injection an encoding gate would never
+# fire). chr() is identical in Spark SQL and DuckDB; all noise is
+# appended/prepended by concatenation so the base text bytes are
+# untouched. Three defect classes on disjoint doc_id residues (the
+# non-ASCII letters ship as UTF-8 literals, NOT chr(): Spark's chr() is
+# mod-256 ASCII while DuckDB's is a Unicode codepoint — chr() agrees
+# across engines only below 128, so it is used only for C0 controls):
+#   doc_id % 17 = 3 → U+FFFD replacement chars (decode-failure marker)
+#   doc_id % 23 = 5 → legitimate non-ASCII letters (é/ü — NOT a defect)
+#   doc_id % 29 = 8 → C0 control chars outside \t\n\r
+_DOCS_NOISY = """
+SELECT doc_id, lang, source, n_chars AS n_chars_orig,
+  CASE
+    WHEN doc_id % 17 = 3
+      THEN text || '�' || 'lost' || '��'
+    WHEN doc_id % 23 = 5
+      THEN 'café münchen ' || text
+    WHEN doc_id % 29 = 8
+      THEN chr(1) || text || chr(11) || chr(27)
+    ELSE text
+  END AS text
+FROM documents
+"""
+
 _TEMPLATES = {
     "pages": _PAGES,
     "pages_pii": _PAGES_PII,
+    "docs_noisy": _DOCS_NOISY,
     "footprints_base": _FOOTPRINTS,
     "cbldg_base": _CBLDG,
     "caddr": _CADDR,

@@ -981,3 +981,119 @@ def test_media_dedup_exact_matches_bruteforce(spark):
     assert got == expect
     # synth videos repeat one frame n_frames times: live dup clusters
     assert max(c for c, *_ in expect.values()) >= 4
+
+
+def test_encoding_quality_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.table("docs_noisy").select("doc_id", "text").collect()
+    expect = {}
+    for r in rows:
+        t = r["text"]
+        n = len(t)
+        n_rep = t.count("�")
+        n_ctrl = sum(
+            1 for ch in t
+            if ord(ch) < 0x20 and ch not in ("\t", "\n", "\r")
+        )
+        n_na = sum(1 for ch in t if ord(ch) > 0x7F)
+        ppm = n_na * 1000000 // max(n, 1)
+        verdict = (
+            "mojibake" if n_rep else
+            "control" if n_ctrl else
+            "nonascii" if n_na else "clean"
+        )
+        expect[r["doc_id"]] = (n, n_rep, n_ctrl, ppm, verdict)
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["n_replacement"], r["n_ctrl"],
+            r["nonascii_ppm"], r["verdict"],
+        )
+        for r in Q.QUERIES["encoding_quality"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # every defect class is live in the fixture
+    verdicts = {v[-1] for v in expect.values()}
+    assert verdicts == {"clean", "mojibake", "control", "nonascii"}
+
+
+def test_fk_integrity_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_relational import _FK_EDGES
+
+    views(spark, SF_SMOKE)
+    expect = {}
+    for rel, ct, ck, pt, pk in _FK_EDGES:
+        ckeys = [r[0] for r in spark.table(ct).select(ck).collect()]
+        pkeys = {r[0] for r in spark.table(pt).select(pk).collect()}
+        n_orphan = sum(1 for k in ckeys if k not in pkeys)
+        n_childless = len(pkeys - set(ckeys))
+        expect[rel] = (len(ckeys), n_orphan, len(pkeys), n_childless)
+    got = {
+        r["rel"]: (
+            r["n_child"], r["n_orphan"], r["n_parent"], r["n_childless"]
+        )
+        for r in Q.QUERIES["fk_integrity"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) == len(_FK_EDGES)
+    assert all(v[1] == 0 for v in expect.values())  # generator consistent
+    assert any(v[3] > 0 for v in expect.values())   # childless live
+
+
+def test_revenue_rollup_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT n_name, year(o_orderdate) AS y, o_totalprice AS v"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        c = math.floor(r["v"] * 100)
+        for key in (
+            (r["n_name"], r["y"], 0),
+            (r["n_name"], -1, 1),
+            ("ALL", -1, 3),
+        ):
+            agg[key][0] += c
+            agg[key][1] += 1
+    got = {
+        (r["nation"], r["o_year"], r["lvl"]): (r["revenue_c"], r["n_orders"])
+        for r in Q.QUERIES["revenue_rollup"](spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()} and len(got) > 3
+
+
+def test_path_prefix_rollup_matches_bruteforce(spark):
+    import re
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.table("pages").select("url", "doc_id").collect()
+    agg = defaultdict(lambda: [0, set()])
+    for r in rows:
+        m = re.match(r"^[A-Za-z]+://([^/?#]+)([^?#]*)", r["url"])
+        host = m.group(1).lower()
+        # RAW_HOST_RE also strips the port
+        host = host.split(":")[0]
+        path = re.sub(r"/+$", "", m.group(2))
+        segs = [s for s in path.split("/") if s]
+        for d in (1, 2):
+            if len(segs) >= d:
+                p = "/" + "/".join(segs[:d])
+                cur = agg[(host, p, d)]
+                cur[0] += 1
+                cur[1].add(r["doc_id"])
+    expect = {k: (c, len(s)) for k, (c, s) in agg.items()}
+    got = {
+        (r["host"], r["prefix"], r["depth"]): (r["n_pages"], r["n_docs"])
+        for r in Q.QUERIES["path_prefix_rollup"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert any(k[2] == 2 for k in got)  # depth-2 prefixes live

@@ -1250,3 +1250,42 @@ def test_media_dedup_exact_hash_before_exchange(spark):
     last_digest_ex = plan.rfind("hashpartitioning(digest")
     assert last_digest_ex > 0
     assert plan.lower().rfind("md5(") > last_digest_ex
+
+
+def test_encoding_quality_map_only(spark):
+    """Pure per-row scoring: no key-hash exchange (only the synth views'
+    round-robin seed fan-out), no Window, no Python."""
+    plan = _plan(Q.QUERIES["encoding_quality"](spark, SF))
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_fk_integrity_aggregates_before_join(spark):
+    """Each edge joins key-CARDINALITY relations (post-agg), never raw
+    children: every SortMergeJoin/ShuffledHashJoin input is an
+    aggregate, and no row-level join output survives to the result."""
+    plan = _plan(Q.QUERIES["fk_integrity"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_rollup_single_expand_pass(spark):
+    """ROLLUP compiles to one Expand feeding one partial/final agg —
+    subtotals in a single pass, no second scan, no union of scans."""
+    plan = _plan(Q.QUERIES["revenue_rollup"](spark, SF))
+    assert plan.count("Expand") >= 1
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    # one scan of orders only
+    assert plan.count("orders.parquet") <= 1 or plan.count("Scan") <= 6
+
+
+def test_path_prefix_rollup_one_agg_no_join(spark):
+    plan = _plan(Q.QUERIES["path_prefix_rollup"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
