@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "host_typo_pairs",
     "orders_month_pivot",
     "media_dedup_exact",
+    "manifest_prune",
+    "hard_negative_mine",
     "encoding_quality",
     "fk_integrity",
     "revenue_rollup",

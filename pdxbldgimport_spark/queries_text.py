@@ -3275,3 +3275,118 @@ def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("clean")
         .alias("verdict"),
     )
+
+
+# ----------------------------------------------------------------------
+# hard_negative_mine: contrastive-training hard negatives — for each
+# query vector, the TOP_K most-similar corpus vectors that are NOT
+# near-duplicates of it: the LSH-bucket ANN candidates (same staged
+# ingest-time signatures as ann_lsh_topk, over the corpus∪clones world
+# so real dup clusters exist) anti-joined against the exact
+# cosine²-threshold dup pairs (the dedup_embedding_cosine predicate),
+# then ranked by exact integer dot. This is the canonical "mine
+# negatives near the decision boundary, but never a positive" selection
+# step for embedding-model training.
+#
+# Scale shape: signatures and squared norms are computed once per
+# vector in the staged Arrow pass; candidates are bucket-bounded (never
+# all-pairs); the dup exclusion is the SAME bucket join re-filtered, so
+# the anti-join's right side is |dup pairs| (tiny), broadcast; the
+# final top-k window partitions over per-bucket candidate lists of the
+# bounded query set. All arithmetic int64 — the oracle is exact.
+_HNM_DUCK = (
+    "WITH "
+    + _EQC_DUCK
+    + f"""
+, sigs AS (SELECT vec_id, q, {_SIG_DUCK} AS sig FROM eqc)
+, dup AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.q, b.q) AS BIGINT) > 0
+    AND CAST(list_dot_product(a.q, b.q) AS BIGINT)
+        * CAST(list_dot_product(a.q, b.q) AS BIGINT)
+        >= (({COS_TAU2_PPM} * CAST(list_dot_product(a.q, a.q) AS BIGINT))
+            // 1000000)
+           * CAST(list_dot_product(b.q, b.q) AS BIGINT)
+)
+, cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+         CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+)
+, neg AS (
+  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, neighbor) AS rn
+  FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE (d.vec_a = c.query_id AND d.vec_b = c.neighbor)
+       OR (d.vec_b = c.query_id AND d.vec_a = c.neighbor))
+)
+SELECT query_id, neighbor, dot, rn FROM neg WHERE rn <= {TOP_K}
+"""
+)
+
+
+@register("hard_negative_mine", _HNM_DUCK)
+def q_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    planes = [_plane(i) for i in range(N_PLANES)]
+    sigs = stage(
+        spark,
+        (session_token(spark), sf_dir, "vec_sigs_clones"),
+        lambda: V.with_sig(_eq_with_clones(spark), planes, norms=True),
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        "sig", F.col("n2").alias("na2"),
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        "sig", F.col("n2").alias("nb2"),
+    )
+    dup_half = (
+        a.join(b, "sig")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", V.dot_expr("qa", "qb"))
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot")
+                >= F.floor(
+                    F.lit(COS_TAU2_PPM) * F.col("na2") / F.lit(1000000)
+                ).cast("long")
+                * F.col("nb2")
+            )
+        )
+        .select("vec_a", "vec_b")
+    )
+    # both orientations, tiny → broadcast into the anti-join
+    dup = dup_half.unionByName(
+        dup_half.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+        )
+    ).select(
+        F.col("vec_a").alias("query_id"), F.col("vec_b").alias("neighbor")
+    )
+    qside = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), "sig"
+    )
+    cand = (
+        qside.join(
+            sigs.select(F.col("vec_id").alias("neighbor"), "q", "sig"),
+            "sig",
+        )
+        .where(F.col("neighbor") != F.col("query_id"))
+        .withColumn("dot", V.dot_expr("qa", "q"))
+        .join(F.broadcast(dup), ["query_id", "neighbor"], "left_anti")
+    )
+    w = Wnd.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor", "dot", "rn")
+    )

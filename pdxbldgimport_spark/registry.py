@@ -19,6 +19,8 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "manifest_prune",
+    "hard_negative_mine",
     "encoding_quality",
     "fk_integrity",
     "revenue_rollup",

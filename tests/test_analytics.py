@@ -1097,3 +1097,117 @@ def test_path_prefix_rollup_matches_bruteforce(spark):
     }
     assert got == expect and len(got) > 0
     assert any(k[2] == 2 for k in got)  # depth-2 prefixes live
+
+
+def test_manifest_prune_matches_bruteforce(spark):
+    from pdxbldgimport_spark.geo import cells as C
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_spatial import (
+        _PRUNE_ROWS_PER_FILE,
+        _prune_probe_bounds,
+    )
+
+    views(spark, SF_SMOKE)
+    rows = spark.table("pages").select("page_id", "lon", "lat").collect()
+    n = 1 << C.RES_TILE
+
+    def tile(lon, lat):
+        ix = min(max(int((lon - C.LON_W) / C.SPAN_X * n), 0), n - 1)
+        iy = min(max(int((lat - C.LAT_S) / C.SPAN_Y * n), 0), n - 1)
+        return iy * n + ix
+
+    man = defaultdict(
+        lambda: [float("inf"), float("-inf"), float("inf"), float("-inf"), 0]
+    )
+    for r in rows:
+        for key in (
+            ("ingest", r["page_id"] // _PRUNE_ROWS_PER_FILE),
+            ("tile", tile(r["lon"], r["lat"])),
+        ):
+            m = man[key]
+            m[0] = min(m[0], r["lon"]); m[1] = max(m[1], r["lon"])
+            m[2] = min(m[2], r["lat"]); m[3] = max(m[3], r["lat"])
+            m[4] += 1
+    expect = {}
+    for layout in ("ingest", "tile"):
+        files = {k: v for k, v in man.items() if k[0] == layout}
+        ft = len(files)
+        rt = sum(v[4] for v in files.values())
+        for pid, px0, px1, py0, py1 in _prune_probe_bounds():
+            hit = [
+                v for v in files.values()
+                if v[0] <= px1 and v[1] >= px0 and v[2] <= py1 and v[3] >= py0
+            ]
+            fh = len(hit)
+            expect[(layout, pid)] = (
+                ft, rt, fh, sum(v[4] for v in hit),
+                (ft - fh) * 1000000 // ft,
+            )
+    got = {
+        (r["layout"], r["probe_id"]): (
+            r["files_total"], r["rows_total"], r["files_hit"],
+            r["rows_hit"], r["prune_ppm"],
+        )
+        for r in Q.QUERIES["manifest_prune"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the clustered layout must actually prune on the small probe while
+    # the ingest layout (files spanning the extent) prunes ~nothing
+    assert got[("tile", 0)][4] > got[("ingest", 0)][4]
+    assert got[("tile", 0)][4] > 900000
+
+
+def test_hard_negative_mine_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import (
+        COS_TAU2_PPM, N_PLANES, N_QUERIES, TOP_K, _eq_with_clones, _plane,
+    )
+
+    views(spark, SF_SMOKE)
+    vecs = {
+        r["vec_id"]: list(r["q"])
+        for r in _eq_with_clones(spark).collect()
+    }
+    planes = [_plane(i) for i in range(N_PLANES)]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    sig = {
+        v: sum(
+            (1 << i) for i, p in enumerate(planes) if dot(q, p) > 0
+        )
+        for v, q in vecs.items()
+    }
+    buckets = defaultdict(list)
+    for v in vecs:
+        buckets[sig[v]].append(v)
+
+    def is_dup(a, b):
+        qa, qb = vecs[a], vecs[b]
+        d = dot(qa, qb)
+        return d > 0 and d * d >= (
+            COS_TAU2_PPM * dot(qa, qa) // 1000000
+        ) * dot(qb, qb)
+
+    expect = set()
+    for qid in [v for v in vecs if v < N_QUERIES]:
+        cands = [
+            (dot(vecs[qid], vecs[c]), c)
+            for c in buckets[sig[qid]]
+            if c != qid and not is_dup(qid, c)
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rn, (d, c) in enumerate(cands[:TOP_K], 1):
+            expect.add((qid, c, d, rn))
+    got = {
+        (r["query_id"], r["neighbor"], r["dot"], r["rn"])
+        for r in Q.QUERIES["hard_negative_mine"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and len(got) > 0
+    # exclusion is live: at least one clone pair sits in some query's
+    # bucket and was removed (clone ids are original + 100000)
+    dup_excluded = any(
+        v >= 100000 and v - 100000 < N_QUERIES for v in vecs
+    )
+    assert dup_excluded

@@ -1289,3 +1289,30 @@ def test_path_prefix_rollup_one_agg_no_join(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_manifest_prune_metadata_only_joins(spark):
+    """Pages are aggregated into the manifest BEFORE any join; the
+    non-equi bbox probe is a nested loop ONLY over the broadcast 3-row
+    probe side against post-agg manifest rows (the manifest agg's
+    (layout, file_id) exchange sits below every join) — no pages-side
+    shuffle join, no unbroadcast product, no window, no Python."""
+    plan = _plan(Q.QUERIES["manifest_prune"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    first_join = min(
+        i for i in (plan.find("Join"),) if i >= 0
+    )
+    assert plan.find("hashpartitioning(layout", first_join) > 0
+
+
+def test_hard_negative_mine_broadcast_dup_exclusion(spark):
+    """The dup-pair exclusion is a broadcast anti-join (tiny right
+    side), and candidates come from the bucket equi-join — never a
+    nested-loop product."""
+    plan = _plan(Q.QUERIES["hard_negative_mine"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
