@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "media_dedup_exact",
     "manifest_prune",
     "hard_negative_mine",
+    "idw_interpolate",
+    "scd2_history",
+    "lang_source_cube",
+    "embedding_quantize",
     "encoding_quality",
     "fk_integrity",
     "revenue_rollup",

@@ -1055,3 +1055,81 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (a * 1000000L div na + b * 1000000L div nb + 1)"
         ).alias("drift_score"),
     )
+
+
+# ----------------------------------------------------------------------
+# scd2_history: slowly-changing-dimension type-2 history of the crawl —
+# per canonical URL, collapse consecutive captures with identical
+# content (md5 of the extracted text) into versions, each carrying
+# [valid_from, valid_to) and an is_current flag. The lakehouse "build
+# the SCD2 dim from snapshot captures" merge every warehouse ingest of
+# a mutable source runs; the reference's analog is its authoritative-row
+# collapse across re-imports (tasks/pdx_bldgs.rake), here with full
+# validity intervals instead of keep-one.
+#
+# Scale shape: canonicalization and hashing are map-side; then ONE
+# url-keyed exchange feeds the whole window chain — the change-detect
+# LAG, the version ROW_NUMBER, and the valid_to LEAD all share the same
+# (canonical_url) partitioning and (warc_ts, page_id) sort, so Spark
+# plans a single Exchange+Sort reused by all three (plan-guarded). Per-
+# group state is one URL's capture list — bounded by crawl recrawl
+# counts, never the corpus. Ordering ties are impossible (page_id is
+# unique and pins the total order in both engines).
+
+from .queries_web import url_canon_ctes as _url_canon_ctes
+
+_SCD2_ORACLE = (
+    synth.oracle_with("pages")
+    + ", pages_h AS (SELECT page_id, warc_ts, md5(text) AS h, url FROM pages)"
+    + _url_canon_ctes(src="pages_h", carry="page_id, warc_ts, h")
+    + """
+, ord AS (
+  SELECT canonical_url, warc_ts, page_id, h,
+         LAG(h) OVER w AS prev_h
+  FROM canon
+  WINDOW w AS (PARTITION BY canonical_url ORDER BY warc_ts, page_id)
+), ver AS (
+  SELECT canonical_url, warc_ts, page_id, h,
+         ROW_NUMBER() OVER w AS version_no,
+         LEAD(warc_ts) OVER w AS valid_to
+  FROM ord
+  WHERE prev_h IS NULL OR prev_h <> h
+  WINDOW w AS (PARTITION BY canonical_url ORDER BY warc_ts, page_id)
+)
+SELECT canonical_url,
+       CAST(version_no AS BIGINT) AS version_no,
+       h AS content_md5,
+       warc_ts AS valid_from,
+       valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current,
+       page_id AS first_page_id
+FROM ver
+"""
+)
+
+
+@register("scd2_history", _SCD2_ORACLE)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as Wnd
+
+    views(spark, sf_dir)
+    c = spark.table("pages").select(
+        canonical_url_expr("url").alias("canonical_url"),
+        "warc_ts",
+        "page_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    w = Wnd.partitionBy("canonical_url").orderBy("warc_ts", "page_id")
+    changed = c.withColumn("prev_h", F.lag("h").over(w)).where(
+        F.col("prev_h").isNull() | (F.col("prev_h") != F.col("h"))
+    )
+    return changed.select(
+        "canonical_url",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        F.col("h").alias("content_md5"),
+        F.col("warc_ts").alias("valid_from"),
+        F.lead("warc_ts").over(w).alias("valid_to"),
+        F.lead("warc_ts").over(w).isNull().cast("long").alias("is_current"),
+        F.col("page_id").alias("first_page_id"),
+    )

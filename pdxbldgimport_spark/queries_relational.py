@@ -508,3 +508,54 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# lang_source_cube: grouping-sets OLAP rollup — the CUBE over
+# (lang, source) with counts and exact char volume, the "report at
+# every marginal" query behind ingest dashboards (per-language ×
+# per-source, per-language totals, per-source totals, grand total in
+# one pass). GROUPING() markers disambiguate a real NULL key from a
+# rollup row; key columns are coalesced to '(all)' so the gate hashes
+# a stable text domain.
+#
+# Scale shape: Spark plans CUBE as ONE Expand (×4 grouping sets,
+# map-local — no extra scan) feeding a single partial/final hash agg;
+# the exchange carries ≤ 4·|groups| rows per partition. At 10^12 docs
+# this is strictly cheaper than the 4 separate GROUP BYs it replaces
+# (one corpus scan instead of four). Plan-guarded: Expand + 2
+# HashAggregate levels, no Python.
+
+_CUBE_ORACLE = """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       CAST(GROUPING(lang) AS BIGINT) AS lang_rollup,
+       CAST(GROUPING(source) AS BIGINT) AS source_rollup,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
+@register("lang_source_cube", _CUBE_ORACLE)
+def q_lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .cube("lang", "source")
+        .agg(
+            F.grouping("lang").cast("long").alias("lang_rollup"),
+            F.grouping("source").cast("long").alias("source_rollup"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "lang_rollup",
+            "source_rollup",
+            "n_docs",
+            "chars_sum",
+        )
+    )

@@ -1197,3 +1197,127 @@ def q_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prune_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# idw_interpolate: inverse-distance-weighted interpolation of the
+# footprint-density surface into the EMPTY tiles of the RES_TILE grid —
+# the raster gap-fill every density/coverage product runs after
+# rasterization (the GIS "IDW to raster" tool, here over the same grid
+# tile_focal_stats smooths). Each footprint-occupied tile radiates its
+# count to every grid cell within Chebyshev radius IDW_R; a cell with NO
+# footprints receives est = Σ c·w / Σ w with w = 1/d² — kept exact
+# cross-engine by integer weights w = IDW_SCALE div d² (d² ∈ {1,2,4,5,8}
+# at R=2; both engines floor-divide non-negative ints identically) and
+# by emitting the numerator/denominator sums as int64 alongside the
+# floored estimate.
+#
+# Scale shape: the corpus-sized work is the SAME shared footprint-tile
+# stage the other raster queries reuse (one partial/final agg); every
+# IDW step after it operates on the ≤(2^res)² tile table — a bounded
+# 24-way offset explode, one grid-keyed agg, and a broadcast anti-join
+# against the occupied set. Corpus-size-independent beyond the base agg,
+# like tile_moran / tile_focal_stats.
+
+IDW_R = 2
+IDW_SCALE = 720720  # lcm(1..8)-divisible: exact integer weights per d²
+
+
+def _idw_oracle() -> str:
+    n = 1 << C.RES_TILE
+    cx = "(x0 + x1) / 2e0"
+    cy = "(y0 + y1) / 2e0"
+    return (
+        synth.oracle_with("footprints_base")
+        + f"""
+, base AS (
+  SELECT {_iy_sql(cy, C.RES_TILE)} * {n} + {_ix_sql(cx, C.RES_TILE)} AS t,
+         COUNT(*) AS c
+  FROM footprints_base
+  WHERE fp_id % 97 <> 5
+  GROUP BY 1
+)
+, contrib AS (
+  SELECT ((b.t // {n}) + o.dy) * {n} + (b.t % {n}) + o.dx AS t,
+         b.c * ({IDW_SCALE} // (o.dx * o.dx + o.dy * o.dy)) AS num,
+         {IDW_SCALE} // (o.dx * o.dx + o.dy * o.dy) AS den
+  FROM base b
+  CROSS JOIN (
+    SELECT CAST(dxs.range AS BIGINT) - {IDW_R} AS dx,
+           CAST(dys.range AS BIGINT) - {IDW_R} AS dy
+    FROM range({2 * IDW_R + 1}) dxs CROSS JOIN range({2 * IDW_R + 1}) dys
+    WHERE NOT (dxs.range = {IDW_R} AND dys.range = {IDW_R})
+  ) o
+  WHERE (b.t % {n}) + o.dx BETWEEN 0 AND {n - 1}
+    AND (b.t // {n}) + o.dy BETWEEN 0 AND {n - 1}
+)
+SELECT c.t AS tile_id,
+       COUNT(*) AS n_sources,
+       CAST(SUM(c.num) AS BIGINT) AS num,
+       CAST(SUM(c.den) AS BIGINT) AS den,
+       CAST(SUM(c.num) // SUM(c.den) AS BIGINT) AS est_c
+FROM contrib c
+LEFT JOIN base b ON b.t = c.t
+WHERE b.t IS NULL
+GROUP BY 1
+"""
+    )
+
+
+@register("idw_interpolate", _idw_oracle())
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    fps = prepared_footprints(spark, sf_dir)
+    base = stage(
+        spark,
+        (session_token(spark), sf_dir, "idw_fp_tile_base"),
+        lambda: fps.select(
+            tile_expr(
+                F.col("centroid_lon"), F.col("centroid_lat"), C.RES_TILE
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c")),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-IDW_R, IDW_R + 1)
+            for dy in range(-IDW_R, IDW_R + 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    w = F.expr(f"{IDW_SCALE} div (o.dx * o.dx + o.dy * o.dy)")
+    contrib = (
+        base.select("t", "c", F.explode(offsets).alias("o"))
+        .where(
+            ((F.col("t") % n) + F.col("o.dx")).between(0, n - 1)
+            & (F.expr(f"t div {n}") + F.col("o.dy")).between(0, n - 1)
+        )
+        .select(
+            (
+                (F.expr(f"t div {n}") + F.col("o.dy")) * n
+                + (F.col("t") % n)
+                + F.col("o.dx")
+            ).alias("t"),
+            (F.col("c") * w).alias("num"),
+            w.alias("den"),
+        )
+    )
+    return (
+        contrib.join(F.broadcast(base.select("t")), "t", "left_anti")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("num").alias("num"),
+            F.sum("den").alias("den"),
+        )
+        .select(
+            F.col("t").alias("tile_id"),
+            "n_sources",
+            "num",
+            "den",
+            F.expr("num div den").alias("est_c"),
+        )
+    )

@@ -3390,3 +3390,112 @@ def q_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor", "dot", "rn")
     )
+
+
+# ----------------------------------------------------------------------
+# embedding_quantize: int8 scalar quantization of the embedding table —
+# per-dimension min/max calibration, 0..255 code assignment, and the
+# per-vector reconstruction-error report (the compression step ANN
+# serving layers run before sharding vectors; ann_ivf/ann_lsh consume
+# the float vectors, this is their storage-side companion). Exactness:
+# quantization math is a fixed IEEE-double expression tree evaluated
+# identically in both engines (same discipline as knn distances); codes
+# are int64, errors are half-up-quantized integer ppm, sums are int64.
+#
+# Scale shape: calibration is ONE posexplode + partial/final agg keyed
+# by the 64 dimension indices — the explode inflation is map-local and
+# collapses to |dims| rows per partition before the exchange (the
+# classic vector-stats shape); the calibration row (2×64 doubles) is a
+# broadcast crossJoin; code assignment + error are pure higher-order-
+# function codegen per row — no Python, no second corpus shuffle.
+# Plan-guarded.
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i
+  FROM embeddings
+), s AS (
+  SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY 1
+), q AS (
+  SELECT e.vec_id, e.v, s.mn, s.mx,
+         CASE WHEN s.mx > s.mn
+              THEN CAST(FLOOR((e.v - s.mn) * 255e0 / (s.mx - s.mn)
+                              + 0.5e0) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS qv
+  FROM e JOIN s USING (i)
+), r AS (
+  SELECT vec_id, qv,
+         CASE WHEN mx > mn
+              THEN CAST(FLOOR(ABS(v - (mn + CAST(qv AS DOUBLE) * (mx - mn)
+                                        / 255e0)) * 1e6 + 0.5e0) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS err_ppm
+  FROM q
+)
+SELECT vec_id,
+       CAST(SUM(qv) AS BIGINT) AS q_sum,
+       MAX(qv) AS q_max,
+       CAST(SUM(err_ppm) AS BIGINT) AS err_ppm_sum
+FROM r GROUP BY vec_id
+"""
+
+
+@register("embedding_quantize", _QUANT_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("i", "v")).select(
+        "i", F.col("v").cast("double").alias("v")
+    )
+    calib = (
+        ex.groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "mn"))).alias("a"),
+            F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("b"),
+        )
+        .select(
+            F.expr("transform(a, s -> s.mn)").alias("mns"),
+            F.expr("transform(b, s -> s.mx)").alias("mxs"),
+        )
+    )
+    coded = emb.crossJoin(F.broadcast(calib)).select(
+        "vec_id",
+        "embedding",
+        "mns",
+        "mxs",
+        F.expr(
+            """
+            transform(embedding, (x, i) -> CASE
+              WHEN element_at(mxs, i + 1) > element_at(mns, i + 1)
+              THEN CAST(FLOOR((CAST(x AS DOUBLE) - element_at(mns, i + 1))
+                   * 255e0 / (element_at(mxs, i + 1) - element_at(mns, i + 1))
+                   + 0.5e0) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END)
+            """
+        ).alias("qv"),
+    )
+    errs = coded.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            """
+            transform(embedding, (x, i) -> CASE
+              WHEN element_at(mxs, i + 1) > element_at(mns, i + 1)
+              THEN CAST(FLOOR(ABS(CAST(x AS DOUBLE) - (element_at(mns, i + 1)
+                   + CAST(element_at(qv, i + 1) AS DOUBLE)
+                   * (element_at(mxs, i + 1) - element_at(mns, i + 1))
+                   / 255e0)) * 1e6 + 0.5e0) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END)
+            """
+        ).alias("ev"),
+    )
+    zero = "CAST(0 AS BIGINT)"
+    return errs.select(
+        "vec_id",
+        F.expr(f"aggregate(qv, {zero}, (a, x) -> a + x)").alias("q_sum"),
+        F.expr("array_max(qv)").alias("q_max"),
+        F.expr(f"aggregate(ev, {zero}, (a, x) -> a + x)").alias(
+            "err_ppm_sum"
+        ),
+    )

@@ -19,6 +19,10 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "idw_interpolate",
+    "scd2_history",
+    "lang_source_cube",
+    "embedding_quantize",
     "manifest_prune",
     "hard_negative_mine",
     "encoding_quality",

@@ -1211,3 +1211,162 @@ def test_hard_negative_mine_matches_bruteforce(spark):
         v >= 100000 and v - 100000 < N_QUERIES for v in vecs
     )
     assert dup_excluded
+
+
+# ----------------------------------------------------------------------
+# closing quartet: idw_interpolate / scd2_history / lang_source_cube /
+# embedding_quantize vs literal Python (independent of both SQL
+# formulations).
+
+
+def test_idw_interpolate_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.geo import cells as C
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_spatial import IDW_R, IDW_SCALE
+
+    views(spark, SF_SMOKE)
+    n = 1 << C.RES_TILE
+    fps = spark.sql(
+        "SELECT fp_id, (x0 + x1) / 2 AS cx, (y0 + y1) / 2 AS cy"
+        " FROM footprints WHERE fp_id % 97 <> 5"
+    ).collect()
+    base = defaultdict(int)
+    for r in fps:
+        ix = min(max(math.floor((r["cx"] - C.LON_W) / C.SPAN_X * n), 0), n - 1)
+        iy = min(max(math.floor((r["cy"] - C.LAT_S) / C.SPAN_Y * n), 0), n - 1)
+        base[iy * n + ix] += 1
+    expect = defaultdict(lambda: [0, 0, 0])  # t -> [n_sources, num, den]
+    for t, c in base.items():
+        ix, iy = t % n, t // n
+        for dx in range(-IDW_R, IDW_R + 1):
+            for dy in range(-IDW_R, IDW_R + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                tx, ty = ix + dx, iy + dy
+                if not (0 <= tx < n and 0 <= ty < n):
+                    continue
+                tt = ty * n + tx
+                if tt in base:
+                    continue
+                w = IDW_SCALE // (dx * dx + dy * dy)
+                cur = expect[tt]
+                cur[0] += 1
+                cur[1] += c * w
+                cur[2] += w
+    got = {
+        r["tile_id"]: (r["n_sources"], r["num"], r["den"], r["est_c"])
+        for r in Q.QUERIES["idw_interpolate"](spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        t: (s, num, den, num // den) for t, (s, num, den) in expect.items()
+    }
+    assert len(got) > 0
+
+
+def _canon_py(u: str) -> str:
+    import re
+
+    m = re.match(r"^[A-Za-z]+://[^/?#]*", u)
+    auth = m.group(0) if m else ""
+    rest = u[len(auth):]
+    auth = re.sub(r":(443|80)$", "", auth.lower())
+    rest = re.sub(r"#.*", "", rest)
+    path = re.sub(r"/$", "", re.sub(r"\?.*", "", rest))
+    qm = re.search(r"\?(.*)", rest)
+    q = qm.group(1) if qm else ""
+    q = re.sub(r"^&+", "", re.sub(r"(^|&)utm_[^&]*", "", q))
+    return auth + path + ("?" + q if q else "")
+
+
+def test_scd2_history_matches_bruteforce(spark):
+    import hashlib
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT url, warc_ts, page_id, text FROM pages"
+    ).collect()
+    caps = defaultdict(list)
+    for r in rows:
+        caps[_canon_py(r["url"])].append(
+            (r["warc_ts"], r["page_id"],
+             hashlib.md5(r["text"].encode()).hexdigest())
+        )
+    expect = set()
+    for cu, lst in caps.items():
+        lst.sort()
+        vers = [x for k, x in enumerate(lst) if k == 0 or x[2] != lst[k - 1][2]]
+        for i, (ts, pid, h) in enumerate(vers):
+            vto = vers[i + 1][0] if i + 1 < len(vers) else None
+            expect.add((cu, i + 1, h, ts, vto, 1 if vto is None else 0, pid))
+    got = {
+        (r["canonical_url"], r["version_no"], r["content_md5"],
+         r["valid_from"], r["valid_to"], r["is_current"],
+         r["first_page_id"])
+        for r in Q.QUERIES["scd2_history"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 1 for v in expect)  # fixture has real version chains
+
+
+def test_lang_source_cube_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    docs = spark.sql("SELECT lang, source, n_chars FROM documents").collect()
+    expect = defaultdict(lambda: [0, 0])
+    for r in docs:
+        for key in (
+            (r["lang"], r["source"], 0, 0),
+            (r["lang"], "(all)", 0, 1),
+            ("(all)", r["source"], 1, 0),
+            ("(all)", "(all)", 1, 1),
+        ):
+            cur = expect[key]
+            cur[0] += 1
+            cur[1] += r["n_chars"]
+    got = {
+        (r["lang"], r["source"], r["lang_rollup"], r["source_rollup"]):
+        (r["n_docs"], r["chars_sum"])
+        for r in Q.QUERIES["lang_source_cube"](spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_embedding_quantize_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.table("embeddings").collect()
+    }
+    dims = len(next(iter(vecs.values())))
+    mn = [min(v[i] for v in vecs.values()) for i in range(dims)]
+    mx = [max(v[i] for v in vecs.values()) for i in range(dims)]
+    expect = {}
+    for vid, v in vecs.items():
+        qs = es = 0
+        qmax = None
+        for i, x in enumerate(v):
+            if mx[i] > mn[i]:
+                q = math.floor((x - mn[i]) * 255.0 / (mx[i] - mn[i]) + 0.5)
+                e = math.floor(
+                    abs(x - (mn[i] + q * (mx[i] - mn[i]) / 255.0)) * 1e6 + 0.5
+                )
+            else:
+                q = e = 0
+            qs += q
+            es += e
+            qmax = q if qmax is None or q > qmax else qmax
+        expect[vid] = (qs, qmax, es)
+    got = {
+        r["vec_id"]: (r["q_sum"], r["q_max"], r["err_ppm_sum"])
+        for r in Q.QUERIES["embedding_quantize"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect

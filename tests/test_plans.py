@@ -1316,3 +1316,51 @@ def test_hard_negative_mine_broadcast_dup_exclusion(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lang_source_cube_expand_partial_final(spark):
+    """CUBE plans as one map-local Expand (×4 grouping sets) feeding a
+    single partial/final hash agg — one corpus scan replaces the four
+    separate GROUP BYs; nothing in Python."""
+    plan = _plan(Q.QUERIES["lang_source_cube"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_history_single_url_exchange(spark):
+    """The change-detect LAG, version ROW_NUMBER, and valid_to LEAD all
+    share one (canonical_url) partitioning + (warc_ts, page_id) sort:
+    exactly ONE url-keyed exchange in the plan, no join, no Python."""
+    plan = _plan(Q.QUERIES["scd2_history"](spark, SF))
+    assert plan.count("hashpartitioning(canonical_url") == 1
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_quantize_codegen_broadcast_calibration(spark):
+    """Calibration contracts to |dims| rows via partial/final agg; the
+    2×64-double calibration row reaches each vector by broadcast; code
+    assignment + error are higher-order-function codegen — no Python
+    operator anywhere, no shuffle of the vector side beyond the scan."""
+    plan = _plan(Q.QUERIES["embedding_quantize"](spark, SF))
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_idw_interpolate_grid_bounded_broadcast_anti(spark):
+    """Everything above the shared footprint-tile stage is grid-bounded:
+    bounded 24-way offset explode, one grid-keyed agg, broadcast
+    anti-join against the occupied set — no sort-merge join, no
+    Python."""
+    plan = _plan(Q.QUERIES["idw_interpolate"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
