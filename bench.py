@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "scd2_history",
     "lang_source_cube",
     "embedding_quantize",
+    "dedup_prefix_filter",
+    "host_topk_pages",
+    "agg_delta_merge",
     "encoding_quality",
     "fk_integrity",
     "revenue_rollup",

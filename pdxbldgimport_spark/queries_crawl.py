@@ -1133,3 +1133,68 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("warc_ts").over(w).isNull().cast("long").alias("is_current"),
         F.col("page_id").alias("first_page_id"),
     )
+
+
+# ----------------------------------------------------------------------
+# agg_delta_merge: incremental view maintenance for the per-host rollup
+# — yesterday's aggregate STATE table merged with today's DELTA
+# partition's partial aggregate, certified against a full recompute
+# (the oracle aggregates all pages directly, so the gate proves the
+# merge algebra, not a mirrored formulation). The lakehouse pattern
+# behind every incrementally-maintained stats table: at 10^12 pages the
+# daily update aggregates ONLY the delta partition (partition-pruned
+# scan) and merges into a |hosts|-bounded state table via one
+# full-outer hash join — the historical corpus is never rescanned.
+# Merge algebra: counts and sums add; MAX takes the greatest; every
+# field is exact int64 (char counts, not floats).
+
+_DELTA_CUTOFF = "2024-01-01 12:00:00"
+
+_DELTA_ORACLE = (
+    synth.oracle_with("pages")
+    + """
+SELECT regexp_replace(lower(regexp_extract(url,
+           '(?i)https?://([^/?#]+)', 1)), ':[0-9]+$', '') AS host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+       MAX(warc_ts) AS last_ts
+FROM pages
+GROUP BY 1
+"""
+)
+
+
+@register("agg_delta_merge", _DELTA_ORACLE)
+def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"(?i)https?://([^/?#]+)", 1)),
+        ":[0-9]+$",
+        "",
+    ).alias("host")
+    pages = spark.table("pages").select(
+        host, F.length("text").alias("ln"), "warc_ts"
+    )
+
+    def state(df):
+        return df.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("ln").alias("chars_sum"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+
+    cut = F.lit(_DELTA_CUTOFF).cast("timestamp")
+    old = state(pages.where(F.col("warc_ts") < cut))
+    delta = state(pages.where(F.col("warc_ts") >= cut))
+    o, d = old.alias("o"), delta.alias("d")
+    return o.join(d, "host", "full_outer").select(
+        "host",
+        (F.coalesce("o.n_pages", F.lit(0))
+         + F.coalesce("d.n_pages", F.lit(0))).alias("n_pages"),
+        (F.coalesce("o.chars_sum", F.lit(0))
+         + F.coalesce("d.chars_sum", F.lit(0))).alias("chars_sum"),
+        F.greatest(
+            F.coalesce("o.last_ts", "d.last_ts"),
+            F.coalesce("d.last_ts", "o.last_ts"),
+        ).alias("last_ts"),
+    )

@@ -805,7 +805,7 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------------
 # events_value_quantiles: exact per-type value percentiles (p50/p90/p99)
-# — the latency/价值 distribution rollup, computed EXACTLY (no
+# — the latency/value distribution rollup, computed EXACTLY (no
 # approx_percentile, whose sketch differs engine-to-engine) over the
 # integer-cents domain. Definition: pK = smallest cents with
 # 100·cum ≥ K·n (the classic "lower" quantile), pinned and identical in

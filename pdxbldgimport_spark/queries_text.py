@@ -3499,3 +3499,109 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_ppm_sum"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# dedup_prefix_filter: the COMPLETE similarity self-join over 3-shingle
+# sets at Jaccard ≥ 0.6 via AllPairs/PPJoin prefix filtering (Xiao et
+# al., WWW'08) — the guaranteed-recall counterpart of
+# dedup_ngram_jaccard's rare-gram blocking (which can miss a qualifying
+# pair whose every shared shingle is common; df ≤ RARE_DF_MAX is a
+# heuristic). Prefix principle: order the shingle vocabulary by
+# ascending document frequency (rarest first, ties by text); a set of
+# size n at threshold t must match inside its first n − ⌈t·n⌉ + 1
+# shingles, so ONLY prefix shingles generate candidates — provably no
+# misses, and the hot tail of the vocabulary never joins.
+#
+# Scale shape: the rarity rank is the distributed global_rank over the
+# BOUNDED vocabulary (no single-partition sort); per-doc prefix
+# selection is a doc-keyed window (state = one doc's shingles); the
+# candidate join runs only over prefix shingles (fan-out per shingle is
+# its prefix-df, squared only for the rare head — the frequent tail is
+# excluded by construction); the verify reuses dedup_ngram_jaccard's
+# candidate-bounded refine. All arithmetic integer: ⌈0.6n⌉ =
+# (6n + 9) div 10, threshold check inter·10 ≥ 6·union. The oracle is
+# the algorithm-independent full pairwise join (feasible at gate SF;
+# the engine never runs it).
+
+PF_T10 = 6  # Jaccard threshold in tenths (0.6)
+
+
+@register(
+    "dedup_prefix_filter",
+    "WITH "
+    + _TOKENS_SQL_DUCK
+    + _SHINGLES_DUCK
+    + f"""
+    , dsh AS (SELECT DISTINCT doc_id, sh FROM shingles)
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY 1)
+    , ip AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+      FROM dsh a JOIN dsh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter_n,
+           sa.n + sb.n - inter_n AS union_n
+    FROM ip
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter_n * 10 >= {PF_T10} * (sa.n + sb.n - inter_n)
+    """,
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import global_rank
+
+    views(spark, sf_dir)
+    dsh = _dsh_df(spark, sf_dir)
+    dfreq = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = global_rank(
+        dfreq, F.col("df"), [F.col("df"), F.col("sh")], "r"
+    ).select("sh", "r")
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wdoc = Wnd.partitionBy("doc_id").orderBy("r")
+    pref = (
+        dsh.join(ranked, "sh")
+        .withColumn("p", F.row_number().over(wdoc))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("p")
+            <= F.col("n") - F.expr(f"({PF_T10} * n + 9) div 10") + 1
+        )
+        .select("doc_id", "sh", "n")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "sh",
+                    F.col("n").alias("na"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), "sh",
+                    F.col("n").alias("nb"))
+    cand = (
+        a.join(b, "sh")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            # J ≥ t implies min·10 ≥ t10·max — prune before verify
+            & (F.least("na", "nb") * 10
+               >= PF_T10 * F.greatest("na", "nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dsh_cand = dsh.join(cand_docs, "doc_id", "left_semi")
+    x = dsh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = dsh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter_n"))
+        .where(F.col("inter_n") * 10 >= PF_T10 * F.col("union_n"))
+        .select("doc_a", "doc_b", "inter_n", "union_n")
+    )

@@ -1500,3 +1500,53 @@ def q_path_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# host_topk_pages: grouped top-k — per host, the K largest pages by
+# (text length DESC, page_id) — the "best exemplars per domain" pick a
+# curation pipeline exports for inspection. The point at scale is the
+# PLAN: Spark rewrites a rank-filter window into WindowGroupLimit,
+# which keeps only k rows per group in each map task BEFORE the
+# host-keyed exchange — the shuffle carries ≤ k·|hosts| rows, not the
+# corpus (plan-guarded). Ordering is pinned (length, then page_id), so
+# the cut is deterministic cross-engine.
+
+TOPK_PER_HOST = 3
+
+
+@register(
+    "host_topk_pages",
+    synth.oracle_with("pages")
+    + f"""
+    , h AS (
+      SELECT regexp_replace(lower(regexp_extract(url,
+                 '(?i)https?://([^/?#]+)', 1)), ':[0-9]+$', '') AS host,
+             page_id, length(text) AS text_len
+      FROM pages
+    )
+    SELECT host, page_id, text_len,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host
+                ORDER BY text_len DESC, page_id) AS BIGINT) AS rn
+    FROM h
+    QUALIFY rn <= {TOPK_PER_HOST}
+    """,
+)
+def q_host_topk_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as Wnd
+
+    views(spark, sf_dir)
+    h = spark.table("pages").select(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"(?i)https?://([^/?#]+)", 1)),
+            ":[0-9]+$",
+            "",
+        ).alias("host"),
+        "page_id",
+        F.length("text").alias("text_len"),
+    )
+    w = Wnd.partitionBy("host").orderBy(F.desc("text_len"), "page_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= TOPK_PER_HOST)
+    )

@@ -19,6 +19,9 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "dedup_prefix_filter",
+    "host_topk_pages",
+    "agg_delta_merge",
     "idw_interpolate",
     "scd2_history",
     "lang_source_cube",

@@ -1370,3 +1370,84 @@ def test_embedding_quantize_matches_bruteforce(spark):
         for r in Q.QUERIES["embedding_quantize"](spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_dedup_prefix_filter_complete_vs_bruteforce(spark):
+    """Completeness is the whole point of prefix filtering: compare
+    against the literal all-pairs shingle-Jaccard at t=0.6 — a missed
+    pair here means the prefix lemma was misapplied."""
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql("SELECT doc_id, text FROM documents").collect()
+    sets = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        sets[r["doc_id"]] = {
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+        }
+    ids = sorted(sets)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 10 >= 6 * union:
+                expect.add((a, b, inter, union))
+    got = {
+        (r["doc_a"], r["doc_b"], r["inter_n"], r["union_n"])
+        for r in Q.QUERIES["dedup_prefix_filter"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_host_topk_pages_matches_bruteforce(spark):
+    import re
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import TOPK_PER_HOST
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql("SELECT url, page_id, length(text) AS l FROM pages").collect()
+    per = defaultdict(list)
+    for r in rows:
+        m = re.search(r"(?i)https?://([^/?#]+)", r["url"])
+        host = re.sub(r":[0-9]+$", "", m.group(1).lower())
+        per[host].append((-r["l"], r["page_id"]))
+    expect = set()
+    for host, lst in per.items():
+        lst.sort()
+        for rn, (nl, pid) in enumerate(lst[:TOPK_PER_HOST], 1):
+            expect.add((host, pid, -nl, rn))
+    got = {
+        (r["host"], r["page_id"], r["text_len"], r["rn"])
+        for r in Q.QUERIES["host_topk_pages"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_agg_delta_merge_equals_full_recompute(spark):
+    """The merge algebra must equal a from-scratch recompute — collected
+    literally in Python over the same pages."""
+    import re
+
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql(
+        "SELECT url, length(text) AS l, warc_ts FROM pages"
+    ).collect()
+    agg = {}
+    for r in rows:
+        m = re.search(r"(?i)https?://([^/?#]+)", r["url"])
+        host = re.sub(r":[0-9]+$", "", m.group(1).lower())
+        cur = agg.setdefault(host, [0, 0, None])
+        cur[0] += 1
+        cur[1] += r["l"]
+        cur[2] = r["warc_ts"] if cur[2] is None or r["warc_ts"] > cur[2] else cur[2]
+    got = {
+        r["host"]: (r["n_pages"], r["chars_sum"], r["last_ts"])
+        for r in Q.QUERIES["agg_delta_merge"](spark, SF_SMOKE).collect()
+    }
+    assert got == {h: tuple(v) for h, v in agg.items()}

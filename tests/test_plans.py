@@ -1364,3 +1364,33 @@ def test_idw_interpolate_grid_bounded_broadcast_anti(spark):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_host_topk_pages_window_group_limit(spark):
+    """The rank-filter window must compile to WindowGroupLimit: each map
+    task keeps ≤ k rows per group BEFORE the host exchange, so the
+    shuffle carries ≤ k·|hosts| rows, never the corpus."""
+    plan = _plan(Q.QUERIES["host_topk_pages"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_prefix_filter_no_product_no_python(spark):
+    """Candidates come only from prefix-shingle equi-joins; nothing may
+    plan as an unbounded product and nothing runs in Python."""
+    plan = _plan(Q.QUERIES["dedup_prefix_filter"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_agg_delta_merge_state_merge_shape(spark):
+    """Two partial/final states (old + delta) merged via one full-outer
+    join of |hosts|-bounded tables — the IVM shape; no Python."""
+    plan = _plan(Q.QUERIES["agg_delta_merge"](spark, SF))
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
