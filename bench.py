@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "dedup_prefix_filter",
     "host_topk_pages",
     "agg_delta_merge",
+    "events_gap_fill",
+    "sessions_concurrency",
     "encoding_quality",
     "fk_integrity",
     "revenue_rollup",

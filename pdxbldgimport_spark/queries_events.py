@@ -1016,3 +1016,199 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(wau, "dd")
         .select(F.col("dd").cast("long").alias("day_idx"), "dau", "wau")
     )
+
+
+# ----------------------------------------------------------------------
+# events_gap_fill: hypertable-style gap-fill + LOCF (last observation
+# carried forward) — per user, an hourly grid spanning [first, last]
+# event hour, each grid point carrying the user's most recent event at
+# or before it (TimescaleDB's time_bucket_gapfill + locf, the resample
+# primitive dashboards and feature pipelines run over sparse event
+# streams). Grid points before the user's first event stay NULL in
+# both engines.
+#
+# Scale shape: ONE user-keyed exchange — the grid rows (bounded by the
+# retention window's hours-per-user, never the corpus) are unioned with
+# the events and a single rows-frame last(ignoreNulls) window carries
+# values forward; ties at a grid boundary are pinned by sorting real
+# events before the grid row at the same microsecond and by event_id
+# among events. The oracle is the genuinely different LATERAL-top-1
+# lookback formulation, so the window algebra is checked, not mirrored.
+# Values are half-up integer cents (no float accumulation).
+@register(
+    "events_gap_fill",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT user_id,
+             UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    )
+    SELECT g.user_id, g.hr, l.cents AS last_cents,
+           l.event_id AS last_event_id
+    FROM g LEFT JOIN LATERAL (
+      SELECT CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+             e.event_id
+      FROM events e
+      WHERE e.user_id = g.user_id AND e.ts <= g.hr
+      ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+    ) l ON TRUE
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    obs = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.lit(0).alias("is_grid"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.lit(None).cast("timestamp_ntz").alias("hr"),
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("hr").cast("timestamp")).alias("us"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("cents"),
+            F.col("hr").cast("timestamp_ntz").alias("hr"),
+        )
+    )
+    w = (
+        Wnd.partitionBy("user_id")
+        .orderBy("us", "is_grid", "event_id")
+        .rowsBetween(Wnd.unboundedPreceding, 0)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_grid") == 0,
+            F.struct(F.col("cents"), F.col("event_id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        obs.unionByName(grid)
+        .withColumn("c", carried)
+        .where(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            "hr",
+            F.col("c.cents").alias("last_cents"),
+            F.col("c.event_id").alias("last_event_id"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# sessions_concurrency: peak concurrent sessions per hour — the
+# capacity-planning sweep-line (+1 at session start, -1 just after
+# session end, running sum, max per hour), over the SAME gap-rule
+# sessions as events_sessions. A naive sweep is one global ordered
+# window — serial at scale — so the engine runs the distributed
+# segmented-scan form: running sums are computed WITHIN each hour
+# bucket (parallel, bounded by that hour's deltas), per-hour net
+# changes contract to the bounded hour grid, the cross-hour carry is a
+# prefix sum over THAT grid (the only single-partition window touches
+# ≤|hours| rows, same discipline as global_rank's bucket offsets), and
+# peak(h) = carry(h) + max(local run). Tie order at one microsecond is
+# pinned by delta ascending (-1 before +1: back-to-back sessions never
+# overlap); the per-hour MAX is invariant to intra-tie order since tied
+# rows carry equal deltas. The oracle is the serial global sweep — a
+# genuinely different formulation. All integers.
+_CONCURRENCY_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_S} * 1000000
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS session_no
+  FROM gaps
+), s2 AS (
+  SELECT user_id, session_no,
+         epoch_us(MIN(ts)) AS st_us, epoch_us(MAX(ts)) AS en_us
+  FROM sess GROUP BY 1, 2
+), d AS (
+  SELECT st_us AS us, 1 AS delta FROM s2
+  UNION ALL
+  SELECT en_us + 1, -1 FROM s2
+), r AS (
+  SELECT us, delta,
+         SUM(delta) OVER (ORDER BY us, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM d
+)
+SELECT CAST(us // 3600000000 AS BIGINT) AS hour_idx,
+       CAST(MAX(run) AS BIGINT) AS peak,
+       COUNT(*) AS n_deltas
+FROM r GROUP BY 1
+"""
+
+
+@register("sessions_concurrency", _CONCURRENCY_ORACLE)
+def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    w = Wnd.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("us", us)
+        .withColumn("session_no", F.sum(is_start).over(w))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("us").alias("st_us"), F.max("us").alias("en_us"))
+    )
+    hour_us = 3_600_000_000
+    deltas = sess.select(
+        F.col("st_us").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select((F.col("en_us") + 1).alias("us"), F.lit(-1).alias("delta"))
+    ).withColumn("hr", F.expr(f"us div {hour_us}"))
+    w_in = (
+        Wnd.partitionBy("hr")
+        .orderBy("us", "delta")
+        .rowsBetween(Wnd.unboundedPreceding, 0)
+    )
+    local = deltas.withColumn("run", F.sum("delta").over(w_in))
+    per_hr = local.groupBy("hr").agg(
+        F.max("run").alias("lmax"),
+        F.sum("delta").alias("net"),
+        F.count(F.lit(1)).alias("n_deltas"),
+    )
+    # cross-hour carry: prefix sum over the BOUNDED hour grid only
+    w_h = (
+        Wnd.partitionBy(F.lit(1))
+        .orderBy("hr")
+        .rowsBetween(Wnd.unboundedPreceding, -1)
+    )
+    return per_hr.select(
+        F.col("hr").alias("hour_idx"),
+        (
+            F.coalesce(F.sum("net").over(w_h), F.lit(0)) + F.col("lmax")
+        ).cast("long").alias("peak"),
+        "n_deltas",
+    )

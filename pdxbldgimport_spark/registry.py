@@ -19,6 +19,8 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "sessions_concurrency",
+    "events_gap_fill",
     "dedup_prefix_filter",
     "host_topk_pages",
     "agg_delta_merge",

@@ -1451,3 +1451,83 @@ def test_agg_delta_merge_equals_full_recompute(spark):
         for r in Q.QUERIES["agg_delta_merge"](spark, SF_SMOKE).collect()
     }
     assert got == {h: tuple(v) for h, v in agg.items()}
+
+
+def test_events_gap_fill_matches_bruteforce(spark):
+    import math
+
+    ev = _events(spark)
+    # per-user LOCF over the hourly grid [floor(min), floor(max)]
+    vals = {
+        r["event_id"]: math.floor(r["value"] * 100 + 0.5)
+        for r in spark.sql(
+            "SELECT event_id, value FROM events"
+        ).collect()
+    }
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append((e["us"], e["event_id"]))
+    expect = {}
+    hour_us = 3_600_000_000
+    for u, lst in by_user.items():
+        lst.sort()
+        g0 = lst[0][0] // hour_us * hour_us
+        g1 = lst[-1][0] // hour_us * hour_us
+        g = g0
+        while g <= g1:
+            prior = [x for x in lst if x[0] <= g]
+            if prior:
+                _, eid = prior[-1]
+                expect[(u, g)] = (vals[eid], eid)
+            else:
+                expect[(u, g)] = (None, None)
+            g += hour_us
+    got = {
+        (r["user_id"], r["hr"]): (r["last_cents"], r["last_event_id"])
+        for r in Q.QUERIES["events_gap_fill"](spark, SF_SMOKE).collect()
+    }
+    # re-key expect by datetime for comparison
+    from datetime import datetime, timezone
+
+    expect_dt = {
+        (u, datetime.fromtimestamp(g / 1_000_000, tz=timezone.utc)
+            .replace(tzinfo=None)): v
+        for (u, g), v in expect.items()
+    }
+    assert got == expect_dt
+    assert any(v[0] is None for v in expect.values())  # leading-gap NULLs live
+
+
+def test_sessions_concurrency_matches_bruteforce(spark):
+    from pdxbldgimport_spark.queries_events import SESSION_GAP_S
+
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append((e["us"], e["event_id"]))
+    deltas = []
+    for u, lst in by_user.items():
+        lst.sort()
+        st = lst[0][0]
+        prev = lst[0][0]
+        for us, _ in lst[1:]:
+            if us - prev > SESSION_GAP_S * 1_000_000:
+                deltas += [(st, 1), (prev + 1, -1)]
+                st = us
+            prev = us
+        deltas += [(st, 1), (prev + 1, -1)]
+    deltas.sort()  # (us, delta): -1 sorts before +1 at equal us
+    run = 0
+    peak = defaultdict(lambda: [None, 0])  # hr -> [peak, n_deltas]
+    for us, d in deltas:
+        run += d
+        hr = us // 3_600_000_000
+        cur = peak[hr]
+        cur[0] = run if cur[0] is None or run > cur[0] else cur[0]
+        cur[1] += 1
+    got = {
+        r["hour_idx"]: (r["peak"], r["n_deltas"])
+        for r in Q.QUERIES["sessions_concurrency"](spark, SF_SMOKE).collect()
+    }
+    assert got == {h: tuple(v) for h, v in peak.items()}
+    assert max(v[0] for v in peak.values()) > 1  # real overlap exercised

@@ -1394,3 +1394,26 @@ def test_agg_delta_merge_state_merge_shape(spark):
     assert plan.count("HashAggregate") >= 4
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_events_gap_fill_user_keyed_no_join(spark):
+    """Gap-fill is grid-union + one LOCF window, all keyed by user_id —
+    no join anywhere (the oracle's LATERAL-top-1 is the quadratic
+    formulation the engine must NOT mirror), nothing in Python."""
+    plan = _plan(Q.QUERIES["events_gap_fill"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sessions_concurrency_segmented_scan_shape(spark):
+    """The sweep-line must be the distributed segmented-scan form: the
+    per-delta running sum is partitioned by hour (hashpartitioning(hr)
+    exchange present); the only unpartitioned window input is the
+    BOUNDED per-hour table (post-agg); no join, no Python."""
+    plan = _plan(Q.QUERIES["sessions_concurrency"](spark, SF))
+    assert "hashpartitioning(hr" in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
