@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "agg_delta_merge",
     "events_gap_fill",
     "sessions_concurrency",
+    "areal_weight_grid",
     "encoding_quality",
     "fk_integrity",
     "revenue_rollup",

@@ -1321,3 +1321,117 @@ def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("num div den").alias("est_c"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# areal_weight_grid: areal interpolation weights — for every RES_TILE
+# grid cell, the number of (valid) footprints whose bbox overlaps it
+# and the SUM of exact rectangle-clip overlap areas (the area-weighted
+# reaggregation kernel behind "apportion polygon attributes to a
+# raster": dasymetric mapping, population-gridding, coverage weights).
+# Axis-aligned boxes make the clip EXACT: ow = min(x1,tx1) −
+# max(x0,tx0) — identical IEEE expression trees in both engines —
+# and each overlap is floored to integer µdeg² (1e12 units) BEFORE
+# summation, so the aggregate is an order-free int64.
+#
+# Scale shape: each footprint explodes to exactly its covered tile
+# range (bounded by bbox span / tile size — urban footprints touch 1-4
+# cells), the clip is map-side arithmetic, and ONE grid-keyed
+# partial/final agg contracts to ≤(2^res)² rows. No join at all in the
+# engine (plan-guarded) — the oracle is the genuinely different
+# grid × footprints range-predicate join (DuckDB plans an IEJoin).
+
+def _areal_oracle() -> str:
+    n = 1 << C.RES_TILE
+    tx0 = f"({C.LON_W!r} + ix * {C.SPAN_X!r} / {n})"
+    tx1 = f"({C.LON_W!r} + (ix + 1) * {C.SPAN_X!r} / {n})"
+    ty0 = f"({C.LAT_S!r} + iy * {C.SPAN_Y!r} / {n})"
+    ty1 = f"({C.LAT_S!r} + (iy + 1) * {C.SPAN_Y!r} / {n})"
+    return (
+        synth.oracle_with("footprints_base")
+        + f"""
+, g AS (
+  SELECT CAST(dxs.range AS BIGINT) AS ix, CAST(dys.range AS BIGINT) AS iy
+  FROM range({n}) dxs CROSS JOIN range({n}) dys
+)
+, clip AS (
+  SELECT g.iy * {n} + g.ix AS tile_id,
+         LEAST(f.x1, {tx1}) - GREATEST(f.x0, {tx0}) AS ow,
+         LEAST(f.y1, {ty1}) - GREATEST(f.y0, {ty0}) AS oh
+  FROM footprints_base f
+  JOIN g ON f.x1 > {tx0} AND f.x0 < {tx1}
+        AND f.y1 > {ty0} AND f.y0 < {ty1}
+  WHERE f.fp_id % 97 <> 5
+)
+SELECT tile_id,
+       COUNT(*) AS n_fps,
+       CAST(SUM(CAST(FLOOR(ow * oh * 1e12) AS BIGINT)) AS BIGINT)
+         AS area_u_sum
+FROM clip
+WHERE ow > 0 AND oh > 0
+GROUP BY 1
+"""
+    )
+
+
+@register("areal_weight_grid", _areal_oracle())
+def q_areal_weight_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    f = spark.table("footprints").where(F.expr("fp_id % 97 <> 5"))
+    # covered index ranges, clamped to the grid (identical floor math to
+    # _ix_sql; a bbox ending exactly on a tile edge yields a zero-width
+    # clip there and is dropped by the ow/oh > 0 filter in both engines)
+    def _ix(col: str) -> F.Column:
+        return F.least(
+            F.greatest(
+                F.floor((F.col(col) - C.LON_W) / C.SPAN_X * n).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(n - 1),
+        )
+
+    def _iy(col: str) -> F.Column:
+        return F.least(
+            F.greatest(
+                F.floor((F.col(col) - C.LAT_S) / C.SPAN_Y * n).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(n - 1),
+        )
+
+    exploded = (
+        f.select(
+            "x0", "x1", "y0", "y1",
+            _ix("x0").alias("ix0"), _ix("x1").alias("ix1"),
+            _iy("y0").alias("iy0"), _iy("y1").alias("iy1"),
+        )
+        .select(
+            "x0", "x1", "y0", "y1",
+            F.explode(F.sequence("ix0", "ix1")).alias("ix"),
+            "iy0", "iy1",
+        )
+        .select(
+            "x0", "x1", "y0", "y1", "ix",
+            F.explode(F.sequence("iy0", "iy1")).alias("iy"),
+        )
+    )
+    tx0 = F.lit(C.LON_W) + F.col("ix") * F.lit(C.SPAN_X) / F.lit(n)
+    tx1 = F.lit(C.LON_W) + (F.col("ix") + 1) * F.lit(C.SPAN_X) / F.lit(n)
+    ty0 = F.lit(C.LAT_S) + F.col("iy") * F.lit(C.SPAN_Y) / F.lit(n)
+    ty1 = F.lit(C.LAT_S) + (F.col("iy") + 1) * F.lit(C.SPAN_Y) / F.lit(n)
+    clip = exploded.select(
+        (F.col("iy") * n + F.col("ix")).alias("tile_id"),
+        (F.least(F.col("x1"), tx1) - F.greatest(F.col("x0"), tx0)).alias("ow"),
+        (F.least(F.col("y1"), ty1) - F.greatest(F.col("y0"), ty0)).alias("oh"),
+    )
+    return (
+        clip.where((F.col("ow") > 0) & (F.col("oh") > 0))
+        .groupBy("tile_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(
+                F.floor(F.col("ow") * F.col("oh") * F.lit(1e12)).cast("long")
+            ).alias("area_u_sum"),
+        )
+    )

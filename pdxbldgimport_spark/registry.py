@@ -19,6 +19,7 @@ from . import queries_relational  # noqa: F401
 # query to the truncatable tail.
 _FRONT = [
     # new this round
+    "areal_weight_grid",
     "sessions_concurrency",
     "events_gap_fill",
     "dedup_prefix_filter",

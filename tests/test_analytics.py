@@ -1531,3 +1531,39 @@ def test_sessions_concurrency_matches_bruteforce(spark):
     }
     assert got == {h: tuple(v) for h, v in peak.items()}
     assert max(v[0] for v in peak.values()) > 1  # real overlap exercised
+
+
+def test_areal_weight_grid_matches_bruteforce(spark):
+    import math
+
+    from pdxbldgimport_spark.geo import cells as C
+    from pdxbldgimport_spark.queries import views
+
+    views(spark, SF_SMOKE)
+    n = 1 << C.RES_TILE
+    fps = spark.sql(
+        "SELECT x0, x1, y0, y1 FROM footprints WHERE fp_id % 97 <> 5"
+    ).collect()
+    expect = defaultdict(lambda: [0, 0])
+    for r in fps:
+        for ix in range(n):
+            tx0 = C.LON_W + ix * C.SPAN_X / n
+            tx1 = C.LON_W + (ix + 1) * C.SPAN_X / n
+            ow = min(r["x1"], tx1) - max(r["x0"], tx0)
+            if ow <= 0:
+                continue
+            for iy in range(n):
+                ty0 = C.LAT_S + iy * C.SPAN_Y / n
+                ty1 = C.LAT_S + (iy + 1) * C.SPAN_Y / n
+                oh = min(r["y1"], ty1) - max(r["y0"], ty0)
+                if oh <= 0:
+                    continue
+                cur = expect[iy * n + ix]
+                cur[0] += 1
+                cur[1] += math.floor(ow * oh * 1e12)
+    got = {
+        r["tile_id"]: (r["n_fps"], r["area_u_sum"])
+        for r in Q.QUERIES["areal_weight_grid"](spark, SF_SMOKE).collect()
+    }
+    assert got == {t: tuple(v) for t, v in expect.items()}
+    assert any(v[0] > 1 for v in expect.values())

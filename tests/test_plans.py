@@ -1417,3 +1417,16 @@ def test_sessions_concurrency_segmented_scan_shape(spark):
     assert "Join" not in plan
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_areal_weight_grid_no_join_partial_final(spark):
+    """The engine never joins: footprints explode to their covered tile
+    range (bounded fan-out), the clip is map-side arithmetic, one
+    grid-keyed partial/final agg contracts the result. The oracle's
+    grid × footprints IEJoin is the formulation the engine must NOT
+    mirror."""
+    plan = _plan(Q.QUERIES["areal_weight_grid"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
