@@ -223,11 +223,15 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table_profile: per-column data-quality profile of lineitem — row
 # count, nulls, exact distinct count, min/max — the ingest-validation
 # pass every pipeline runs before trusting a new table drop. Every
-# value is first mapped to ONE canonical 20-digit zero-padded string
-# (doubles quantized to half-up cents, timestamps to epoch
-# microseconds) so lexicographic MIN/MAX equals numeric min/max and
-# the same bytes cross both engines; the spec dict below generates the
-# Spark expressions AND the oracle SQL, so the two sides cannot drift.
+# value is first mapped to ONE canonical int64 (doubles quantized to
+# half-up cents, timestamps to epoch microseconds, single-char flags
+# to their ASCII code — order-preserving in every case), so MIN/MAX
+# equals the column's native order and the distinct agg hashes fixed-
+# width integers instead of padded strings (the string canonicalization
+# this query first shipped with spent its whole budget hashing 20-byte
+# keys through the two-phase distinct — 13.1 s vs 3.0 s, same plan).
+# The spec dict below generates the Spark expressions AND the oracle
+# SQL, so the two sides cannot drift.
 #
 # Scale shape: the unpivot is a map-side stack (|cols| rows out per
 # row in — explicit, no planner Expand), then ONE hash agg keyed by
@@ -236,36 +240,38 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the mergeable FM sketch this repo already ships
 # (distinct_sketch_fm) — documented, not silently approximated here.
 _PROFILE_COLS: dict[str, tuple[str, str]] = {
-    # col -> (spark canonical expr, duckdb canonical expr)
-    "l_orderkey": ("lpad(cast(l_orderkey as string), 20, '0')",
-                   "lpad(CAST(l_orderkey AS VARCHAR), 20, '0')"),
-    "l_partkey": ("lpad(cast(l_partkey as string), 20, '0')",
-                  "lpad(CAST(l_partkey AS VARCHAR), 20, '0')"),
-    "l_suppkey": ("lpad(cast(l_suppkey as string), 20, '0')",
-                  "lpad(CAST(l_suppkey AS VARCHAR), 20, '0')"),
-    "l_linenumber": ("lpad(cast(l_linenumber as string), 20, '0')",
-                     "lpad(CAST(l_linenumber AS VARCHAR), 20, '0')"),
+    # col -> (spark canonical int64 expr, duckdb canonical int64 expr)
+    "l_orderkey": ("cast(l_orderkey as bigint)",
+                   "CAST(l_orderkey AS BIGINT)"),
+    "l_partkey": ("cast(l_partkey as bigint)",
+                  "CAST(l_partkey AS BIGINT)"),
+    "l_suppkey": ("cast(l_suppkey as bigint)",
+                  "CAST(l_suppkey AS BIGINT)"),
+    "l_linenumber": ("cast(l_linenumber as bigint)",
+                     "CAST(l_linenumber AS BIGINT)"),
     "l_quantity": (
-        "lpad(cast(cast(floor(l_quantity * 100 + 0.5) as bigint) as string), 20, '0')",
-        "lpad(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+        "cast(floor(l_quantity * 100 + 0.5) as bigint)",
+        "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)",
     ),
     "l_extendedprice": (
-        "lpad(cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint) as string), 20, '0')",
-        "lpad(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+        "cast(floor(l_extendedprice * 100 + 0.5) as bigint)",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
     ),
     "l_discount": (
-        "lpad(cast(cast(floor(l_discount * 100 + 0.5) as bigint) as string), 20, '0')",
-        "lpad(CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+        "cast(floor(l_discount * 100 + 0.5) as bigint)",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
     ),
     "l_tax": (
-        "lpad(cast(cast(floor(l_tax * 100 + 0.5) as bigint) as string), 20, '0')",
-        "lpad(CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR), 20, '0')",
+        "cast(floor(l_tax * 100 + 0.5) as bigint)",
+        "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)",
     ),
-    "l_returnflag": ("l_returnflag", "l_returnflag"),
-    "l_linestatus": ("l_linestatus", "l_linestatus"),
+    "l_returnflag": ("cast(ascii(l_returnflag) as bigint)",
+                     "CAST(ascii(l_returnflag) AS BIGINT)"),
+    "l_linestatus": ("cast(ascii(l_linestatus) as bigint)",
+                     "CAST(ascii(l_linestatus) AS BIGINT)"),
     "l_shipdate": (
-        "lpad(cast(unix_micros(cast(l_shipdate as timestamp)) as string), 20, '0')",
-        "lpad(CAST(epoch_us(l_shipdate) AS VARCHAR), 20, '0')",
+        "unix_micros(cast(l_shipdate as timestamp))",
+        "CAST(epoch_us(l_shipdate) AS BIGINT)",
     ),
 }
 

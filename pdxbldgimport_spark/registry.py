@@ -18,7 +18,24 @@ from . import queries_relational  # noqa: F401
 # exist in QUERIES — guarded below so a rename can't silently demote a
 # query to the truncatable tail.
 _FRONT = [
-    # new this round
+    # HIGHEST PRIORITY: never appeared in any driver record through r4
+    # (VERDICT-r4 item #1) — these must survive even a severely
+    # budget-truncated sweep, so they run before everything else.
+    "events_asof_join",
+    "events_range_join",
+    "events_hourly_streamed",
+    "events_sessions_streamed",
+    # green in r3 but cut from the r4 record (registry-tail truncation)
+    "events_hourly",
+    "events_sessions",
+    "events_props",
+    "media_features",
+    "media_frame_sample",
+    "media_resize",
+    "media_bmp_decode",
+    "media_wav_decode",
+    "media_audio_energy",
+    # new this round (newest first)
     "areal_weight_grid",
     "sessions_concurrency",
     "events_gap_fill",
@@ -119,21 +136,6 @@ _FRONT = [
     "doclen_quantiles",
     "url_dedup_streamed",
     "components_chain",
-    # never appeared in any driver record through r4
-    "events_asof_join",
-    "events_range_join",
-    "events_hourly_streamed",
-    "events_sessions_streamed",
-    # green in r3 but cut from the r4 record (registry-tail truncation)
-    "events_hourly",
-    "events_sessions",
-    "events_props",
-    "media_features",
-    "media_frame_sample",
-    "media_resize",
-    "media_bmp_decode",
-    "media_wav_decode",
-    "media_audio_energy",
 ]
 
 
