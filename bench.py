@@ -218,6 +218,11 @@ ABS_RETIME_SEC = 4.0
 ABS_RETIME_OVERRIDES = {
     "components_chain": 16.0,
     "__streaming_drain__": 25.0,
+    # ~4.1 s healthy (probes green): the cost is fixed stage-count
+    # overhead of the prefix-filter chain (rank, prefix window,
+    # candidate join, refine), not data volume — profiled at 260k
+    # dsh rows with staged subtrees; sits exactly on the global floor.
+    "dedup_prefix_filter": 8.0,
 }
 
 

@@ -3553,21 +3553,34 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     views(spark, sf_dir)
     dsh = _dsh_df(spark, sf_dir)
-    dfreq = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = global_rank(
-        dfreq, F.col("df"), [F.col("df"), F.col("sh")], "r"
-    ).select("sh", "r")
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    wdoc = Wnd.partitionBy("doc_id").orderBy("r")
-    pref = (
-        dsh.join(ranked, "sh")
-        .withColumn("p", F.row_number().over(wdoc))
-        .join(sizes, "doc_id")
-        .where(
-            F.col("p")
-            <= F.col("n") - F.expr(f"({PF_T10} * n + 9) div 10") + 1
+    # sizes feeds the prefix cut AND both ends of the final refine, and
+    # pref self-joins — stage both (lineage cut, computed once) exactly
+    # like _dsh_df, or every reference re-runs the rank+window subtree.
+    sizes = stage(
+        spark,
+        (session_token(spark), sf_dir, "pf_sizes"),
+        lambda: dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
+    )
+
+    def _build_pref() -> DataFrame:
+        dfreq = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        ranked = global_rank(
+            dfreq, F.col("df"), [F.col("df"), F.col("sh")], "r"
+        ).select("sh", "r")
+        wdoc = Wnd.partitionBy("doc_id").orderBy("r")
+        return (
+            dsh.join(ranked, "sh")
+            .withColumn("p", F.row_number().over(wdoc))
+            .join(sizes, "doc_id")
+            .where(
+                F.col("p")
+                <= F.col("n") - F.expr(f"({PF_T10} * n + 9) div 10") + 1
+            )
+            .select("doc_id", "sh", "n")
         )
-        .select("doc_id", "sh", "n")
+
+    pref = stage(
+        spark, (session_token(spark), sf_dir, "pf_prefix"), _build_pref
     )
     a = pref.select(F.col("doc_id").alias("doc_a"), "sh",
                     F.col("n").alias("na"))
