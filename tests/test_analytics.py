@@ -866,19 +866,18 @@ def test_table_profile_matches_bruteforce(spark):
     rows = [r.asDict() for r in spark.table("lineitem").collect()]
 
     def canon(c, v):
+        # mirror the query's order-preserving int64 canonicalization
         if v is None:
             return None
         if c in ("l_returnflag", "l_linestatus"):
-            return v
+            return ord(v)
         if c == "l_shipdate":
-            iv = int(v.timestamp() * 1_000_000) if hasattr(v, "timestamp") else v
             # spark collects NTZ as naive datetime; epoch from utc
             import calendar
-            iv = calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
-            return str(iv).zfill(20)
+            return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
         if c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
-            return str(int(math.floor(v * 100 + 0.5))).zfill(20)
-        return str(v).zfill(20)
+            return int(math.floor(v * 100 + 0.5))
+        return int(v)
 
     from pdxbldgimport_spark.queries_relational import _PROFILE_COLS
 
