@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "sessions_concurrency",
     "areal_weight_grid",
+    "host_bfs_layers",
     "encoding_quality",
     "fk_integrity",
     "revenue_rollup",

@@ -1550,3 +1550,98 @@ def q_host_topk_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= TOPK_PER_HOST)
     )
+
+
+# ----------------------------------------------------------------------
+# host_bfs_layers: multi-source BFS depth over the real extracted host
+# link graph — every host's minimum link distance (≤ BFS_MAX_D) from a
+# deterministic seed set, the "crawl frontier depth from the seed list"
+# computation a scoped crawl runs to budget its expansion (and the
+# iterative-traversal sibling of host_components' contraction).
+#
+# Scale shape: the host-contracted DISTINCT edge list is the one
+# corpus-sized shuffle (shared stage with the rest of the graph
+# family); each BFS round is ONE bounded hash join (frontier ⋈ edges,
+# frontier only ever shrinks relative to the reachable set) plus an
+# anti-join against the visited table, with a DISK_ONLY lineage cut
+# per round exactly like operators/components.py — O(diameter) rounds,
+# never a serial traversal. The driver loop carries only per-round
+# counts. Oracle: algorithm-independent recursive closure in a NESTED
+# scope over MATERIALIZED relations (same DuckDB re-planning trap
+# host_components documents); the (host, depth) recursion is bounded
+# by BFS_MAX_D, which also defines the operator's semantics (depths
+# beyond it are out of scope for a budgeted crawl).
+
+BFS_MAX_D = 20
+# single-seed rule (host 'h3...'): the synthetic host graph is dense
+# (out-degree ~half the hosts), so one seed is what actually exercises
+# multi-layer expansion — depth 0/1/2 at gate SFs (diameter 2)
+_BFS_SEED_RULE = (
+    "CAST(COALESCE(NULLIF(regexp_extract(host, '[0-9]+'{g0}), ''), '0')"
+    " AS BIGINT) % 1000 = 3"
+)
+
+
+def _bfs_oracle() -> str:
+    return (
+        synth.oracle_with("pages")
+        + _HOST_EDGES_CTES
+        + f"""
+, e AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM he)
+, hosts AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e)
+, seeds AS MATERIALIZED (
+  SELECT host FROM hosts WHERE {_BFS_SEED_RULE.format(g0='')}
+)
+SELECT b.host, CAST(MIN(b.d) AS BIGINT) AS depth
+FROM (
+  WITH RECURSIVE bfs(host, d) AS (
+    SELECT host, 0 FROM seeds
+    UNION
+    SELECT e.dst_host, bfs.d + 1
+    FROM bfs JOIN e ON e.src_host = bfs.host
+    WHERE bfs.d < {BFS_MAX_D}
+  )
+  SELECT host, d FROM bfs
+) b
+GROUP BY 1
+"""
+    )
+
+
+@register("host_bfs_layers", _bfs_oracle())
+def q_host_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    views(spark, sf_dir)
+    e = stage(
+        spark,
+        (session_token(spark), sf_dir, "reach_edges"),
+        lambda: _host_edges_df(spark).distinct(),
+    )
+    hosts = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = hosts.where(F.expr(_BFS_SEED_RULE.format(g0=", 0")))
+    visited = seeds.select(
+        "host", F.lit(0).cast("long").alias("depth")
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    frontier = visited.select("host")
+    d = 0
+    while d < BFS_MAX_D:
+        nxt = (
+            frontier.join(e, frontier.host == e.src_host)
+            .select(F.col("dst_host").alias("host"))
+            .distinct()
+            .join(visited.select("host"), "host", "left_anti")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+        if nxt.isEmpty():
+            break
+        d += 1
+        visited = visited.unionByName(
+            nxt.select("host", F.lit(d).cast("long").alias("depth"))
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        frontier = nxt.select("host")
+    return visited

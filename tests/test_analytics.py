@@ -1566,3 +1566,47 @@ def test_areal_weight_grid_matches_bruteforce(spark):
     }
     assert got == {t: tuple(v) for t, v in expect.items()}
     assert any(v[0] > 1 for v in expect.values())
+
+
+def test_host_bfs_layers_matches_bruteforce(spark):
+    import re
+    from collections import deque
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import (
+        BFS_MAX_D,
+        CANON_HOST_RE,
+    )
+    from pdxbldgimport_spark.queries_web import _host_edges_df
+
+    views(spark, SF_SMOKE)
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for r in _host_edges_df(spark).distinct().collect()
+    }
+    adj = defaultdict(set)
+    hosts = set()
+    for s, t in edges:
+        adj[s].add(t)
+        hosts.update((s, t))
+    def _hostnum(h):
+        m = re.search(r"[0-9]+", h)
+        return int(m.group(0)) if m else 0
+
+    seeds = {h for h in hosts if _hostnum(h) % 1000 == 3}
+    depth = {h: 0 for h in seeds}
+    q = deque(seeds)
+    while q:
+        h = q.popleft()
+        if depth[h] >= BFS_MAX_D:
+            continue
+        for t in adj[h]:
+            if t not in depth:
+                depth[t] = depth[h] + 1
+                q.append(t)
+    got = {
+        r["host"]: r["depth"]
+        for r in Q.QUERIES["host_bfs_layers"](spark, SF_SMOKE).collect()
+    }
+    assert got == depth
+    assert max(depth.values()) >= 2  # real multi-layer expansion exercised
