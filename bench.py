@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "bloom_dedup_probe",
     "text_repetition",
     "corpus_sample",
+    "reservoir_sample",
     "lang_quota_sample",
     "colloc_pmi_topk",
     "bpe_merge_topk",

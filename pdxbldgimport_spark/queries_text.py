@@ -3618,3 +3618,90 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("inter_n") * 10 >= PF_T10 * F.col("union_n"))
         .select("doc_a", "doc_b", "inter_n", "union_n")
     )
+
+
+# ----------------------------------------------------------------------
+# reservoir_sample: weighted-priority corpus sampling per language — the
+# data-mixing primitive an LLM pipeline runs to draw a fixed-size,
+# quality-weighted exemplar set per stratum (Efraimidis-Spirakis A-ES
+# semantics: P(doc i outranks doc j) = w_i / (w_i + w_j)).
+#
+# The A-ES race is expressed WITHOUT floats: a doc of integer weight w
+# holds w i.i.d. 60-bit uniform keys h60(md5(doc_id:r)), r = 1..w, and
+# races on the MINIMUM — the integer-exact equivalent of the
+# exponential-clock formulation (min of w uniforms ~ the w-rate clock),
+# so Spark and DuckDB agree bit-for-bit with no ln/pow libm exposure.
+#
+# Scale shape: weights are capped (RS_WMAX = 4), so the min-of-replicas
+# is FOUR md5 evaluations folded by LEAST inside one codegen projection
+# — no explode, no per-doc aggregation, the corpus is never shuffled.
+# The per-lang smallest-K rank filter compiles to WindowGroupLimit
+# (plan-guarded): each map task forwards at most K rows per lang, so
+# the one exchange carries ≤ K·|langs| rows per task at any corpus
+# size, and the stratum key's low cardinality (langs) is harmless
+# because the heavy cut happened map-side. Weight buckets derive from
+# n_chars (128-char steps, capped at 4): at gate SFs all four weights
+# are live (asserted in the brute-force test).
+
+RS_K = 16  # sample size per language stratum
+RS_WMAX = 4
+RS_WDIV = 128  # chars per weight step
+
+
+def _rs_weight_sql() -> str:
+    # n_chars / 128.0 is exact in IEEE double (power-of-two divisor)
+    return (f"LEAST({RS_WMAX}, 1 + CAST(FLOOR(n_chars / {RS_WDIV}.0)"
+            f" AS BIGINT))")
+
+
+def _rs_key_sql(dialect: str) -> str:
+    """LEAST over the w live replica hashes (replica r's key is
+    h60(md5(doc_id:r))); dead replicas (r > w) alias to replica 1 so no
+    NULL ever reaches LEAST (Spark and DuckDB disagree on NULL there)."""
+    if dialect == "spark":
+        def md5r(r: int) -> str:
+            return (f"md5(cast(concat(cast(doc_id as string), ':{r}')"
+                    f" as binary))")
+        h = {r: _h60_sql(md5r(r), "instr") for r in range(1, RS_WMAX + 1)}
+    else:
+        def md5r(r: int) -> str:
+            return f"md5(CAST(doc_id AS VARCHAR) || ':{r}')"
+        h = {r: _h60_sql(md5r(r), "strpos") for r in range(1, RS_WMAX + 1)}
+    arms = [h[1]] + [
+        f"CASE WHEN w >= {r} THEN {h[r]} ELSE {h[1]} END"
+        for r in range(2, RS_WMAX + 1)
+    ]
+    return "LEAST(" + ", ".join(arms) + ")"
+
+
+@register(
+    "reservoir_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_rs_weight_sql()} AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT lang, doc_id, w, {_rs_key_sql('duckdb')} AS samp_key
+      FROM d
+    )
+    SELECT lang, doc_id, w, samp_key,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY samp_key, doc_id) AS BIGINT) AS rn
+    FROM keyed
+    QUALIFY rn <= {RS_K}
+    """,
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    keyed = (
+        spark.table("documents")
+        .select("doc_id", "lang", F.expr(_rs_weight_sql()).alias("w"))
+        .select("lang", "doc_id", "w",
+                F.expr(_rs_key_sql("spark")).alias("samp_key"))
+    )
+    w_rn = Wnd.partitionBy("lang").orderBy("samp_key", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w_rn).cast("long"))
+        .where(F.col("rn") <= RS_K)
+    )

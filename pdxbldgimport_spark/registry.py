@@ -36,6 +36,7 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "reservoir_sample",
     "host_bfs_layers",
     "areal_weight_grid",
     "sessions_concurrency",

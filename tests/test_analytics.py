@@ -1610,3 +1610,53 @@ def test_host_bfs_layers_matches_bruteforce(spark):
     }
     assert got == depth
     assert max(depth.values()) >= 2  # real multi-layer expansion exercised
+
+
+def test_reservoir_sample_matches_bruteforce_and_weights_matter(spark):
+    """Literal Python A-ES race over the real sf0.001 documents: per doc,
+    min over its w replica hashes h60(md5('<id>:<r>')), smallest RS_K
+    per lang. Also asserts all four weight buckets are live at this SF
+    and that the weighting CHANGES the selection vs the unweighted
+    (w=1) race — i.e. the operator is not a plain hash top-k."""
+    import hashlib
+    import math
+
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_text import RS_K, RS_WDIV, RS_WMAX
+
+    views(spark, SF_SMOKE)
+    rows = spark.sql("SELECT doc_id, lang, n_chars FROM documents").collect()
+
+    def h60(s: str) -> int:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        return sum(int(hx[n], 16) * 16 ** n for n in range(15))
+
+    per = defaultdict(list)
+    per_unw = defaultdict(list)
+    weights = set()
+    for r in rows:
+        w = min(RS_WMAX, 1 + int(math.floor(r["n_chars"] / RS_WDIV)))
+        weights.add(w)
+        key = min(h60(f"{r['doc_id']}:{rep}") for rep in range(1, w + 1))
+        per[r["lang"]].append((key, r["doc_id"], w))
+        per_unw[r["lang"]].append((h60(f"{r['doc_id']}:1"), r["doc_id"]))
+    expect = set()
+    for lang, lst in per.items():
+        lst.sort()
+        for rn, (key, did, w) in enumerate(lst[:RS_K], 1):
+            expect.add((lang, did, w, key, rn))
+    got = {
+        (r["lang"], r["doc_id"], r["w"], r["samp_key"], r["rn"])
+        for r in Q.QUERIES["reservoir_sample"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert weights == set(range(1, RS_WMAX + 1))  # all buckets live
+    # weighting must actually move the pick for at least one stratum
+    moved = False
+    for lang, lst in per_unw.items():
+        lst.sort()
+        unw_ids = {did for _, did in lst[:RS_K]}
+        w_ids = {t[1] for t in expect if t[0] == lang}
+        if unw_ids != w_ids:
+            moved = True
+    assert moved

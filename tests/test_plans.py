@@ -1430,3 +1430,19 @@ def test_areal_weight_grid_no_join_partial_final(spark):
     assert plan.count("HashAggregate") >= 2
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_reservoir_sample_window_group_limit_no_corpus_shuffle(spark):
+    """The A-ES race is a pure codegen projection (four md5 arms folded
+    by LEAST — no explode, no per-doc aggregate), and the per-lang
+    smallest-K compiles to WindowGroupLimit so each map task forwards
+    ≤ K rows per lang: the corpus itself is never exchanged. Guards:
+    group-limit present, no aggregate, no join, no generator, no
+    Python anywhere."""
+    plan = _plan(Q.QUERIES["reservoir_sample"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode path
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
