@@ -189,6 +189,10 @@ BENCH_QUERIES = [
     "lang_ngram_id",
     "media_bmp_decode",
     "media_wav_decode",
+    "snap_to_segment",
+    "cdc_apply",
+    "doc_chunk",
+    "bigram_lm_score",
 ]
 
 

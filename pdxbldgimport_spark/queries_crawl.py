@@ -1198,3 +1198,99 @@ def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("d.last_ts", "o.last_ts"),
         ).alias("last_ts"),
     )
+
+
+# ----------------------------------------------------------------------
+# cdc_apply: MERGE-INTO commit metrics — apply a capture changelog to
+# the crawl's base snapshot and report, per host, how many canonical
+# URLs each merge action touched (the row-level op counts an Iceberg
+# MERGE commit records in its snapshot summary; SURVEY §2.9's ingest
+# story). Synth CDC semantics, derived deterministically from pages in
+# BOTH engines: a URL's first capture is its base-snapshot row UNLESS
+# first_page_id % 13 = 5 (URLs first seen after the snapshot cut —
+# log-only); every later capture is a log event, op = DELETE when
+# page_id % 11 = 0 else UPSERT; last-writer-wins by (warc_ts, page_id).
+# Statuses: unchanged (no log rows), updated / inserted (last op U,
+# with/without a base row), deleted (last op D over a base row), void
+# (a tombstone for a never-snapshotted key — the no-op MERGE arm).
+#
+# 100-TB shape: classification needs only the FIRST and LAST capture
+# per key — one partial+final hash agg of min/max(struct(warc_ts,
+# page_id)) + count per canonical URL (map-side combinable, no window,
+# no self-join), then a host-level rollup; exactly two exchanges at any
+# scale. The oracle is the algorithm-independent two-step formulation
+# (MIN/MAX ts per group, then MIN/MAX page_id among rows carrying that
+# ts), so the gate certifies semantics, not the struct trick.
+
+_CDC_STATUS_SQL = """
+  CASE WHEN NOT ((n > 1) OR (fpid % 13 = 5)) THEN 'unchanged'
+       WHEN lpid % 11 <> 0 AND fpid % 13 <> 5 THEN 'updated'
+       WHEN lpid % 11 <> 0 THEN 'inserted'
+       WHEN fpid % 13 <> 5 THEN 'deleted'
+       ELSE 'void' END
+"""
+
+_CDC_ORACLE = (
+    synth.oracle_with("pages")
+    + URL_CANON_CTES
+    + f"""
+, g AS (
+  SELECT canonical_url, COUNT(*) AS n,
+         MIN(warc_ts) AS fts, MAX(warc_ts) AS lts
+  FROM canon GROUP BY 1
+)
+, fl AS (
+  SELECT g.canonical_url, g.n,
+         MIN(CASE WHEN c.warc_ts = g.fts THEN c.page_id END) AS fpid,
+         MAX(CASE WHEN c.warc_ts = g.lts THEN c.page_id END) AS lpid
+  FROM g JOIN canon c ON c.canonical_url = g.canonical_url
+  GROUP BY 1, 2
+)
+, cls AS (
+  SELECT canonical_url, {_CDC_STATUS_SQL} AS status FROM fl
+)
+SELECT regexp_extract(canonical_url, '{CANON_HOST_RE}', 1) AS host,
+       status,
+       COUNT(*) AS n_urls,
+       MIN(canonical_url) AS first_url
+FROM cls
+GROUP BY 1, 2
+"""
+)
+
+
+@register("cdc_apply", _CDC_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    caps = spark.table("pages").select(
+        canonical_url_expr("url").alias("canonical_url"),
+        "warc_ts",
+        "page_id",
+    )
+    g = caps.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("warc_ts", "page_id")).alias("first"),
+        F.max(F.struct("warc_ts", "page_id")).alias("last"),
+    )
+    cls = g.select(
+        "canonical_url",
+        F.col("n"),
+        F.col("first.page_id").alias("fpid"),
+        F.col("last.page_id").alias("lpid"),
+    ).select(
+        "canonical_url", F.expr(_CDC_STATUS_SQL.strip()).alias("status")
+    )
+    return (
+        cls.select(
+            F.regexp_extract("canonical_url", CANON_HOST_RE, 1).alias(
+                "host"
+            ),
+            "status",
+            "canonical_url",
+        )
+        .groupBy("host", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("canonical_url").alias("first_url"),
+        )
+    )

@@ -27,7 +27,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from . import synth
 from .geo import cells as C
-from .operators.knn import RES_KNN, dwithin_pairs
+from .operators.knn import (
+    BROADCAST_MAX_RING_ROWS,
+    RES_KNN,
+    dwithin_pairs,
+    ring_cells,
+)
 from .operators.pip_join import tile_expr
 from .operators.ranking import global_rank
 from .queries import (
@@ -1434,4 +1439,125 @@ def q_areal_weight_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("ow") * F.col("oh") * F.lit(1e12)).cast("long")
             ).alias("area_u_sum"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# snap_to_segment: snap every page point to its nearest street segment
+# within SNAP_DEG planar degrees — the line-snapping half of the
+# reference's conflation toolkit (its address points snap to the street
+# network the same way its footprints match parcels; the PostGIS analog
+# is ST_ClosestPoint/ST_Snap with a tolerance). Segments are the synth
+# ways' bbox diagonals ((wx0,wy0)→(wx1,wy1)); distance is exact planar
+# point-to-segment (clamped projection), top-1 per page with a pinned
+# (d2, way_id) tie-break.
+#
+# Completeness guarantee: a page within SNAP_DEG of any point on a
+# segment lies within half the segment extent + SNAP_DEG of its
+# midpoint — per-axis at most (0.0038°, 0.0432°), both under the
+# 2-ring guarantee radius 2·min_edge = 0.075° at RES_KNN — so the
+# midpoint 2-ring join provably covers every qualifying pair
+# (property-tested vs brute force in tests/test_spatial.py).
+#
+# 100-TB shape: the page side gets ONE arithmetic cell projection and
+# never explodes; the segment side explodes to ≤25 cells each and is
+# broadcast under the same ring-rows gate as knn_join (above it, both
+# sides shuffle once on cell); the top-1 is a map-side-combinable
+# min(struct(d2, way_id)) — no window, no per-pair shuffle. The refine
+# is generated from ONE SQL template shared verbatim by both engines
+# (identical parse → identical IEEE-754 op order), and the emitted
+# distance is int64 (floor(d2·1e12)); the oracle formulation is the
+# algorithm-independent bbox-prefiltered direct join (DuckDB IEJoin)
+# + ROW_NUMBER.
+
+SNAP_DEG = 0.03
+_SNAP_R2 = SNAP_DEG * SNAP_DEG
+
+# projection parameter onto A=(ax,ay) → Q=(qx,qy), clamped to [0,1]
+_SNAP_TR_SQL = (
+    "(((lon - ax) * (qx - ax) + (lat - ay) * (qy - ay))"
+    " / ((qx - ax) * (qx - ax) + (qy - ay) * (qy - ay)))"
+)
+_SNAP_D2_SQL = (
+    "((lon - (ax + t * (qx - ax))) * (lon - (ax + t * (qx - ax)))"
+    " + (lat - (ay + t * (qy - ay))) * (lat - (ay + t * (qy - ay))))"
+)
+
+
+def _snap_oracle() -> str:
+    return (
+        synth.oracle_with("pages", "osm_ways_base")
+        + f"""
+, seg AS (
+  SELECT way_id, wx0 AS ax, wy0 AS ay, wx1 AS qx, wy1 AS qy
+  FROM osm_ways_base
+)
+, cand AS (
+  SELECT p.page_id, s.way_id, p.lon, p.lat, s.ax, s.ay, s.qx, s.qy
+  FROM pages p
+  JOIN seg s
+    ON p.lon >= s.ax - {SNAP_DEG!r}e0 AND p.lon <= s.qx + {SNAP_DEG!r}e0
+   AND p.lat >= s.ay - {SNAP_DEG!r}e0 AND p.lat <= s.qy + {SNAP_DEG!r}e0
+)
+, ref AS (
+  SELECT page_id, way_id, {_SNAP_D2_SQL} AS d2
+  FROM (
+    SELECT *, LEAST(GREATEST({_SNAP_TR_SQL}, 0e0), 1e0) AS t FROM cand
+  )
+)
+SELECT page_id, way_id,
+       CAST(FLOOR(d2 * 1000000000000e0) AS BIGINT) AS d2_e12
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY page_id
+                            ORDER BY d2, way_id) AS rn
+  FROM ref WHERE d2 <= {_SNAP_R2!r}e0
+) WHERE rn = 1
+"""
+    )
+
+
+@register("snap_to_segment", _snap_oracle())
+def q_snap_to_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    segs = spark.table("osm_ways_base").select(
+        "way_id",
+        F.col("wx0").alias("ax"),
+        F.col("wy0").alias("ay"),
+        F.col("wx1").alias("qx"),
+        F.col("wy1").alias("qy"),
+        ((F.col("wx0") + F.col("wx1")) / 2).alias("mx"),
+        ((F.col("wy0") + F.col("wy1")) / 2).alias("my"),
+    )
+    ring = ring_cells(segs, "mx", "my", res=RES_KNN, k_ring=2).drop(
+        "mx", "my"
+    )
+    n_segs = segs.count()  # JVM-only count of the SMALL side
+    ring_side = (
+        F.broadcast(ring)
+        if n_segs * 25 <= BROADCAST_MAX_RING_ROWS
+        else ring
+    )
+    pts = spark.table("pages").select(
+        "page_id",
+        "lon",
+        "lat",
+        tile_expr(F.col("lon"), F.col("lat"), RES_KNN).alias("cell"),
+    )
+    ref = (
+        pts.join(ring_side, "cell")
+        .withColumn(
+            "t",
+            F.expr(f"LEAST(GREATEST({_SNAP_TR_SQL}, 0e0), 1e0)"),
+        )
+        .withColumn("d2", F.expr(_SNAP_D2_SQL))
+        .where(F.col("d2") <= F.lit(_SNAP_R2))
+    )
+    best = ref.groupBy("page_id").agg(
+        F.min(F.struct("d2", "way_id")).alias("b")
+    )
+    return best.select(
+        "page_id",
+        F.col("b.way_id").alias("way_id"),
+        F.floor(F.col("b.d2") * F.lit(1e12)).cast("long").alias("d2_e12"),
     )

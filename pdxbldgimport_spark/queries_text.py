@@ -3705,3 +3705,166 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w_rn).cast("long"))
         .where(F.col("rn") <= RS_K)
     )
+
+
+# ----------------------------------------------------------------------
+# doc_chunk: stride-windowed document chunking — the "split long docs
+# into overlapping training windows" step every LM data pipeline runs
+# between cleaning and tokenization (window CHUNK_W chars, stride
+# CHUNK_STRIDE; the final window is the ragged tail). 100-TB shape:
+# pure map-side codegen — ONE projection with an explode, no shuffle,
+# no Python; the chunk fan-out is bounded by n_chars/stride per doc and
+# parallelism stays the corpus's own partitioning. Everything crossing
+# the engine boundary is exact (substring text md5s + int64 indexes);
+# the n_chunks arithmetic divides by the power-of-two stride so the
+# FLOOR input is an exact IEEE double in both engines.
+
+CHUNK_W = 96       # window chars
+CHUNK_STRIDE = 64  # power of two: (len-...)/64.0 is exact in double
+
+_NCHUNKS_SQL = (
+    f"CASE WHEN length(text) <= {CHUNK_W} THEN CAST(1 AS BIGINT) "
+    f"ELSE CAST(1 + FLOOR((length(text) - {CHUNK_W} + {CHUNK_STRIDE - 1})"
+    f" / {CHUNK_STRIDE}.0) AS BIGINT) END"
+)
+
+# shared verbatim by both dialects (identical parse → identical ops)
+_CHUNK_SUB_SQL = (
+    f"substring(text, CAST(1 + chunk_idx * {CHUNK_STRIDE} AS INT),"
+    f" {CHUNK_W})"
+)
+
+
+@register(
+    "doc_chunk",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, {_NCHUNKS_SQL} AS n_chunks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(length({_CHUNK_SUB_SQL}) AS BIGINT) AS chunk_len,
+           md5({_CHUNK_SUB_SQL}) AS chunk_md5
+    FROM c
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select("doc_id", "text", F.expr(_NCHUNKS_SQL).alias("n_chunks"))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"CAST(length({_CHUNK_SUB_SQL}) AS BIGINT)").alias(
+                "chunk_len"
+            ),
+            F.expr(f"md5(CAST({_CHUNK_SUB_SQL} AS BINARY))").alias(
+                "chunk_md5"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# bigram_lm_score: CCNet-style corpus-LM quality scoring — train a
+# bigram model ON the corpus itself (conditional frequency of each
+# bigram given its prefix token), then score every document by the sum
+# of its bigrams' integer-ppm conditional probabilities. Low scorers
+# are gibberish / boilerplate candidates; the family's quality filters
+# (lm_score_filter, text_quality) consume exactly this kind of signal.
+#
+# 100-TB shape: bigram extraction is a map-side array transform over
+# the token array (NO per-doc window sort — a lead() formulation would
+# shuffle+sort the full token stream on doc_id); the model is one
+# partial+final hash agg on (w1,w2); c1 derives from c2 (vocab-sized,
+# never rescans the stream); the per-doc stream pre-aggregates to
+# (doc_id,w1,w2) BEFORE joining the model, so the join input is
+# distinct-bigrams-per-doc, not token-positions. The ppm value is
+# floor(1e6·k2/k1 + 0.5) — identical IEEE division both engines, exact
+# while k2 < 2^33. The oracle derives bigrams via a lead() window: an
+# algorithm-independent formulation of the same relation.
+
+_BG_PPM_SQL = (
+    "CAST(FLOOR(k2 * 1000000.0 / k1 + 0.5) AS BIGINT)"
+)
+
+
+def _bigrams_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (doc_id, w1, w2) adjacent-token stream — referenced by
+    both the model build and the per-doc scoring stream."""
+
+    def build():
+        d = (
+            spark.table("documents")
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .where(F.size("toks") >= 2)
+        )
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[CAST(i - 1 AS INT)] AS w1,"
+                    " toks[CAST(i AS INT)] AS w2))"
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+
+    return stage(spark, (session_token(spark), sf_dir, "bigrams"), build)
+
+
+@register(
+    "bigram_lm_score",
+    "WITH "
+    + _TOKENS_SQL_DUCK.strip().lstrip()
+    + f"""
+, bg AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tokens
+  ) WHERE w2 IS NOT NULL
+)
+, c2 AS (SELECT w1, w2, COUNT(*) AS k2 FROM bg GROUP BY 1, 2)
+, c1 AS (SELECT w1, CAST(SUM(k2) AS BIGINT) AS k1 FROM c2 GROUP BY 1)
+, kd AS (SELECT doc_id, w1, w2, COUNT(*) AS kd FROM bg GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(SUM(kd) AS BIGINT) AS n_bigrams,
+       CAST(SUM(kd * {_BG_PPM_SQL}) AS BIGINT) AS lm_ppm
+FROM kd
+JOIN c2 USING (w1, w2)
+JOIN c1 USING (w1)
+GROUP BY doc_id
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    bg = _bigrams_df(spark, sf_dir)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k2"))
+    c1 = c2.groupBy("w1").agg(F.sum("k2").cast("long").alias("k1"))
+    kd = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("kd")
+    )
+    return (
+        kd.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("kd").cast("long").alias("n_bigrams"),
+            F.sum(F.col("kd") * F.expr(_BG_PPM_SQL))
+            .cast("long")
+            .alias("lm_ppm"),
+        )
+    )

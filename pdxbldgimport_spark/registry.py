@@ -36,6 +36,10 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "snap_to_segment",
+    "cdc_apply",
+    "doc_chunk",
+    "bigram_lm_score",
     "reservoir_sample",
     "host_bfs_layers",
     "areal_weight_grid",

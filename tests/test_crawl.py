@@ -763,3 +763,19 @@ def test_domain_mix_report_matches_python(spark):
         for r in Q.QUERIES["domain_mix_report"](spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_cdc_apply_all_five_merge_statuses_live(spark):
+    """Fixture-liveness guard: the synth CDC derivation must keep every
+    MERGE arm populated at the oracle SF (a synth change that silently
+    empties an arm would leave that branch untested by the gate)."""
+    from tests.conftest import SF_ORACLE
+
+    rows = Q.QUERIES["cdc_apply"](spark, SF_ORACLE).toPandas()
+    assert set(rows["status"]) == {
+        "unchanged",
+        "updated",
+        "inserted",
+        "deleted",
+        "void",
+    }

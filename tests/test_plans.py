@@ -1446,3 +1446,62 @@ def test_reservoir_sample_window_group_limit_no_corpus_shuffle(spark):
     assert "Generate" not in plan  # no explode path
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_snap_to_segment_broadcast_ring_min_struct(spark):
+    """snap_to_segment: gate-SF plan must broadcast the exploded
+    segment ring (page side never shuffles before the top-1 combine),
+    refine entirely in codegen, and take the nearest segment as a
+    partial+final min(struct) — no window, no Python, no nested-loop."""
+    plan = _plan(Q.QUERIES["snap_to_segment"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    # nearest-only = partial+final min(struct(d2, way_id)): struct agg
+    # buffers plan as SortAggregate (same shape as knn_join's top-1) —
+    # still map-side combinable before the page_id exchange.
+    assert plan.count("SortAggregate") >= 2
+    assert "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cdc_apply_two_exchanges_no_join(spark):
+    """cdc_apply: MERGE metrics classify from ONE min/max-struct agg
+    per key plus the host rollup — exactly two hash-partitioned
+    exchanges (the view's ingest RoundRobin spread aside), no join, no
+    window, nothing in Python at any scale. The struct min/max and the
+    min(url) string buffers plan as partial+final SortAggregate."""
+    plan = _plan(Q.QUERIES["cdc_apply"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("SortAggregate") >= 4  # partial+final × two aggs
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_chunk_is_shuffle_free_map_side(spark):
+    """doc_chunk: chunking is a pure map-side Generate+Project — no
+    hash/range exchange (the view's ingest RoundRobin spread aside),
+    no aggregation, no Python; it fuses into whatever scan feeds it at
+    10^12 docs."""
+    plan = _plan(Q.QUERIES["doc_chunk"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Aggregate" not in plan
+    assert "Generate" in plan  # the explode
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_score_no_window_in_engine(spark):
+    """bigram_lm_score: the engine derives bigrams via a map-side array
+    transform — the full token stream must NOT pass through a per-doc
+    window sort (the oracle's lead() formulation is DuckDB-only)."""
+    plan = _plan(Q.QUERIES["bigram_lm_score"](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan

@@ -5,6 +5,7 @@ the hot-parcel world, and curriculum permutation/balance properties."""
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import pandas as pd
 import pytest
@@ -290,3 +291,81 @@ def test_dwithin_shuffle_path_equals_broadcast_path(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert a == b and len(a) > 0
+
+
+def test_snap_to_segment_matches_numpy_bruteforce(spark):
+    """snap_to_segment vs an all-pairs numpy brute force (no cell ring,
+    no bbox prefilter) at sf0.001 — certifies the midpoint-2-ring
+    coverage guarantee and the clamped-projection arithmetic end to
+    end, independent of both engines' SQL formulations."""
+    import numpy as np
+    import pandas as pd
+
+    from pdxbldgimport_spark.queries_spatial import SNAP_DEG, _SNAP_R2
+    from pdxbldgimport_spark import registry as Q
+    from pdxbldgimport_spark.synth import render
+    import duckdb
+
+    eng = (
+        Q.QUERIES["snap_to_segment"](spark, SF)
+        .toPandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    pages = con.sql(
+        "SELECT page_id, lon, lat FROM (" + render("pages", "duckdb") + ")"
+    ).df()
+    segs = con.sql(
+        "SELECT way_id, wx0, wy0, wx1, wy1 FROM ("
+        + render("osm_ways_base", "duckdb")
+        + ")"
+    ).df()
+    con.close()
+
+    px = pages["lon"].to_numpy()[:, None]
+    py = pages["lat"].to_numpy()[:, None]
+    ax = segs["wx0"].to_numpy()[None, :]
+    ay = segs["wy0"].to_numpy()[None, :]
+    qx = segs["wx1"].to_numpy()[None, :]
+    qy = segs["wy1"].to_numpy()[None, :]
+    len2 = (qx - ax) * (qx - ax) + (qy - ay) * (qy - ay)
+    t = ((px - ax) * (qx - ax) + (py - ay) * (qy - ay)) / len2
+    t = np.clip(t, 0.0, 1.0)
+    dx = px - (ax + t * (qx - ax))
+    dy = py - (ay + t * (qy - ay))
+    d2 = dx * dx + dy * dy
+
+    within = d2 <= _SNAP_R2
+    assert within.any()
+    # both clamp regimes and the interior projection are live fixtures
+    snapped_t = t[within]
+    assert (snapped_t == 0.0).any() or (snapped_t == 1.0).any()
+    assert ((snapped_t > 0.0) & (snapped_t < 1.0)).any()
+
+    # per-page argmin with (d2, way_id) tie-break; pages with no
+    # segment within SNAP_DEG must be absent from the engine output
+    way_ids = segs["way_id"].to_numpy()
+    order = np.argsort(way_ids)  # way_id ascending for the tie-break
+    d2o, wo = d2[:, order], way_ids[order]
+    best_idx = np.argmin(d2o, axis=1)  # first (lowest way_id) min
+    rows = []
+    for i, pid in enumerate(pages["page_id"].to_numpy()):
+        j = best_idx[i]
+        if d2o[i, j] <= _SNAP_R2:
+            rows.append((pid, wo[j], math.floor(d2o[i, j] * 1e12)))
+    bf = (
+        pd.DataFrame(rows, columns=["page_id", "way_id", "d2_e12"])
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert len(eng) == len(bf)
+    assert (eng["page_id"].to_numpy() == bf["page_id"].to_numpy()).all()
+    assert (eng["way_id"].to_numpy() == bf["way_id"].to_numpy()).all()
+    assert (eng["d2_e12"].to_numpy() == bf["d2_e12"].to_numpy()).all()
