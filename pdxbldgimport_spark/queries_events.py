@@ -1212,3 +1212,136 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("peak"),
         "n_deltas",
     )
+
+
+# ----------------------------------------------------------------------
+# events_twa: per-user time-weighted value integral — the
+# irregular-sampling analytics shape (billing meters, telemetry gauges:
+# each reading holds until the next one). Emits the exact integer
+# numerator/denominator pair (Σ cents·Δt_µs, Σ Δt_µs) instead of the
+# float quotient: both are int64 SUMs, order-independent and
+# hash-stable; the caller divides. The last reading of each user has no
+# successor and contributes nothing (standard left-closed TWA).
+#
+# Scale shape: ONE user-keyed exchange shared by the lead() window and
+# the partial/final agg (same single-Exchange discipline as
+# events_asof_join); no join, no Python.
+
+_TWA_ORACLE = """
+WITH q AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100e0) AS BIGINT) AS cents
+  FROM events
+), d AS (
+  SELECT user_id, cents,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dt_us
+  FROM q
+)
+SELECT user_id,
+       CAST(COALESCE(SUM(cents * dt_us), 0) AS BIGINT) AS twa_num,
+       CAST(COALESCE(SUM(dt_us), 0) AS BIGINT) AS twa_den_us,
+       COUNT(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+@register("events_twa", _TWA_ORACLE)
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    q = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    w = Wnd.partitionBy("user_id").orderBy("us", "event_id")
+    d = q.withColumn("dt_us", F.lead("us").over(w) - F.col("us"))
+    return d.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.col("cents") * F.col("dt_us")), F.lit(0))
+        .cast("long")
+        .alias("twa_num"),
+        F.coalesce(F.sum("dt_us"), F.lit(0)).cast("long").alias("twa_den_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ----------------------------------------------------------------------
+# events_mad_outliers: robust per-type outlier counts via median/MAD —
+# the heavy-tail-safe anomaly rule (mean/stddev break under the exact
+# skew the crawl's hot keys produce; median absolute deviation does
+# not). All medians are EXACT and integer-stable cross-engine: values
+# are quantized to cents, medians computed over DOUBLED integers so the
+# even-count interpolation midpoint (a+b)/2 lands on an integer in both
+# engines (Spark percentile() and DuckDB quantile_cont() both
+# interpolate continuously); the outlier rule |c − med| > 3.5·MAD is
+# cleared of fractions as 4·|2c − med2| > 7·mad4.
+#
+# Scale shape: three partial/final aggs over events keyed by the
+# bounded event_type dim, with two broadcast joins of the 5-row stats
+# between them — no wide shuffle ever carries the event rows by a
+# non-type key. Exact grouped medians are feasible at 100 TB here
+# because cents quantization bounds the per-group value domain (the
+# percentile aggregate contracts to a counting map of distinct values,
+# partial-aggregatable); an unbounded-domain column would swap in a
+# mergeable quantile sketch instead (doclen_quantiles' discipline).
+
+_MAD_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         2 * CAST(FLOOR(value * 100e0) AS BIGINT) AS c2
+  FROM events
+), med AS (
+  SELECT event_type,
+         CAST(quantile_cont(c2, 0.5) AS BIGINT) AS med2
+  FROM q GROUP BY event_type
+), dev AS (
+  SELECT q.event_type, q.c2, m.med2, ABS(q.c2 - m.med2) AS dev2
+  FROM q JOIN med m ON m.event_type = q.event_type
+), mad AS (
+  SELECT event_type,
+         CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ANY_VALUE(d.med2) AS med2,
+       ANY_VALUE(m.mad4) AS mad4,
+       CAST(SUM(CASE WHEN 4 * d.dev2 > 7 * m.mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_events
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("events_mad_outliers", _MAD_ORACLE)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    q = spark.table("events").select(
+        "event_type",
+        (2 * F.floor(F.col("value") * 100.0).cast("long")).alias("c2"),
+    )
+    med = q.groupBy("event_type").agg(
+        F.expr("CAST(percentile(c2, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = q.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.col("c2") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med2").alias("med2"),
+            F.any_value("mad4").alias("mad4"),
+            F.sum(
+                F.when(4 * F.col("dev2") > 7 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1561,3 +1561,72 @@ def q_snap_to_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.way_id").alias("way_id"),
         F.floor(F.col("b.d2") * F.lit(1e12)).cast("long").alias("d2_e12"),
     )
+
+
+# ----------------------------------------------------------------------
+# parcel_scan_path: per-parcel crawl trajectory length — the GPS-track /
+# scan-path aggregation shape (order points within a key by sequence,
+# accumulate step distances). Distances are Manhattan in integer
+# micro-degrees (FLOOR(deg * 1e6)): the step |Δlon|+|Δlat| and its sum
+# are exact int64, so the per-parcel SUM is order-independent and
+# hash-stable cross-engine (a Euclidean float path length would depend
+# on summation order). lon/lat flow through the same IEEE expression
+# trees in both engines (the dwithin_join discipline), so the FLOOR
+# quantization agrees bit-for-bit.
+#
+# Scale shape: ONE parcel-keyed exchange; the lag() window and the
+# partial/final agg reuse the same partitioning (Catalyst plans a
+# single Exchange); no join, no Python. The hot parcel (synth.HOT_*)
+# concentrates ~1/7 of pages into one window partition — at real scale
+# that key would route through the salting path like pip_assign; at
+# gate scale the single partition is bounded and exact.
+
+_SCAN_PATH_ORACLE = (
+    synth.oracle_with("pages")
+    + """
+, q AS (
+  SELECT pid, page_id,
+         CAST(FLOOR(lon * 1000000e0) AS BIGINT) AS ilon,
+         CAST(FLOOR(lat * 1000000e0) AS BIGINT) AS ilat
+  FROM pages
+)
+, s AS (
+  SELECT pid,
+         ABS(ilon - LAG(ilon) OVER w) + ABS(ilat - LAG(ilat) OVER w) AS step
+  FROM q
+  WINDOW w AS (PARTITION BY pid ORDER BY page_id)
+)
+SELECT pid,
+       CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_udeg,
+       CAST(COALESCE(MAX(step), 0) AS BIGINT) AS max_step_udeg,
+       COUNT(*) AS n_pages
+FROM s GROUP BY pid
+"""
+)
+
+
+@register("parcel_scan_path", _SCAN_PATH_ORACLE)
+def q_parcel_scan_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as Wnd
+
+    views(spark, sf_dir)
+    q = spark.table("pages").select(
+        "pid",
+        "page_id",
+        F.floor(F.col("lon") * 1_000_000.0).cast("long").alias("ilon"),
+        F.floor(F.col("lat") * 1_000_000.0).cast("long").alias("ilat"),
+    )
+    w = Wnd.partitionBy("pid").orderBy("page_id")
+    step = (
+        F.abs(F.col("ilon") - F.lag("ilon").over(w))
+        + F.abs(F.col("ilat") - F.lag("ilat").over(w))
+    )
+    return (
+        q.withColumn("step", step)
+        .groupBy("pid")
+        .agg(
+            F.coalesce(F.sum("step"), F.lit(0)).cast("long").alias("path_udeg"),
+            F.coalesce(F.max("step"), F.lit(0)).cast("long").alias("max_step_udeg"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+    )

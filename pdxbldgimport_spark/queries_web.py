@@ -1645,3 +1645,106 @@ def q_host_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         frontier = nxt.select("host")
     return visited
+
+
+# ----------------------------------------------------------------------
+# label_propagation: synchronous weighted label-propagation community
+# detection over the host graph (Raghavan et al. 2007, the synchronous
+# deterministic variant) — the community sibling of host_pagerank /
+# host_components. Each host starts labeled with itself; each of the
+# LPA_ITERS fixed rounds every host adopts the label carrying the
+# largest total incident edge weight among its neighbors, ties broken
+# by the SMALLEST label (synchronous update: all hosts read the
+# previous round's labels, so the result is order-independent and
+# exactly reproducible cross-engine — the classic async variant is
+# not).
+#
+# Scale shape: the symmetrized weighted edge list is ONE partial/final
+# agg, materialized once per (session, sf); each round is a hash join
+# of the bounded (host, label) table into the edge list keyed by the
+# neighbor end, a partial/final agg keyed by (host, label), and a
+# map-side argmax via max(struct(weight, -label)) — two bounded
+# shuffles per round, no windows, no driver-side graph state. The same
+# trillion-edge discipline as dedup_components' star contraction.
+#
+# The oracle is a genuinely different formulation: per-round chained
+# CTEs picking the best label with a row_number window (ORDER BY tw
+# DESC, lab ASC), not a struct-max.
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    sql = (
+        synth.oracle_with("pages")
+        + f"""
+, links AS (
+  SELECT pid AS src, (page_id * 13 + 7) % {synth.NP} AS dst FROM pages
+)
+, sym AS (
+  SELECT src AS a, dst AS b FROM links
+  UNION ALL
+  SELECT dst, src FROM links
+)
+, w AS (SELECT a, b, COUNT(*) AS w FROM sym GROUP BY 1, 2)
+, hosts AS (SELECT DISTINCT a AS h FROM w)
+, r0 AS (SELECT h, h AS lab FROM hosts)"""
+    )
+    for i in range(LPA_ITERS):
+        sql += f"""
+, s{i + 1} AS (
+  SELECT w.a AS h, r.lab, SUM(w.w) AS tw
+  FROM w JOIN r{i} r ON r.h = w.b
+  GROUP BY 1, 2
+)
+, r{i + 1} AS (
+  SELECT h, lab FROM (
+    SELECT h, lab,
+           ROW_NUMBER() OVER (PARTITION BY h
+                              ORDER BY tw DESC, lab ASC) AS rn
+    FROM s{i + 1}
+  ) t WHERE rn = 1
+)"""
+    sql += f"""
+SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       CAST(lab AS BIGINT) AS community
+FROM r{LPA_ITERS}
+"""
+    return sql
+
+
+@register("label_propagation", _lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+
+    def build_sym_edges() -> DataFrame:
+        links = spark.table("pages").select(
+            F.col("pid").alias("src"),
+            ((F.col("page_id") * 13 + 7) % synth.NP).alias("dst"),
+        )
+        sym = links.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).unionAll(links.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        return sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+
+    ew = stage(spark, (session_token(spark), sf_dir, "lpa_edges"), build_sym_edges)
+    labels = ew.select(F.col("a").alias("h")).distinct().withColumn(
+        "lab", F.col("h").cast("long")
+    )
+    for _ in range(LPA_ITERS):
+        scored = (
+            ew.join(labels.withColumnRenamed("h", "b"), "b")
+            .groupBy("a", "lab")
+            .agg(F.sum("w").alias("tw"))
+        )
+        # argmax(tw), tie -> min(lab): max over (tw, -lab) needs no window
+        labels = (
+            scored.groupBy("a")
+            .agg(F.max(F.struct(F.col("tw"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select(F.col("a").alias("h"), (-F.col("m.nl")).alias("lab"))
+        )
+    return labels.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.col("lab").cast("long").alias("community"),
+    )

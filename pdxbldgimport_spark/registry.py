@@ -36,6 +36,10 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "label_propagation",
+    "parcel_scan_path",
+    "events_twa",
+    "events_mad_outliers",
     "snap_to_segment",
     "cdc_apply",
     "doc_chunk",

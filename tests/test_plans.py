@@ -1505,3 +1505,41 @@ def test_bigram_lm_score_no_window_in_engine(spark):
     assert plan.count("HashAggregate") >= 4
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_parcel_scan_path_single_exchange_no_python(spark):
+    """parcel_scan_path: the lag() window and the per-parcel agg must
+    share ONE pid-keyed Exchange (Catalyst reuses the partitioning);
+    a second exchange would re-shuffle the whole pages table."""
+    plan = _plan(Q.QUERIES["parcel_scan_path"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_events_twa_single_exchange_no_python(spark):
+    """events_twa: lead() window + user agg over one user-keyed
+    Exchange, no join."""
+    plan = _plan(Q.QUERIES["events_twa"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_events_mad_outliers_broadcast_stats_no_sort_merge(spark):
+    """events_mad_outliers: the 5-row per-type stats must come back as
+    broadcast joins — the event rows must never shuffle by a non-type
+    key, and no sort-merge join may appear."""
+    plan = _plan(Q.QUERIES["events_mad_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_label_propagation_no_window_bounded_joins(spark):
+    """label_propagation: the per-round argmax is a struct-max
+    aggregate, never a Window (a window would sort every (host, label)
+    partition); rounds are hash joins + partial/final aggs only."""
+    plan = _plan(Q.QUERIES["label_propagation"](spark, SF))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan  # bounded label table broadcasts
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
