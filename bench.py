@@ -193,6 +193,10 @@ BENCH_QUERIES = [
     "cdc_apply",
     "doc_chunk",
     "bigram_lm_score",
+    "label_propagation",
+    "parcel_scan_path",
+    "events_twa",
+    "events_mad_outliers",
 ]
 
 
