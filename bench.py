@@ -197,6 +197,10 @@ BENCH_QUERIES = [
     "parcel_scan_path",
     "events_twa",
     "events_mad_outliers",
+    "host_sssp",
+    "events_cusum",
+    "cumulative_users",
+    "small_order_revenue",
 ]
 
 

@@ -1345,3 +1345,157 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# cumulative_users: registered-users-to-date — the running-DISTINCT
+# shape (cumulative uniques over time). A naive COUNT(DISTINCT) OVER
+# (ORDER BY day) re-deduplicates the full prefix per day; the
+# distributed form contracts first: one user-keyed agg takes each
+# user's FIRST day (min), a day-keyed agg counts first-appearances,
+# and the prefix sum runs over the BOUNDED day grid only (the
+# sessions_concurrency single-partition-window discipline: it touches
+# ≤|days| rows, never event rows).
+#
+# Scale shape: two partial/final aggs (user-keyed first-day, then
+# day-keyed counts), one day-keyed agg for the dense grid, and one
+# bounded-grid window — the event table is never windowed. The oracle
+# IS the naive formulation: a correlated per-day COUNT(DISTINCT) over
+# the full prefix (quadratic in days — exactly what the contracted
+# plan avoids), certifying the contraction is semantics-preserving.
+
+_CUMUSERS_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx
+  FROM events
+), days AS (SELECT DISTINCT day_idx FROM ev),
+cum AS (
+  SELECT d.day_idx,
+         (SELECT COUNT(DISTINCT e.user_id) FROM ev e
+          WHERE e.day_idx <= d.day_idx) AS cum_users
+  FROM days d
+)
+SELECT day_idx,
+       CAST(cum_users - COALESCE(LAG(cum_users) OVER (ORDER BY day_idx), 0)
+            AS BIGINT) AS new_users,
+       CAST(cum_users AS BIGINT) AS cum_users
+FROM cum
+"""
+
+
+@register("cumulative_users", _CUMUSERS_ORACLE)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS timestamp)) div 86400000000").alias(
+            "day_idx"
+        ),
+    )
+    firstday = ev.groupBy("user_id").agg(F.min("day_idx").alias("day_idx"))
+    newc = firstday.groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.groupBy("day_idx").agg(F.lit(1).alias("_one")).select("day_idx")
+    perday = days.join(newc, "day_idx", "left").select(
+        "day_idx", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = (
+        Wnd.partitionBy(F.lit(1))
+        .orderBy("day_idx")
+        .rowsBetween(Wnd.unboundedPreceding, 0)
+    )
+    return perday.select(
+        "day_idx",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# ----------------------------------------------------------------------
+# events_cusum: drift detection per event type — the centered
+# cumulative-sum (CUSUM chart without reset): dev(h) = cnt(h)·H − total
+# (the hour count's deviation from the type's mean, cleared of the
+# /H division by scaling through H = that type's hour-grid size), and
+# C(h) = Σ_{k≤h} dev(k). A sustained rate shift makes |C| grow
+# linearly; the flag fires when |C(h)| > CUSUM_K·max|dev| — all exact
+# int64. This complements events_anomaly (pointwise spike flags):
+# CUSUM catches slow drifts a per-hour threshold never sees.
+#
+# Scale shape: one partial/final agg to the (type, hour) grid, a
+# type-keyed window prefix sum over that BOUNDED grid (≤ types × hours
+# rows — never event rows), and a broadcast of the 5-row per-type
+# stats. The oracle formulates the same statistic with nested window
+# functions over a correlated per-type aggregate.
+
+CUSUM_K = 3
+
+_CUSUM_ORACLE = f"""
+WITH grid AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type,
+         COUNT(*) AS nh,
+         SUM(cnt) AS total
+  FROM grid GROUP BY event_type
+), dev AS (
+  SELECT g.event_type, g.hour_idx,
+         g.cnt * s.nh - s.total AS dev
+  FROM grid g JOIN st s ON s.event_type = g.event_type
+), mx AS (
+  SELECT event_type, MAX(ABS(dev)) AS maxdev FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.hour_idx,
+       CAST(SUM(d.dev) OVER (PARTITION BY d.event_type ORDER BY d.hour_idx
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum,
+       CAST(CASE WHEN ABS(SUM(d.dev) OVER (PARTITION BY d.event_type
+                                           ORDER BY d.hour_idx
+                                           ROWS UNBOUNDED PRECEDING))
+                      > {CUSUM_K} * m.maxdev
+                 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+FROM dev d JOIN mx m ON m.event_type = d.event_type
+"""
+
+
+@register("events_cusum", _CUSUM_ORACLE)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    grid = (
+        spark.table("events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS timestamp)) div 3600000000").alias(
+                "hour_idx"
+            ),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    st = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("cnt").alias("total")
+    )
+    dev = grid.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "hour_idx",
+        (F.col("cnt") * F.col("nh") - F.col("total")).alias("dev"),
+    )
+    mx = dev.groupBy("event_type").agg(F.max(F.abs("dev")).alias("maxdev"))
+    w = (
+        Wnd.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Wnd.unboundedPreceding, 0)
+    )
+    c = dev.withColumn("cusum", F.sum("dev").over(w))
+    return c.join(F.broadcast(mx), "event_type").select(
+        "event_type",
+        "hour_idx",
+        F.col("cusum").cast("long").alias("cusum"),
+        F.when(F.abs("cusum") > CUSUM_K * F.col("maxdev"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("drift_flag"),
+    )

@@ -565,3 +565,61 @@ def q_lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_sum",
         )
     )
+
+
+# ----------------------------------------------------------------------
+# small_order_revenue: TPC-H Q17's correlated-subquery shape — revenue
+# locked in "small" orders, where small means below 20% of that part's
+# average quantity. The textbook formulation is a correlated scalar
+# subquery per row; the scalable plan DECORRELATES it: one
+# partial/final (sum_qty, cnt) agg per part, broadcast back over the
+# lineitem scan, the fractional-average comparison cleared of division
+# as 5·qty_c·cnt < sum_qty_c (exact int64 — no 0.2·avg float), then
+# one final rollup by brand. The oracle keeps the CORRELATED
+# formulation (DuckDB decorrelates internally) — a genuinely different
+# derivation of the same rows certifying the decorrelation is
+# semantics-preserving.
+#
+# Scale shape: two scans of lineitem with ONE bounded (part-keyed)
+# shuffle for the stats and a broadcast join back; no row-level
+# correlated evaluation anywhere.
+
+_SMALL_ORDER_ORACLE = f"""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM({_CENTS}) AS BIGINT) AS lost_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * {_QTY_C} * (
+        SELECT COUNT(*) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      ) < (
+        SELECT SUM({_QTY_C.replace('l_quantity', 'l2.l_quantity')})
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+GROUP BY p.p_brand
+"""
+
+
+@register("small_order_revenue", _SMALL_ORDER_ORACLE)
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_partkey",
+        F.expr(_QTY_C).alias("qty_c"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(F.broadcast(stats), "l_partkey").where(
+        5 * F.col("qty_c") * F.col("cnt") < F.col("sum_qty_c")
+    )
+    part = spark.table("part").select("p_partkey", "p_brand")
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum("cents").cast("long").alias("lost_cents"),
+        )
+    )

@@ -1748,3 +1748,117 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("host"),
         F.col("lab").cast("long").alias("community"),
     )
+
+
+# ----------------------------------------------------------------------
+# host_sssp: multi-source WEIGHTED shortest path over the host graph —
+# the weighted sibling of host_bfs_layers (hop-count BFS): K rounds of
+# Bellman-Ford min-plus relaxation from the same seed rule. Edge
+# weights are deterministic small ints (1 + (src+dst) % 7) over the
+# DISTINCT directed edge set, so distances are exact int64 and the
+# min-plus algebra is associative; SSSP_ROUNDS = 8 bounds the deepest
+# weighted path the gate certifies (strictly more rounds than the
+# graph's hop diameter, so the fixed-K result equals the fixpoint on
+# the synth graph — asserted by the brute-force pytest running
+# Dijkstra to convergence).
+#
+# Scale shape: per round ONE hash join of the bounded (host, dist)
+# frontier table into the distinct edge list + a partial/final MIN agg
+# keyed by dst, unioned with the previous distances and re-minimized —
+# two bounded shuffles per round over contracting tables, DISK_ONLY
+# lineage cuts (the dedup_components discipline); no driver-side graph
+# state. The oracle unrolls the same K rounds as chained CTEs but
+# formulates each as a LEFT JOIN + LEAST over the FULL host set (a
+# dense-table formulation, not a frontier one).
+
+SSSP_ROUNDS = 8
+_SSSP_SEED_MOD = 50  # hosts with h % 50 == 0 are sources (5 of 250)
+
+
+def _sssp_oracle() -> str:
+    sql = (
+        synth.oracle_with("pages")
+        + f"""
+, e AS (
+  SELECT DISTINCT pid AS src, (page_id * 13 + 7) % {synth.NP} AS dst
+  FROM pages
+)
+, ew AS (SELECT src, dst, 1 + (src + dst) % 7 AS wgt FROM e)
+, hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM ew UNION ALL SELECT dst FROM ew
+  ) u
+)
+, d0 AS (
+  SELECT h, CASE WHEN h % {_SSSP_SEED_MOD} = 0 THEN 0 END AS dist
+  FROM hosts
+)"""
+    )
+    for i in range(SSSP_ROUNDS):
+        sql += f"""
+, d{i + 1} AS (
+  SELECT h.h,
+         LEAST(COALESCE(d.dist, 9223372036854775807),
+               COALESCE(r.relaxed, 9223372036854775807)) AS dist
+  FROM hosts h
+  LEFT JOIN d{i} d ON d.h = h.h
+  LEFT JOIN (
+    SELECT ew.dst AS h, MIN(p.dist + ew.wgt) AS relaxed
+    FROM ew JOIN d{i} p ON p.h = ew.src AND p.dist IS NOT NULL
+    GROUP BY ew.dst
+  ) r ON r.h = h.h
+)"""
+    sql += f"""
+SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       CAST(dist AS BIGINT) AS dist
+FROM d{SSSP_ROUNDS}
+WHERE dist < 9223372036854775807
+"""
+    return sql
+
+
+@register("host_sssp", _sssp_oracle())
+def q_host_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    views(spark, sf_dir)
+
+    def build_weighted_edges() -> DataFrame:
+        e = (
+            spark.table("pages")
+            .select(
+                F.col("pid").alias("src"),
+                ((F.col("page_id") * 13 + 7) % synth.NP).alias("dst"),
+            )
+            .distinct()
+        )
+        return e.withColumn("wgt", 1 + (F.col("src") + F.col("dst")) % 7)
+
+    ew = stage(spark, (session_token(spark), sf_dir, "sssp_edges"), build_weighted_edges)
+    hosts = (
+        ew.select(F.col("src").alias("h"))
+        .unionAll(ew.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    dist = (
+        hosts.where(F.col("h") % _SSSP_SEED_MOD == 0)
+        .select("h", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            ew.join(dist.withColumnRenamed("h", "src"), "src")
+            .select(F.col("dst").alias("h"), (F.col("dist") + F.col("wgt")).alias("d"))
+        )
+        dist = (
+            dist.select("h", F.col("dist").alias("d"))
+            .unionByName(relaxed)
+            .groupBy("h")
+            .agg(F.min("d").alias("dist"))
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    return dist.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.col("dist").cast("long").alias("dist"),
+    )

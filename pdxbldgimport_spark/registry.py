@@ -36,6 +36,10 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "host_sssp",
+    "events_cusum",
+    "cumulative_users",
+    "small_order_revenue",
     "label_propagation",
     "parcel_scan_path",
     "events_twa",

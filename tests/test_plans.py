@@ -1543,3 +1543,43 @@ def test_label_propagation_no_window_bounded_joins(spark):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan  # bounded label table broadcasts
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_small_order_revenue_broadcast_decorrelated(spark):
+    """small_order_revenue: the decorrelated per-part stats and the
+    part dim must both come back as broadcast joins — lineitem rows
+    never sort-merge."""
+    plan = _plan(Q.QUERIES["small_order_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_events_cusum_broadcast_stats_window_on_grid(spark):
+    """events_cusum: the per-type stats broadcast back; the prefix-sum
+    window runs ABOVE the (type, hour) contraction (a HashAggregate
+    appears below the Window), never over raw events."""
+    plan = _plan(Q.QUERIES["events_cusum"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")  # agg feeds window (plan prints top-down)
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_cumulative_users_window_on_bounded_grid(spark):
+    """cumulative_users: the single-partition prefix window touches the
+    bounded day grid only — both user- and day-keyed contractions
+    (HashAggregates) sit below it, and no Python appears."""
+    plan = _plan(Q.QUERIES["cumulative_users"](spark, SF))
+    assert plan.count("HashAggregate") >= 4  # partial+final × (user, day)
+    assert "Window" in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_host_sssp_no_window_no_python(spark):
+    """host_sssp: min-plus relaxation rounds are joins + partial/final
+    MIN aggs on checkpointed bounded tables — no Window, no Python."""
+    plan = _plan(Q.QUERIES["host_sssp"](spark, SF))
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
