@@ -1294,3 +1294,138 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("canonical_url").alias("first_url"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# ip_lpm_route: longest-prefix-match routing join — resolve each host's
+# server IP against a CIDR-style route table carrying prefixes at five
+# specificities (/8 /12 /16 /20 /24) and keep the MOST SPECIFIC match,
+# the classic network-attribution join (GeoIP / ASN lookup) a crawl
+# pipeline runs to apportion fetch traffic. The route table here is a
+# deterministic derivation (per-level hash selectors over the host
+# space, densities thinning with specificity like a real BGP dump); in
+# production it is a static broadcast dim, and the SHAPE is what this
+# query certifies: LPM never becomes a theta/range join — each host
+# expands to exactly |levels| candidate keys (ip >> (32-plen)), an
+# equi-join against the broadcast prefix table matches per level, and
+# max(struct(plen, region)) picks the most specific map-side (at most
+# one route per level per host after the per-(plen,prefix) dedup, so
+# the struct-max is tie-free).
+#
+# Scale shape: pages contract to hosts in ONE partial/final agg (the
+# only big shuffle); the 5x candidate fan-out is map-side over host
+# rows; the route join is a BroadcastHashJoin; unmatched hosts fall to
+# the 'default' route (plen 0) via a left join. The oracle derives the
+# winner the algorithm-independent way (MAX plen per host, join back
+# for its region).
+
+LPM_LEVELS = [(8, 3), (12, 5), (16, 11), (20, 23), (24, 47)]
+_IP_MOD = 4294967296  # 2^32
+
+
+def _lpm_oracle() -> str:
+    ip60 = _h60_sql("md5(host)", "strpos")
+    routes = "\nUNION ALL\n".join(
+        f"""SELECT {plen} AS plen, ip // {2 ** (32 - plen)} AS prefix
+FROM hip WHERE {_h60_sql(f"md5('sel{plen}:' || host)", "strpos")} % {mod} = 0"""
+        for plen, mod in LPM_LEVELS
+    )
+    cand = "\nUNION ALL\n".join(
+        f"SELECT host, {plen} AS plen, ip // {2 ** (32 - plen)} AS prefix "
+        "FROM hip"
+        for plen, _ in LPM_LEVELS
+    )
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, hosts AS (
+  SELECT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         COUNT(*) AS n_pages
+  FROM pages GROUP BY 1
+), hip AS (
+  SELECT host, n_pages, {ip60} % {_IP_MOD} AS ip FROM hosts
+), routes AS (
+  SELECT DISTINCT plen, prefix FROM ({routes})
+), reg AS (
+  SELECT plen, prefix,
+         'g' || CAST((prefix + plen) % 9 AS VARCHAR) AS region
+  FROM routes
+), cand AS ({cand}
+), best AS (
+  SELECT c.host, MAX(c.plen) AS plen
+  FROM cand c JOIN reg r ON r.plen = c.plen AND r.prefix = c.prefix
+  GROUP BY c.host
+), bestr AS (
+  SELECT b.host, b.plen, r.region
+  FROM best b
+  JOIN cand c ON c.host = b.host AND c.plen = b.plen
+  JOIN reg r ON r.plen = c.plen AND r.prefix = c.prefix
+)
+SELECT COALESCE(br.region, 'default') AS region,
+       CAST(COALESCE(br.plen, 0) AS BIGINT) AS plen,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(h.n_pages) AS BIGINT) AS n_pages
+FROM hip h LEFT JOIN bestr br ON br.host = h.host
+GROUP BY 1, 2
+"""
+    )
+
+
+@register("ip_lpm_route", _lpm_oracle())
+def q_ip_lpm_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ip60 = _h60_sql("md5(cast(host as binary))", "instr")
+    hosts = (
+        spark.table("pages")
+        .select(
+            F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .withColumn("ip", F.expr(f"({ip60}) % {_IP_MOD}"))
+    )
+    routes = None
+    for plen, mod in LPM_LEVELS:
+        sel60 = _h60_sql(
+            f"md5(cast(concat('sel{plen}:', host) as binary))", "instr"
+        )
+        lvl = hosts.where(F.expr(f"({sel60}) % {mod} = 0")).select(
+            F.lit(plen).alias("plen"),
+            F.expr(f"ip div {2 ** (32 - plen)}").alias("prefix"),
+        )
+        routes = lvl if routes is None else routes.unionByName(lvl)
+    routes = routes.distinct().withColumn(
+        "region", F.expr("concat('g', CAST((prefix + plen) % 9 AS STRING))")
+    )
+    cand = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(plen).alias("plen"),
+                        F.expr(f"ip div {2 ** (32 - plen)}").alias("prefix"),
+                    )
+                    for plen, _ in LPM_LEVELS
+                ]
+            )
+        ).alias("c"),
+    ).select("host", "c.plen", "c.prefix")
+    best = (
+        cand.join(F.broadcast(routes), ["plen", "prefix"])
+        .groupBy("host")
+        .agg(F.max(F.struct("plen", "region")).alias("b"))
+    )
+    return (
+        hosts.join(best, "host", "left")
+        .select(
+            "n_pages",
+            F.coalesce(F.col("b.region"), F.lit("default")).alias("region"),
+            F.coalesce(F.col("b.plen"), F.lit(0)).cast("long").alias("plen"),
+        )
+        .groupBy("region", "plen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("n_pages").cast("long").alias("n_pages"),
+        )
+    )

@@ -1499,3 +1499,109 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drift_flag"),
     )
+
+
+# ----------------------------------------------------------------------
+# bot_users: crawl/abuse hygiene — flag users whose inter-arrival gaps
+# are inhumanly regular. Gaps are hour-quantized (BOT_Q_US) so genuine
+# periodicity collides into a modal bucket; per user we take the modal
+# gap's share of all gaps (exact integer ppm) and flag users whose
+# share is >= 1.5x the population median share (self-calibrating — no
+# absolute threshold to go dead when the traffic mix shifts). All
+# arithmetic is exact int64.
+#
+# Scale shape: ONE user-keyed exchange for the lag window, then two
+# contraction aggs ((user,gap) -> user). The population median is
+# computed over the VALUE GRID, not the user rows: share_ppm is an
+# integer in [0, 1e6], so the engine takes a (share_ppm -> count) agg
+# and a prefix sum over that bounded grid (<= 1e6+1 rows through the
+# single-partition window — never one row per user, which at 10^12
+# events would put 10^9 rows through one task). The oracle derives the
+# median the algorithm-independent way (ROW_NUMBER over user rows),
+# certifying the grid contraction is semantics-preserving.
+
+BOT_Q_US = 3_600_000_000  # hour quantization of inter-arrival gaps
+
+_BOT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {BOT_Q_US} AS s, event_id FROM events
+), g AS (
+  SELECT user_id,
+         s - LAG(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gap
+  FROM e
+), gg AS (
+  SELECT user_id, gap, COUNT(*) AS cnt FROM g
+  WHERE gap IS NOT NULL GROUP BY 1, 2
+), a AS (
+  SELECT user_id, SUM(cnt) AS n_gaps, COUNT(*) AS n_gaps_distinct,
+         MAX(cnt) AS modal_cnt,
+         MAX(cnt) * 1000000 // SUM(cnt) AS share_ppm
+  FROM gg GROUP BY user_id
+), r AS (
+  SELECT share_ppm, ROW_NUMBER() OVER (ORDER BY share_ppm, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM a
+), m AS (SELECT share_ppm AS med FROM r WHERE rn = (n + 1) // 2)
+SELECT user_id,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(n_gaps_distinct AS BIGINT) AS n_gaps_distinct,
+       CAST(modal_cnt AS BIGINT) AS modal_cnt,
+       CAST(share_ppm AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN 2 * share_ppm >= 3 * (SELECT med FROM m)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM a
+"""
+
+
+@register("bot_users", _BOT_ORACLE)
+def q_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        F.expr(
+            f"unix_micros(CAST(ts AS timestamp)) div {BOT_Q_US}"
+        ).alias("s"),
+        "event_id",
+    )
+    w = Wnd.partitionBy("user_id").orderBy("s", "event_id")
+    g = ev.select(
+        "user_id", (F.col("s") - F.lag("s").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    a = (
+        g.groupBy("user_id", "gap")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("n_gaps"),
+            F.count(F.lit(1)).alias("n_gaps_distinct"),
+            F.max("cnt").alias("modal_cnt"),
+        )
+        .withColumn("share_ppm", F.expr("modal_cnt * 1000000 div n_gaps"))
+    )
+    # exact population median over the BOUNDED ppm value grid
+    grid = a.groupBy("share_ppm").agg(F.count(F.lit(1)).alias("c"))
+    wall = Wnd.partitionBy(F.lit(1))
+    cum = grid.select(
+        "share_ppm",
+        F.sum("c")
+        .over(
+            wall.orderBy("share_ppm").rowsBetween(Wnd.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = (
+        cum.where(F.expr("cum >= (n + 1) div 2"))
+        .agg(F.min("share_ppm").alias("med"))
+    )
+    return a.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("n_gaps_distinct").cast("long").alias("n_gaps_distinct"),
+        F.col("modal_cnt").cast("long").alias("modal_cnt"),
+        F.col("share_ppm").cast("long").alias("share_ppm"),
+        F.when(2 * F.col("share_ppm") >= 3 * F.col("med"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_bot"),
+    )

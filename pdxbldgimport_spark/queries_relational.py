@@ -623,3 +623,60 @@ def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("lost_cents"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# top_supplier: TPC-H Q15's view-plus-global-max shape — quarterly
+# discounted revenue per supplier, keep the supplier(s) achieving the
+# global maximum. The interesting plan property is the MAX-equality
+# join back onto the aggregate: the revenue agg is ONE bounded
+# (suppkey-keyed) partial/final shuffle, the global max is a 1-row
+# aggregate broadcast back (never a sort), and the supplier dim is a
+# broadcast. Money stays integer cents throughout, so the equality
+# comparison is exact (a double SUM would make "equals the max"
+# ordering-dependent).
+
+_TOPSUP_LO, _TOPSUP_HI = "1996-01-01", "1996-04-01"
+_DISC_C_SQL = f"({_CENTS} * (1000000 - {_DISC_PPM}))"
+
+_TOPSUP_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC_C_SQL} // 1000000) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= '{_TOPSUP_LO}' AND l_shipdate < '{_TOPSUP_HI}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.rev_c AS BIGINT) AS total_rev_c
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev_c = (SELECT MAX(rev_c) FROM rev)
+"""
+
+
+@register("top_supplier", _TOPSUP_ORACLE)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_TOPSUP_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_TOPSUP_HI).cast("timestamp"))
+    )
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.expr(f"{_DISC_C_SQL} div 1000000").alias("disc_c"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("disc_c").alias("rev_c"))
+    )
+    mx = rev.agg(F.max("rev_c").alias("mx"))
+    sup = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.rev_c == mx.mx)
+        .join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_c").cast("long").alias("total_rev_c"),
+        )
+    )

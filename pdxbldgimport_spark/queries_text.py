@@ -3868,3 +3868,71 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lm_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# weighted_quantiles: exact WEIGHTED median / p90 of document length
+# per language, weighted by the whitespace word count — the curriculum
+# statistic "the token-weighted typical document" (a plain median
+# over-represents short docs; training cost is token-weighted). The
+# weighted q-quantile is the smallest value v with cum_weight(v) >=
+# q * total, kept exact by clearing the fraction: 2*cum >= total
+# (median) and 10*cum >= 9*total (p90) — no floats anywhere.
+#
+# Scale shape: doc rows contract immediately to the (lang, n_chars)
+# VALUE GRID via one partial/final agg (bounded by distinct lengths,
+# not corpus size), then a per-lang prefix-sum window over that grid.
+# The oracle formulates the same thresholds over DuckDB windows — same
+# fraction-cleared comparisons, independently derived plan.
+
+_WQ_W_SQL = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+_WQ_ORACLE = f"""
+WITH d AS (
+  SELECT lang, n_chars AS v, {_WQ_W_SQL} AS w FROM documents
+), g AS (
+  SELECT lang, v, SUM(w) AS w FROM d GROUP BY 1, 2
+), c AS (
+  SELECT lang, v, w,
+         SUM(w) OVER (PARTITION BY lang ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY lang) AS total
+  FROM g
+)
+SELECT lang,
+       CAST(MAX(total) AS BIGINT) AS total_w,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN v END) AS BIGINT)
+         AS median_v,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN v END) AS BIGINT)
+         AS p90_v
+FROM c GROUP BY lang
+"""
+
+
+@register("weighted_quantiles", _WQ_ORACLE)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "lang",
+        F.col("n_chars").alias("v"),
+        F.expr(_WQ_W_SQL).alias("w"),
+    )
+    g = d.groupBy("lang", "v").agg(F.sum("w").alias("w"))
+    wl = Wnd.partitionBy("lang")
+    c = g.select(
+        "lang",
+        "v",
+        F.sum("w")
+        .over(wl.orderBy("v").rowsBetween(Wnd.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("w").over(wl).alias("total"),
+    )
+    return c.groupBy("lang").agg(
+        F.max("total").cast("long").alias("total_w"),
+        F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("v")))
+        .cast("long")
+        .alias("median_v"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("v")))
+        .cast("long")
+        .alias("p90_v"),
+    )

@@ -36,6 +36,10 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "ip_lpm_route",
+    "bot_users",
+    "weighted_quantiles",
+    "top_supplier",
     "host_sssp",
     "events_cusum",
     "cumulative_users",

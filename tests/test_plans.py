@@ -1583,3 +1583,43 @@ def test_host_sssp_no_window_no_python(spark):
     plan = _plan(Q.QUERIES["host_sssp"](spark, SF))
     assert "Window" not in plan
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_ip_lpm_route_broadcast_routes_no_nested_loop(spark):
+    plan = _plan(Q.QUERIES["ip_lpm_route"](spark, SF))
+    # the route table joins as a broadcast; LPM must never plan as a
+    # theta/range join (nested loop) or shuffle the host side per level
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_bot_users_median_on_grid_not_user_rows(spark):
+    plan = _plan(Q.QUERIES["bot_users"](spark, SF))
+    # the single-partition window runs over the (share_ppm -> count)
+    # grid AFTER a hash aggregation; the user table reaches the final
+    # flag via a broadcast of the 1-row median, never a sort-merge
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_weighted_quantiles_contracts_before_window(spark):
+    plan = _plan(Q.QUERIES["weighted_quantiles"](spark, SF))
+    # doc rows contract to the (lang, n_chars) grid via partial+final
+    # agg before any Window touches them
+    assert plan.count("HashAggregate") >= 2
+    assert plan.index("HashAggregate") < plan.index("Window")
+    assert "MapInPandas" not in plan
+
+
+def test_top_supplier_broadcast_max_no_sort(spark):
+    plan = _plan(Q.QUERIES["top_supplier"](spark, SF))
+    # global-max equality join back: broadcast 1-row max + broadcast
+    # supplier dim; no global sort, no sort-merge join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "MapInPandas" not in plan
