@@ -201,6 +201,26 @@ BENCH_QUERIES = [
     "events_cusum",
     "cumulative_users",
     "small_order_revenue",
+    "ip_lpm_route",
+    "bot_users",
+    "weighted_quantiles",
+    "top_supplier",
+    "redirect_resolve",
+    "host_neighbor_jaccard",
+    "custdist",
+    "wait_suppliers",
+    "host_kcore",
+    "events_interval_union",
+    "idle_customers",
+    "part_share_suppliers",
+    "priority_orders",
+    "promo_share",
+    "min_cost_supplier",
+    "host_assortativity",
+    "tile_pca_moments",
+    "national_share",
+    "events_simpson",
+    "trimmed_mean_value",
 ]
 
 

@@ -1605,3 +1605,242 @@ def q_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_bot"),
     )
+
+
+# ----------------------------------------------------------------------
+# events_interval_union: per-user TOTAL COVERED TIME after merging
+# overlapping intervals — the gaps-and-islands sweep (ad-impression /
+# session-overlap accounting). Each event opens a deterministic
+# interval [ts, ts + 60s + (event_id % 7)·90s]; per user the union
+# length and island count are exact int64 microseconds.
+#
+# Scale shape: ONE user-keyed exchange. The island sweep is the
+# running-max trick — prev_max_end = MAX(end) over the ordered frame
+# up to the PREVIOUS row; a row opens a new island when its start
+# exceeds that; island_id is the prefix sum of open flags — so a
+# user's intervals merge in one pass of two rows-frame windows, never
+# a self-join of overlapping pairs (quadratic in the hot user's
+# events). The per-(user, island) and per-user contractions both
+# cluster on the user prefix, so Spark reuses the window's hash
+# partitioning: the whole query is one shuffle. The oracle states the
+# SAME sweep in DuckDB's dialect (the formulation IS the operator
+# here); the pytest brute force merges intervals in pure Python.
+
+INTERVAL_BASE_S = 60
+INTERVAL_STEP_S = 90
+
+
+def _iu_intervals(dialect_us: str) -> str:
+    return (
+        f"SELECT user_id, event_id, {dialect_us} AS s_us, "
+        f"{dialect_us} + ({INTERVAL_BASE_S} + (event_id % 7) * "
+        f"{INTERVAL_STEP_S}) * 1000000 AS e_us FROM events"
+    )
+
+
+_IU_ORACLE = f"""
+WITH iv AS ({_iu_intervals('epoch_us(ts)')})
+, sweep AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+             PARTITION BY user_id ORDER BY s_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS opens
+  FROM iv
+)
+, isl AS (
+  SELECT user_id, s_us, e_us,
+         SUM(opens) OVER (
+             PARTITION BY user_id ORDER BY s_us, e_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM sweep
+)
+, merged AS (
+  SELECT user_id, island, MIN(s_us) AS s_us, MAX(e_us) AS e_us
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(e_us - s_us) AS BIGINT) AS covered_us
+FROM merged GROUP BY 1
+"""
+
+
+@register("events_interval_union", _IU_ORACLE)
+def q_events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = spark.table("events").select(
+        "user_id",
+        "event_id",
+        us.alias("s_us"),
+        (
+            us
+            + (
+                F.lit(INTERVAL_BASE_S)
+                + (F.col("event_id") % 7) * INTERVAL_STEP_S
+            )
+            * F.lit(1_000_000)
+        ).alias("e_us"),
+    )
+    w = Wnd.partitionBy("user_id").orderBy("s_us", "event_id")
+    sweep = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.when(
+            F.col("s_us")
+            > F.coalesce(
+                F.max("e_us").over(
+                    w.rowsBetween(Wnd.unboundedPreceding, -1)
+                ),
+                F.lit(-1),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("opens"),
+    )
+    w2 = Wnd.partitionBy("user_id").orderBy("s_us", "e_us")
+    isl = sweep.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum("opens")
+        .over(w2.rowsBetween(Wnd.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("s_us"), F.max("e_us").alias("e_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("long").alias("covered_us"),
+    )
+
+
+# ----------------------------------------------------------------------
+# events_simpson: per-type user-concentration statistics — the exact
+# int64 ingredients of the Simpson/collision index (n_events, n_users,
+# Σc_u², Σc_u·(c_u−1)) answering "is this event type driven by a few
+# heavy users?". The float index λ = Σc(c−1) / n(n−1) stays driver-
+# side (same sufficient-statistics discipline as host_assortativity).
+# Scale shape: the corpus contracts to (type, user) counts in ONE
+# partial/final agg, then the per-type rollup runs over the
+# user-bounded relation — no window, no join, and the second agg's
+# exchange carries ≤ |users|·|types| rows.
+
+_SIMPSON_ORACLE = """
+WITH cu AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       CAST(SUM(c * (c - 1)) AS BIGINT) AS sum_coll
+FROM cu GROUP BY 1
+"""
+
+
+@register("events_simpson", _SIMPSON_ORACLE)
+def q_events_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    cu = (
+        spark.table("events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cu.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("sum_coll"),
+    )
+
+
+# ----------------------------------------------------------------------
+# trimmed_mean_value: per-type WINSORIZED value sum — every value
+# clamped into [p10, p90] before summing (the robust revenue rollup
+# that shrugs off sensor spikes). Quantile convention matches
+# events_value_quantiles: pK = smallest cents with 10·cum ≥ K·n/10
+# over the integer-cents domain.
+#
+# Scale shape: thresholds come from the bounded (type, cents) VALUE
+# GRID — the corpus contracts once, the cumulative window runs over
+# the grid (≤ domain size per type), and the two quantile picks are
+# one conditional-min agg; the 5-row threshold table then BROADCASTS
+# back over a second corpus pass whose clamp+sum is pure codegen. Raw
+# events are never sorted or windowed. The oracle derives the SAME
+# thresholds by ROW_NUMBER over raw event rows — the genuinely
+# different formulation — certifying grid-quantile == row-quantile
+# (the bot_users equivalence, here for two cut points).
+
+_TRIM_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), th AS (
+  SELECT event_type,
+         MIN(CASE WHEN 10 * rn >= n THEN cents END) AS lo_c,
+         MIN(CASE WHEN 10 * rn >= 9 * n THEN cents END) AS hi_c
+  FROM r GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(th.lo_c) AS BIGINT) AS lo_c,
+       CAST(MIN(th.hi_c) AS BIGINT) AS hi_c,
+       CAST(SUM(LEAST(GREATEST(e.cents, th.lo_c), th.hi_c)) AS BIGINT)
+         AS winsor_sum_c
+FROM e JOIN th ON th.event_type = e.event_type
+GROUP BY 1
+"""
+
+
+@register("trimmed_mean_value", _TRIM_ORACLE)
+def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    e = spark.table("events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = e.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Wnd.partitionBy("event_type").orderBy("cents")
+    c = g.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w.rowsBetween(Wnd.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(
+            Wnd.partitionBy("event_type").orderBy("cents").rowsBetween(
+                Wnd.unboundedPreceding, Wnd.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    th = c.groupBy("event_type").agg(
+        F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("cents"))).alias(
+            "lo_c"
+        ),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("cents"))
+        ).alias("hi_c"),
+    )
+    return (
+        e.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("lo_c").cast("long").alias("lo_c"),
+            F.min("hi_c").cast("long").alias("hi_c"),
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c"))
+            )
+            .cast("long")
+            .alias("winsor_sum_c"),
+        )
+    )

@@ -680,3 +680,501 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_c").cast("long").alias("total_rev_c"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# custdist: TPC-H Q13's customer-order distribution — the COUNT-OF-
+# COUNTS shape: per customer, how many non-urgent orders they placed
+# (customers with zero orders included via the outer join), then the
+# histogram of those counts. The interesting plan property is the
+# double contraction: orders contract to (custkey, n) in one partial/
+# final agg BEFORE the outer join (never join raw order rows to
+# customers), and the second agg runs over the already-customer-sized
+# relation. At 10^12-row fact scale the first agg is the only big
+# shuffle; everything after is dimension-sized.
+
+_CUSTDIST_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders
+  WHERE o_orderpriority <> '1-URGENT' GROUP BY 1
+), cc AS (
+  SELECT c.c_custkey, COALESCE(o.n, 0) AS c_count
+  FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM cc GROUP BY 1
+"""
+
+
+@register("custdist", _CUSTDIST_ORACLE)
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    o = (
+        spark.table("orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cc = (
+        spark.table("customer")
+        .select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+    )
+    return cc.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+# ----------------------------------------------------------------------
+# wait_suppliers: TPC-H Q21's suppliers-who-kept-waiting shape, adapted
+# to the driver schema (no commit/receipt dates — "late" is shipping
+# more than WAIT_LATE_DAYS after the order date). A supplier "kept an
+# order waiting" when, in a finished ('F') multi-supplier order, it was
+# the ONLY supplier that shipped late. Q21's classic formulation is an
+# EXISTS (another supplier participated) plus a NOT EXISTS (no OTHER
+# supplier was late) — two correlated self-joins on the fact table.
+#
+# Scale shape: the engine replaces both correlated self-joins with ONE
+# per-order contraction — n_supp = distinct suppliers, n_late_supp =
+# distinct late suppliers per order — then a hash join of late supplier
+# rows back to that order summary; qualification is (n_supp >= 2 AND
+# n_late_supp = 1). The fact table shuffles ONCE by orderkey instead of
+# three times (l1/l2/l3); orders joins in as a broadcast-able dim
+# filter. The oracle keeps the EXISTS/NOT EXISTS formulation, so the
+# gate certifies the decorrelated rewrite is semantics-preserving.
+# numwait counts DISTINCT qualifying orders per supplier (multiplicity-
+# free, exact cross-engine).
+
+WAIT_LATE_DAYS = 75
+
+_WAIT_ORACLE = f"""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate)
+           > {WAIT_LATE_DAYS} AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late
+), w AS (
+  SELECT a.l_suppkey, a.l_orderkey FROM l1 a
+  WHERE EXISTS (
+      SELECT 1 FROM li b
+      WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+    AND NOT EXISTS (
+      SELECT 1 FROM li c
+      WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+        AND c.late)
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+@register("wait_suppliers", _WAIT_ORACLE)
+def q_wait_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    orders = (
+        spark.table("orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                > WAIT_LATE_DAYS
+            ).alias("late"),
+        )
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late_supp"),
+    )
+    w = (
+        per_supp.where(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    sup = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        w.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+# ----------------------------------------------------------------------
+# idle_customers: TPC-H Q22's "positive-balance customers who went
+# quiet" shape — customers (in a selected nation stratum) whose account
+# balance exceeds the stratum's positive-balance average AND who placed
+# no order on/after the idle cutoff; rolled up per nation. Two classic
+# decorrelations in one query: the scalar AVG subquery becomes a 1-row
+# broadcast compared exactly as bal_c * cnt > sum_c (no float average),
+# and the NOT EXISTS becomes a left_anti against the DISTINCT custkeys
+# of post-cutoff orders (orders contract to distinct keys BEFORE the
+# anti join — at 10^12 orders the anti probe is customer-sized, not
+# fact-sized). The oracle keeps both correlated forms, so the gate
+# certifies both rewrites. acctbal can be negative: FLOOR is floor
+# division in both engines, consistent at the cents quantization.
+
+IDLE_CUTOFF = "2001-01-01 00:00:00"
+
+_BAL_C = "CAST(FLOOR(c_acctbal * 100e0) AS BIGINT)"
+
+_IDLE_ORACLE = f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, {_BAL_C} AS bal_c
+  FROM customer WHERE c_nationkey % 2 = 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+FROM cust c
+WHERE c.bal_c * (SELECT COUNT(*) FROM cust p WHERE p.bal_c > 0)
+        > (SELECT SUM(p.bal_c) FROM cust p WHERE p.bal_c > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+GROUP BY 1
+"""
+
+
+@register("idle_customers", _IDLE_ORACLE)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    cust = (
+        spark.table("customer")
+        .where(F.col("c_nationkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") * F.lit(100.0))
+            .cast("long")
+            .alias("bal_c"),
+        )
+    )
+    stats = cust.where(F.col("bal_c") > 0).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("bal_c").alias("sum_c")
+    )
+    active = (
+        spark.table("orders")
+        .where(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(stats))
+        .where(F.col("bal_c") * F.col("cnt") > F.col("sum_c"))
+        .join(active, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("bal_c").cast("long").alias("total_bal_c"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# part_share_suppliers: TPC-H Q20's "suppliers holding an outsized
+# share" shape over the driver schema (no partsupp — share is of
+# SHIPPED quantity): a supplier dominates a part when it shipped more
+# than SHARE_PPM of that part's total quantity; output each dominating
+# supplier with how many parts it dominates. The correlated per-part
+# total (oracle keeps the scalar subquery) decorrelates to ONE
+# (partkey, suppkey) contraction + a per-part rollup of that already-
+# contracted relation joined back on partkey — the fact table shuffles
+# once; both aggs and the join share the partkey-prefix partitioning.
+# Exact: quantities in integer centi-units, share test cleared of
+# fractions as q * 1e6 > tot * SHARE_PPM (int64-safe: q ≤ 5e3 cents ×
+# rows/part).
+
+SHARE_PPM = 150_000
+
+_PSHARE_ORACLE = f"""
+WITH ps AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM({_QTY_C}) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(a.q) AS BIGINT) AS dom_qty_c
+FROM ps a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+WHERE a.q * 1000000
+        > (SELECT SUM(b.q) FROM ps b WHERE b.l_partkey = a.l_partkey)
+          * {SHARE_PPM}
+GROUP BY 1, 2
+"""
+
+
+@register("part_share_suppliers", _PSHARE_ORACLE)
+def q_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ps = (
+        spark.table("lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("l_quantity") * F.lit(100.0))
+            .cast("long")
+            .alias("qty_c"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty_c").alias("q"))
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("q").alias("tot"))
+    sup = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(tot, "l_partkey")
+        .where(F.col("q") * F.lit(1_000_000) > F.col("tot") * F.lit(SHARE_PPM))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("q").cast("long").alias("dom_qty_c"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts", "dom_qty_c")
+    )
+
+
+# ----------------------------------------------------------------------
+# priority_orders: TPC-H Q4's order-priority-checking shape — orders
+# placed in a window that had at least one line shipped on/after a
+# later horizon, counted per priority. The EXISTS decorrelates to a
+# LEFT SEMI against the DISTINCT late orderkeys: lineitem contracts
+# (filter + distinct, both pushed to the scan side) BEFORE touching
+# orders, so the semi probe carries |late orders| keys, not fact rows;
+# the oracle keeps the correlated EXISTS. Both scans are
+# predicate-pushed (date filters reach parquet).
+
+Q4_WINDOW = ("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+Q4_SHIP_HORIZON = "1999-01-01 00:00:00"
+
+_Q4_ORACLE = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_WINDOW[0]}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_WINDOW[1]}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= TIMESTAMP '{Q4_SHIP_HORIZON}')
+GROUP BY 1
+"""
+
+
+@register("priority_orders", _Q4_ORACLE)
+def q_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    late = (
+        spark.table("lineitem")
+        .where(F.col("l_shipdate") >= F.lit(Q4_SHIP_HORIZON).cast("timestamp"))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    return (
+        spark.table("orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(Q4_WINDOW[0]).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q4_WINDOW[1]).cast("timestamp"))
+        )
+        .join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+# ----------------------------------------------------------------------
+# promo_share: TPC-H Q14's promotion-revenue-share shape per ship
+# month — conditional aggregation over the lineitem ⋈ part broadcast
+# join, the ratio cleared of floats as integer ppm (promo_c * 1e6 div
+# total_c). One fact-scale pass: the part dim broadcasts, the month
+# rollup is a single partial/final agg — no second scan for the
+# denominator (the CASE carries both arms through one agg).
+
+_PROMO_ORACLE = f"""
+WITH li AS (
+  SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
+         ({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000 AS disc_c
+  FROM lineitem
+)
+SELECT li.month,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN li.disc_c ELSE 0 END)
+         AS BIGINT) AS promo_c,
+       CAST(SUM(li.disc_c) AS BIGINT) AS total_c,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN li.disc_c ELSE 0 END)
+              * 1000000 // SUM(li.disc_c) AS BIGINT) AS share_ppm
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+GROUP BY 1
+"""
+
+
+@register("promo_share", _PROMO_ORACLE)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        "l_partkey",
+        F.expr(
+            f"({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000"
+        ).alias("disc_c"),
+    )
+    part = spark.table("part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("disc_c")).otherwise(0))
+            .cast("long")
+            .alias("promo_c"),
+            F.sum("disc_c").cast("long").alias("total_c"),
+        )
+        .select(
+            "month",
+            "promo_c",
+            "total_c",
+            F.expr("promo_c * 1000000 div total_c").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# min_cost_supplier: TPC-H Q2's minimum-cost-supplier shape over the
+# driver schema (no partsupp — "cost" is the cheapest line a supplier
+# ever shipped for the part): per part, the supplier with the lowest
+# per-(part, supp) minimum cents, ties to the smallest suppkey. The
+# argmin is a map-side min(struct(min_c, suppkey)) over the already-
+# contracted (part, supp) relation — NO window over fact rows (a
+# ROW_NUMBER formulation would sort every part's candidate list; the
+# struct-min is partial-aggregatable). The oracle takes the
+# ROW_NUMBER formulation, certifying the struct-min rewrite; supplier
+# dim joins back as a broadcast.
+
+_MINCOST_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN({_CENTS}) AS min_c
+  FROM lineitem GROUP BY 1, 2
+), r AS (
+  SELECT l_partkey, l_suppkey, min_c,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY min_c, l_suppkey) AS rn
+  FROM ps
+)
+SELECT r.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+       CAST(r.min_c AS BIGINT) AS min_c
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rn = 1
+"""
+
+
+@register("min_cost_supplier", _MINCOST_ORACLE)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ps = (
+        spark.table("lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * F.lit(100.0))
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("c").alias("min_c"))
+    )
+    best = ps.groupBy("l_partkey").agg(
+        F.min(F.struct("min_c", "l_suppkey")).alias("b")
+    )
+    sup = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        best.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.l_suppkey").alias("l_suppkey"),
+            F.col("b.min_c").cast("long").alias("min_c"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "s_name", "min_c")
+    )
+
+
+# ----------------------------------------------------------------------
+# national_share: TPC-H Q8's market-share shape — per order year, the
+# revenue fraction flowing to suppliers of the even-nation bloc, as an
+# exact integer-ppm ratio. Numerator and denominator ride ONE
+# conditional agg (no second scan); the supplier→bloc flag joins as a
+# BROADCAST dim; the only fact-scale exchange is lineitem ⋈ orders on
+# orderkey. YEAR() is pushed into the scan projection, so the group
+# domain is bounded (7 years) and the final agg is map-side-combined
+# to almost nothing.
+
+_NSHARE_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         ({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000 AS disc_c
+  FROM lineitem
+)
+SELECT CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN s.s_nationkey % 2 = 0 THEN li.disc_c ELSE 0 END)
+         AS BIGINT) AS bloc_c,
+       CAST(SUM(li.disc_c) AS BIGINT) AS total_c,
+       CAST(SUM(CASE WHEN s.s_nationkey % 2 = 0 THEN li.disc_c ELSE 0 END)
+              * 1000000 // SUM(li.disc_c) AS BIGINT) AS share_ppm
+FROM li
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+GROUP BY 1
+"""
+
+
+@register("national_share", _NSHARE_ORACLE)
+def q_national_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.expr(
+            f"({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000"
+        ).alias("disc_c"),
+    )
+    orders = spark.table("orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    sup = spark.table("supplier").select(
+        "s_suppkey", (F.col("s_nationkey") % 2 == 0).alias("in_bloc")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("in_bloc"), F.col("disc_c")).otherwise(0))
+            .cast("long")
+            .alias("bloc_c"),
+            F.sum("disc_c").cast("long").alias("total_c"),
+        )
+        .select(
+            "o_year",
+            "bloc_c",
+            "total_c",
+            F.expr("bloc_c * 1000000 div total_c").cast("long").alias("share_ppm"),
+        )
+    )

@@ -1630,3 +1630,79 @@ def q_parcel_scan_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pages"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# tile_pca_moments: per-tile second-moment sufficient statistics of the
+# page point cloud — the exact int64 ingredients of each tile's
+# covariance/orientation ellipse (n, Σdx, Σdy, Σdx², Σdy², Σdx·dy in
+# µdeg about the tile's own minimum corner). The float PCA rotation is
+# a driver-side 2×2 eigen solve; keeping it out of the gate keeps the
+# hash exact (same discipline as host_assortativity / events_twa).
+#
+# Why centered two-phase: raw global-µdeg squares overflow int64 once a
+# tile holds ~50 points ((360e6)²·n); offsets about the per-tile
+# minimum are bounded by the tile width (~10⁴ µdeg), so dx²·n stays
+# int64-safe past 10¹⁰ points/tile. Scale shape: pass 1 contracts the
+# corpus to per-tile minima (partial/final agg); the minima join back
+# as a BROADCAST (tile-dim-sized); pass 2 is one partial/final agg of
+# codegen arithmetic — two corpus passes, zero corpus shuffles beyond
+# the two tile-keyed agg exchanges.
+
+
+def _pca_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, q AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)} AS t,
+         CAST(FLOOR(lon * 1000000e0) AS BIGINT) AS ix,
+         CAST(FLOOR(lat * 1000000e0) AS BIGINT) AS iy
+  FROM pages
+)
+, mins AS (
+  SELECT t, MIN(ix) AS mx, MIN(iy) AS my FROM q GROUP BY 1
+)
+SELECT q.t,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(m.mx) AS BIGINT) AS min_ix,
+       CAST(MIN(m.my) AS BIGINT) AS min_iy,
+       CAST(SUM(q.ix - m.mx) AS BIGINT) AS sx,
+       CAST(SUM(q.iy - m.my) AS BIGINT) AS sy,
+       CAST(SUM((q.ix - m.mx) * (q.ix - m.mx)) AS BIGINT) AS sxx,
+       CAST(SUM((q.iy - m.my) * (q.iy - m.my)) AS BIGINT) AS syy,
+       CAST(SUM((q.ix - m.mx) * (q.iy - m.my)) AS BIGINT) AS sxy
+FROM q JOIN mins m ON m.t = q.t
+GROUP BY 1
+"""
+    )
+
+
+@register("tile_pca_moments", _pca_oracle())
+def q_tile_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    q = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t"),
+        F.floor(F.col("lon") * F.lit(1e6)).cast("long").alias("ix"),
+        F.floor(F.col("lat") * F.lit(1e6)).cast("long").alias("iy"),
+    )
+    mins = q.groupBy("t").agg(
+        F.min("ix").alias("mx"), F.min("iy").alias("my")
+    )
+    dx = F.col("ix") - F.col("mx")
+    dy = F.col("iy") - F.col("my")
+    return (
+        q.join(F.broadcast(mins), "t")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("mx").cast("long").alias("min_ix"),
+            F.min("my").cast("long").alias("min_iy"),
+            F.sum(dx).cast("long").alias("sx"),
+            F.sum(dy).cast("long").alias("sy"),
+            F.sum(dx * dx).cast("long").alias("sxx"),
+            F.sum(dy * dy).cast("long").alias("syy"),
+            F.sum(dx * dy).cast("long").alias("sxy"),
+        )
+    )

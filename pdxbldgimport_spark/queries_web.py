@@ -1862,3 +1862,403 @@ def q_host_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("host"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+# ----------------------------------------------------------------------
+# redirect_resolve: transitive resolution of a redirect (HTTP 301)
+# chain by POINTER DOUBLING — the crawl-frontier operator that maps
+# every captured page to its terminal canonical target when redirects
+# form multi-hop chains. The redirect function is a deterministic
+# derivation over the parcel-id space (pid u redirects to
+# greatest(0, u - 1 - u%7) unless u % 3 == 0, which is terminal):
+# strictly decreasing, so chains are acyclic with worst-case depth
+# ~NP. In production the pointer table comes from captured redirect
+# headers; the SHAPE is what this query certifies.
+#
+# Scale shape: the pointer table contracts chains by SUCCESSIVE
+# SQUARING — p <- p(p) — so a depth-d chain resolves in ceil(log2 d)
+# rounds of ONE self-equi-join each (no per-hop walk: a naive
+# follow-one-hop loop is O(d) rounds and at web scale redirect chains
+# hit hundreds of hops under canonicalization loops). Each round
+# localCheckpoints (lineage doubles per squaring). The corpus-scale
+# pass is ONE pid agg; the resolved pointer table joins back as a
+# broadcast. The oracle walks each chain one hop at a time with a
+# recursive CTE — the algorithm-independent formulation.
+
+REDIR_ROUNDS = 8  # 2^8 = 256 >= NP bounds the deepest chain
+
+
+def _redirect_oracle() -> str:
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, pidagg AS MATERIALIZED (
+  SELECT pid, COUNT(*) AS n_pages FROM pages GROUP BY 1
+)
+SELECT r.term,
+       CAST(COUNT(*) AS BIGINT) AS n_pids,
+       CAST(SUM(p.n_pages) AS BIGINT) AS n_pages
+FROM (
+  WITH RECURSIVE walk(u, cur) AS (
+    SELECT pid, pid FROM pidagg
+    UNION ALL
+    SELECT u, GREATEST(0, cur - 1 - (cur % 7))
+    FROM walk WHERE cur % 3 <> 0
+  )
+  SELECT u, CAST(cur AS BIGINT) AS term FROM walk WHERE cur % 3 = 0
+) r
+JOIN pidagg p ON p.pid = r.u
+GROUP BY 1
+"""
+    )
+
+
+@register("redirect_resolve", _redirect_oracle())
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    views(spark, sf_dir)
+    # pointer table over the full pid domain (tiny dim — NP rows): the
+    # intermediate hops of a chain may be pids no page carries, so the
+    # function is closed over the domain, not the observed pids.
+    ptr = spark.range(synth.NP).select(
+        F.col("id").alias("u"),
+        F.when(F.col("id") % 3 == 0, F.col("id"))
+        .otherwise(F.greatest(F.lit(0), F.col("id") - 1 - (F.col("id") % 7)))
+        .alias("v"),
+    )
+    for _ in range(REDIR_ROUNDS):  # successive squaring: p <- p(p)
+        p2 = ptr.select(F.col("u").alias("m"), F.col("v").alias("w"))
+        ptr = (
+            ptr.join(p2, ptr.v == p2.m)
+            .select("u", F.col("w").alias("v"))
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        )
+    pa = (
+        spark.table("pages")
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return (
+        pa.join(F.broadcast(ptr), pa.pid == ptr.u)
+        .groupBy(F.col("v").cast("long").alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pids"),
+            F.sum("n_pages").cast("long").alias("n_pages"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# host_neighbor_jaccard: common-neighbor / Jaccard link prediction over
+# the undirected host graph — score non-adjacent host pairs by shared
+# neighborhood, the classic crawl-expansion heuristic ("hosts that many
+# of the same hosts link to/from are probably related"). Exact integer
+# ppm: jacc_ppm = common * 1e6 div (deg(u) + deg(v) - common).
+#
+# Scale shape: common neighbors are counted by WEDGE enumeration —
+# adjacency self-joined on the center — whose fan-out is sum(deg(c)^2),
+# quadratic in hub degree. The standard blocking bound (same discipline
+# as dedup_ngram_jaccard's rare-gram df<=3 rule): only centers with
+# deg <= JACC_DCAP generate wedges, making per-center fan-out bounded
+# and the count a documented lower bound on true common-neighbors
+# (denominator keeps FULL degrees, so scores are conservative). The
+# synth graph is dense (degrees 201-249 at sf0.01), so the cap BINDS at
+# gate SF — the oracle certifies the capped semantics, not a no-op.
+# Existing edges are excluded by an anti-join; common >= JACC_CMIN
+# bounds the output.
+
+JACC_DCAP = 220
+JACC_CMIN = 2
+
+_JACC_ORACLE = (
+    synth.oracle_with("pages")
+    + _TRI_EDGE_CTES
+    + f"""
+, deg AS (
+  SELECT h, COUNT(*) AS d
+  FROM (SELECT u AS h FROM und UNION ALL SELECT v FROM und) t
+  GROUP BY 1
+)
+, adj AS (
+  SELECT u AS c, v AS x FROM und UNION ALL SELECT v, u FROM und
+)
+, cadj AS (
+  SELECT a.c, a.x FROM adj a JOIN deg ON deg.h = a.c
+  WHERE deg.d <= {JACC_DCAP}
+)
+, wedge AS (
+  SELECT a.x AS u, b.x AS v, COUNT(*) AS common
+  FROM cadj a JOIN cadj b ON b.c = a.c AND a.x < b.x
+  GROUP BY 1, 2
+)
+, cand AS (
+  SELECT w.u, w.v, w.common FROM wedge w
+  WHERE w.common >= {JACC_CMIN}
+    AND NOT EXISTS (
+      SELECT 1 FROM und e WHERE e.u = w.u AND e.v = w.v
+    )
+)
+SELECT c.u, c.v, CAST(c.common AS BIGINT) AS common,
+       CAST(c.common * 1000000 // (du.d + dv.d - c.common) AS BIGINT)
+         AS jacc_ppm
+FROM cand c
+JOIN deg du ON du.h = c.u
+JOIN deg dv ON dv.h = c.v
+"""
+)
+
+
+@register("host_neighbor_jaccard", _JACC_ORACLE)
+def q_host_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    und = stage(
+        spark,
+        (session_token(spark), sf_dir, "jacc_edges"),
+        lambda: _und_host_edges(spark),
+    )
+    return neighbor_jaccard(und, JACC_DCAP, JACC_CMIN)
+
+
+def neighbor_jaccard(und: DataFrame, dcap: int, cmin: int) -> DataFrame:
+    """Capped common-neighbor/Jaccard scores over undirected edges
+    (u, v) with u < v — wedge enumeration bounded to centers with
+    deg <= dcap (see the host_neighbor_jaccard block comment).
+    Property-tested vs an O(n^3) brute force in tests/test_chain_jaccard.py."""
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    adj = und.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
+        und.select(F.col("v").alias("c"), F.col("u").alias("x"))
+    )
+    cadj = adj.join(
+        F.broadcast(deg.where(F.col("d") <= dcap).select(F.col("h").alias("c"))),
+        "c",
+    )
+    b = cadj.select(F.col("c"), F.col("x").alias("y"))
+    wedge = (
+        cadj.join(b, "c")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= cmin)
+    )
+    cand = wedge.join(und, ["u", "v"], "left_anti")
+    du = deg.select(F.col("h").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("h").alias("v"), F.col("d").alias("dv"))
+    return (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("long").alias("common"),
+            F.expr("common * 1000000 div (du + dv - common)")
+            .cast("long")
+            .alias("jacc_ppm"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# host_kcore: k-core decomposition of the STRONG host graph — edges are
+# host pairs co-linked at least KCORE_W times (weight-thresholded navs;
+# the distinct-edge graph is quasi-regular and its core is
+# all-or-nothing, while the weight-thresholded graph is heavy-tailed
+# and peels a real cascade). Iterative peeling: drop nodes with
+# degree < k, recompute, repeat — the classic "stable community
+# skeleton" filter for crawl prioritization.
+#
+# Scale shape: each peel round is ONE degree agg (partial/final) over a
+# SHRINKING edge list + a semi-join of edges against the kept-node set
+# (host-dim-sized, broadcast) — the same bounded-shuffle contraction
+# discipline as dedup_components; localCheckpoint cuts the per-round
+# lineage growth. Peeling is inherently O(cascade-depth) rounds; both
+# engine and oracle run exactly KCORE_ROUNDS rounds (the oracle unrolls
+# them as materialized CTEs), and tests/test_chain_jaccard.py asserts
+# the fixpoint lands within that budget at both SFs (depth 5 observed),
+# so the bounded-round output IS the k-core, certified — not a
+# truncation.
+
+KCORE_W = 4   # edge weight (co-link count) threshold
+KCORE_K = 9   # core degree threshold
+KCORE_ROUNDS = 7  # observed fixpoint depth 5 + margin, assert-gated
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(KCORE_ROUNDS):
+        prev = f"e{i}"
+        rounds.append(f"""
+, n{i + 1} AS MATERIALIZED (
+  SELECT h FROM (
+    SELECT h, COUNT(*) AS d FROM (
+      SELECT u AS h FROM {prev} UNION ALL SELECT v FROM {prev}
+    ) t GROUP BY 1
+  ) d WHERE d >= {KCORE_K}
+)
+, e{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT h FROM n{i + 1}) AND v IN (SELECT h FROM n{i + 1})
+)""")
+    last = f"e{KCORE_ROUNDS}"
+    return (
+        synth.oracle_with("pages")
+        + _TRI_EDGE_CTES.replace(
+            ", und AS (\n  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v\n  FROM e0 WHERE a <> b\n)",
+            "",
+        ).replace(
+            """, e0 AS (
+  SELECT DISTINCT src_host AS a,
+         lower(regexp_extract(href, '""",
+            """, raw AS (
+  SELECT src_host AS a,
+         lower(regexp_extract(href, '""",
+        )
+        + f"""
+, e0 AS MATERIALIZED (
+  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+  GROUP BY 1, 2 HAVING COUNT(*) >= {KCORE_W}
+)"""
+        + "".join(rounds)
+        + f"""
+SELECT h AS host, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS h FROM {last} UNION ALL SELECT v FROM {last}) t
+GROUP BY 1
+"""
+    )
+
+
+def _strong_host_edges(spark: SparkSession, w: int) -> DataFrame:
+    """Undirected host edges (u < v) kept when the pair co-links at
+    least w times across the raw navs (weight threshold, not distinct)."""
+    pat = '<a href="([^"]+)">'
+    tags = spark.table("pages").select(
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("a"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"), F.lit(pat), F.lit(1)
+            )
+        ).alias("href"),
+    )
+    e0 = tags.select(
+        "a", F.lower(F.regexp_extract("href", RAW_HOST_RE, 1)).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    return (
+        e0.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= w)
+        .select("u", "v")
+    )
+
+
+def kcore_peel(
+    und: DataFrame, k: int, rounds: int, checkpoint: bool = True
+) -> DataFrame:
+    """Peel `rounds` rounds of the k-core cascade; returns (host,
+    core_deg) of the surviving subgraph. Fixpoint-within-rounds is
+    asserted in tests/test_chain_jaccard.py. checkpoint=False keeps the
+    per-round plan visible for the plan guard (production always cuts)."""
+    from pyspark import StorageLevel
+
+    edges = und
+    for _ in range(rounds):
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("h")
+        edges = edges.join(
+            F.broadcast(keep.withColumnRenamed("h", "u")), "u", "left_semi"
+        ).join(
+            F.broadcast(keep.withColumnRenamed("h", "v")), "v", "left_semi"
+        )
+        if checkpoint:
+            edges = edges.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+    return (
+        edges.select(F.explode(F.array("u", "v")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+@register("host_kcore", _kcore_oracle())
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    und = stage(
+        spark,
+        (session_token(spark), sf_dir, "kcore_edges"),
+        lambda: _strong_host_edges(spark, KCORE_W),
+    )
+    return kcore_peel(und, KCORE_K, KCORE_ROUNDS)
+
+
+# ----------------------------------------------------------------------
+# host_assortativity: degree-mixing sufficient statistics of the
+# undirected host graph — the EXACT int64 ingredients of Newman's
+# degree assortativity coefficient (m, Σ du·dv over edges, Σ(du+dv),
+# Σ(du²+dv²)), from which r = (4m·Σdudv − S1²) / (2m·S2 − S1²) is a
+# driver-side scalar. Emitting the integer sufficient statistics
+# instead of the float coefficient keeps the gate hash-exact
+# cross-engine (a float Pearson would be accumulation-order
+# sensitive) — the same discipline as events_twa's num/den pair.
+#
+# Scale shape: one degree agg over the edge list, then the bounded
+# host-degree dim broadcasts back onto BOTH edge endpoints, then ONE
+# global partial/final agg — the fact-scale pass never shuffles by
+# degree. Degrees ≤ |hosts| keep every product well inside int64.
+
+_ASSORT_ORACLE = (
+    synth.oracle_with("pages")
+    + _TRI_EDGE_CTES
+    + """
+, deg AS (
+  SELECT h, COUNT(*) AS d
+  FROM (SELECT u AS h FROM und UNION ALL SELECT v FROM und) t
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(du.d * dv.d) AS BIGINT) AS sum_dudv,
+       CAST(SUM(du.d + dv.d) AS BIGINT) AS sum_d,
+       CAST(SUM(du.d * du.d + dv.d * dv.d) AS BIGINT) AS sum_d2
+FROM und e
+JOIN deg du ON du.h = e.u
+JOIN deg dv ON dv.h = e.v
+"""
+)
+
+
+@register("host_assortativity", _ASSORT_ORACLE)
+def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    und = stage(
+        spark,
+        (session_token(spark), sf_dir, "assort_edges"),
+        lambda: _und_host_edges(spark),
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("h").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("h").alias("v"), F.col("d").alias("dv"))
+    return (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("du") * F.col("dv")).cast("long").alias("sum_dudv"),
+            F.sum(F.col("du") + F.col("dv")).cast("long").alias("sum_d"),
+            F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+            .cast("long")
+            .alias("sum_d2"),
+        )
+    )

@@ -36,6 +36,22 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "tile_pca_moments",
+    "national_share",
+    "events_simpson",
+    "trimmed_mean_value",
+    "priority_orders",
+    "promo_share",
+    "min_cost_supplier",
+    "host_assortativity",
+    "host_kcore",
+    "events_interval_union",
+    "idle_customers",
+    "part_share_suppliers",
+    "redirect_resolve",
+    "host_neighbor_jaccard",
+    "custdist",
+    "wait_suppliers",
     "ip_lpm_route",
     "bot_users",
     "weighted_quantiles",

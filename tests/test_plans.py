@@ -1623,3 +1623,194 @@ def test_top_supplier_broadcast_max_no_sort(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_redirect_resolve_broadcast_resolved_pointers(spark):
+    """redirect_resolve: the corpus pass is ONE pid agg; the resolved
+    pointer table (bounded by the pid domain) comes back as a
+    broadcast — pages never shuffle by chain hop."""
+    plan = _plan(Q.QUERIES["redirect_resolve"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_host_neighbor_jaccard_bounded_no_cartesian(spark):
+    """host_neighbor_jaccard: degree cap joins as a broadcast filter;
+    wedge enumeration is an equi-join on the center — never a
+    nested-loop / cartesian pair blowup; no Python."""
+    plan = _plan(Q.QUERIES["host_neighbor_jaccard"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_custdist_contracts_orders_before_join(spark):
+    """custdist: orders contract to (custkey, n) via partial+final agg
+    BEFORE joining customers, and the histogram is a second
+    partial+final agg — no Window, no Python."""
+    plan = _plan(Q.QUERIES["custdist"](spark, SF))
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_wait_suppliers_single_fact_contraction_broadcast_dim(spark):
+    """wait_suppliers: the decorrelated rewrite replaces Q21's two
+    correlated self-joins with per-order contractions — no Window, the
+    supplier dim broadcasts, and lineitem never sort-merges against
+    itself at raw-row grain (any SortMergeJoin input is post-agg)."""
+    plan = _plan(Q.QUERIES["wait_suppliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_events_interval_union_single_exchange(spark):
+    """Interval union: the island sweep + both contractions all cluster
+    on the user prefix — ONE user-keyed exchange, no self-join of
+    overlapping pairs, no Python."""
+    plan = _plan(Q.QUERIES["events_interval_union"](spark, SF))
+    assert plan.count("Exchange") == 1
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "SortMergeJoin",
+        "BroadcastHashJoin", "CartesianProduct",
+    ):
+        assert marker not in plan, marker
+
+
+def test_idle_customers_broadcast_stats_anti_join(spark):
+    """idle_customers: the 1-row balance stats broadcast back; the
+    post-cutoff active keys contract (DISTINCT agg) before the anti
+    join — no Window, no Python."""
+    plan = _plan(Q.QUERIES["idle_customers"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_part_share_suppliers_contracts_before_share_join(spark):
+    """part_share_suppliers: lineitem contracts to (part, supp) then to
+    per-part totals — the share test runs over contracted relations;
+    supplier dim broadcasts; no Window."""
+    plan = _plan(Q.QUERIES["part_share_suppliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_kcore_round_is_broadcast_semi_joins_no_python(spark):
+    """host_kcore: one peel round = degree agg + two broadcast LEFT
+    SEMI joins of the shrinking edge list against the kept-host set —
+    no sort-merge, no Window, no Python (the production path only adds
+    localCheckpoint cuts between rounds)."""
+    from pdxbldgimport_spark.queries import views
+    from pdxbldgimport_spark.queries_web import (
+        KCORE_K,
+        KCORE_W,
+        _strong_host_edges,
+        kcore_peel,
+    )
+
+    views(spark, SF)
+    plan = _plan(
+        kcore_peel(_strong_host_edges(spark, KCORE_W), KCORE_K, 1, checkpoint=False)
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_priority_orders_semi_join_pushed_filters(spark):
+    """priority_orders: the EXISTS runs as a LEFT SEMI against the
+    pre-contracted late keys; both date filters reach the scans
+    (PushedFilters), no Window, no Python."""
+    plan = _plan(Q.QUERIES["priority_orders"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "PushedFilters" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_promo_share_single_agg_broadcast_part(spark):
+    """promo_share: the part dim broadcasts; numerator and denominator
+    ride ONE partial/final agg (no second scan); no Window."""
+    plan = _plan(Q.QUERIES["promo_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_min_cost_supplier_struct_min_no_window(spark):
+    """min_cost_supplier: the per-part argmin is a partial-aggregatable
+    min(struct) — never a ROW_NUMBER window over the candidate lists;
+    supplier dim broadcasts. The struct-min plans as a partial+final
+    SortAggregate pair (map-side combine still happens — the rewrite's
+    point); count both aggregate flavors."""
+    plan = _plan(Q.QUERIES["min_cost_supplier"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_host_assortativity_broadcast_degrees_single_agg(spark):
+    """host_assortativity: the bounded degree dim broadcasts onto both
+    endpoints; the statistics are ONE global partial/final agg — the
+    edge list never shuffles by degree; no Window, no Python."""
+    plan = _plan(Q.QUERIES["host_assortativity"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_tile_pca_moments_broadcast_minima_two_aggs(spark):
+    """tile_pca_moments: the per-tile minima join back as a BROADCAST
+    (tile-dim-sized); both passes are partial/final aggs of codegen
+    arithmetic — no Window, no sort-merge, no Python."""
+    plan = _plan(Q.QUERIES["tile_pca_moments"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_national_share_broadcast_supplier_one_agg(spark):
+    """national_share: supplier bloc flag broadcasts; numerator and
+    denominator ride ONE conditional agg; no Window."""
+    plan = _plan(Q.QUERIES["national_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_events_simpson_two_level_agg_no_join_no_window(spark):
+    """events_simpson: (type, user) contraction then type rollup — two
+    partial/final agg pairs, no join, no Window, no Python."""
+    plan = _plan(Q.QUERIES["events_simpson"](spark, SF))
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_trimmed_mean_value_grid_window_broadcast_thresholds(spark):
+    """trimmed_mean_value: the cumulative window runs over the bounded
+    (type, cents) grid — a HashAggregate contraction sits below it —
+    and the threshold table broadcasts back; raw events are never
+    windowed or sort-merged."""
+    plan = _plan(Q.QUERIES["trimmed_mean_value"](spark, SF))
+    assert "Window" in plan and "HashAggregate" in plan
+    # the grid contraction sits BELOW the window (plan prints top-down,
+    # so an agg must appear after the Window's position)
+    assert "HashAggregate" in plan[plan.index("Window"):]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
