@@ -221,6 +221,10 @@ BENCH_QUERIES = [
     "national_share",
     "events_simpson",
     "trimmed_mean_value",
+    "media_ahash",
+    "events_seasonality",
+    "events_burstiness",
+    "returns_impact",
 ]
 
 

@@ -379,3 +379,54 @@ def audio_rms_milli(media: DataFrame) -> DataFrame:
 
     auds = media.where(F.col("kind") == "audio").select("doc_id", "payload")
     return auds.mapInPandas(gen, schema)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Images: real-codec roundtrip (encode→decode, same path as
+    bmp_roundtrip) → 4×4-block average hash. Bit (br, bc) is set when
+    the block's mean exceeds the image mean, compared exactly as
+    block_sum · n_px > total_sum · block_n (no float means); blocks
+    are the integer partition row_block = row·4 // height, so images
+    smaller than 4 px on a side simply leave the skipped blocks at 0
+    on both engines. The 16-bit hash is the classic perceptual
+    near-dup bucket key (aHash): identical content up to brightness-
+    preserving noise lands in one bucket."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+            T.StructField("n_px", T.LongType()),
+        ]
+    )
+
+    imgs = media.where(F.col("kind") == "image").select(
+        "doc_id", "width", "height", "payload"
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, w, h, payload in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                grid = np.frombuffer(payload, np.uint8).reshape(int(h), int(w))
+                dec = decode_bmp(encode_bmp(grid)).astype(np.int64)
+                hh, ww = dec.shape
+                br = (np.arange(hh, dtype=np.int64) * 4) // hh
+                bc = (np.arange(ww, dtype=np.int64) * 4) // ww
+                idx = (br[:, None] * 4 + bc[None, :]).ravel()
+                bs = np.bincount(idx, weights=dec.ravel(), minlength=16).astype(
+                    np.int64
+                )
+                bn = np.bincount(idx, minlength=16).astype(np.int64)
+                ts, tn = int(dec.sum()), hh * ww
+                bits = bs * tn > ts * bn
+                ahash = int(
+                    sum(1 << i for i in range(16) if bits[i])
+                )
+                rows.append((doc_id, ahash, tn))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash", "n_px"])
+
+    return imgs.mapInPandas(gen, schema)

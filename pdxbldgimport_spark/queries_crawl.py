@@ -1375,14 +1375,22 @@ GROUP BY 1, 2
 def q_ip_lpm_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     ip60 = _h60_sql("md5(cast(host as binary))", "instr")
-    hosts = (
-        spark.table("pages")
-        .select(
-            F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host")
-        )
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n_pages"))
-        .withColumn("ip", F.expr(f"({ip60}) % {_IP_MOD}"))
+    # stage the host contraction: the plan references it six times (the
+    # candidate fan-out + five route-level selectors) and without the
+    # cut Catalyst re-executes the corpus pass per reference (measured
+    # 6.6 s -> ~1 s at sf0.1 — the host_triangles trap)
+    hosts = stage(
+        spark,
+        (session_token(spark), sf_dir, "lpm_hosts"),
+        lambda: (
+            spark.table("pages")
+            .select(
+                F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host")
+            )
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+            .withColumn("ip", F.expr(f"({ip60}) % {_IP_MOD}"))
+        ),
     )
     routes = None
     for plen, mod in LPM_LEVELS:

@@ -1844,3 +1844,118 @@ def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winsor_sum_c"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# events_seasonality: per-type hour-of-day periodic baseline — the
+# diurnal profile rollup (peak hour, and how many hour-slots run hot
+# (>2× the uniform share) or cold (<½ the uniform share)). All exact
+# int64: the share tests clear the /24 division (24·cnt > 2·total,
+# 48·cnt < total), and the peak is a tie-free max(struct(cnt, −hod))
+# — smallest hour wins ties — never a window over events.
+#
+# Scale shape: the corpus contracts ONCE to the bounded (type, hod)
+# grid (≤ |types|·24 rows); the per-type totals re-join the grid as a
+# BROADCAST and every later step aggregates grid rows. The oracle
+# formulates the peak by ROW_NUMBER over the grid — a different
+# formulation than the struct-max — so the gate certifies the argmax
+# rewrite along with the hot/cold flags.
+
+_SEASON_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hod,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total FROM g GROUP BY 1
+), r AS (
+  SELECT g.event_type, g.hod, g.cnt, t.total,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type
+                            ORDER BY g.cnt DESC, g.hod) AS rn
+  FROM g JOIN t USING (event_type)
+)
+SELECT event_type,
+       CAST(MIN(total) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN rn = 1 THEN hod END) AS BIGINT) AS peak_hod,
+       CAST(MIN(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS peak_cnt,
+       CAST(SUM(CASE WHEN 24 * cnt > 2 * total THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hot_hours,
+       CAST(SUM(CASE WHEN 48 * cnt < total THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_cold_hours
+FROM r GROUP BY 1
+"""
+
+
+@register("events_seasonality", _SEASON_ORACLE)
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = g.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    j = g.join(F.broadcast(tot), "event_type")
+    peak = F.max(F.struct(F.col("cnt"), (-F.col("hod")).alias("nhod")))
+    return j.groupBy("event_type").agg(
+        F.min("total").cast("long").alias("n_events"),
+        (-peak.getField("nhod")).cast("long").alias("peak_hod"),
+        peak.getField("cnt").cast("long").alias("peak_cnt"),
+        F.sum(
+            F.when(24 * F.col("cnt") > 2 * F.col("total"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hot_hours"),
+        F.sum(F.when(48 * F.col("cnt") < F.col("total"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cold_hours"),
+    )
+
+
+# ----------------------------------------------------------------------
+# events_burstiness: per-user inter-arrival variance sufficient
+# statistics (n_gaps, Σgap_s, Σgap_s²) — the exact int64 ingredients
+# of the burstiness/Fano analysis (the float coefficient of variation
+# stays driver-side; sufficient-statistics discipline as elsewhere).
+# Gaps are whole SECONDS (µs div 1e6) so squares stay far inside
+# int64: a 31-day gap is 2.7e6 s → 7.2e12 squared, 10⁶ such gaps per
+# user still fit. ONE user-keyed exchange: the lag window and the
+# per-user agg share the user-prefix partitioning.
+
+_BURST_ORACLE = """
+WITH q AS (
+  SELECT user_id,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS sum_gap_s,
+       CAST(COALESCE(SUM(gap_s * gap_s), 0) AS BIGINT) AS sum_gap2_s
+FROM q GROUP BY 1
+"""
+
+
+@register("events_burstiness", _BURST_ORACLE)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Wnd.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer `div`, not float /1e6: a double quotient can round UP
+    # across a whole-second boundary and diverge from DuckDB's floor //
+    q = (
+        spark.table("events")
+        .select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+        .selectExpr("user_id", "gap_us div 1000000 AS gap_s")
+    )
+    return q.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.coalesce(F.sum("gap_s"), F.lit(0)).cast("long").alias("sum_gap_s"),
+        F.coalesce(F.sum(F.col("gap_s") * F.col("gap_s")), F.lit(0))
+        .cast("long")
+        .alias("sum_gap2_s"),
+    )

@@ -266,3 +266,46 @@ def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("k % 16").alias("keeper_frame"),
         )
     )
+
+
+# Perceptual average-hash (aHash): 4x4 block means vs the image mean,
+# compared exactly as block_sum*n_px > total_sum*block_n — the
+# near-dup bucket key for image dedup (the perceptual sibling of
+# media_dedup_exact's byte-md5). The oracle re-derives every bit from
+# the ASCII twin's pixel grid; the engine hashes the REAL-codec
+# decoded grid (encode->decode roundtrip), so agreement also re-proves
+# the codec on every image.
+@register(
+    "media_ahash",
+    _MEDIA_ORACLE
+    + """
+    , imgs AS (SELECT * FROM media_base WHERE kind = 'image')
+    , acells AS (
+      SELECT i.doc_id, i.width, i.height, r.i AS r, c.i AS c,
+             ascii(substr(i.payload_str,
+                          CAST(r.i * i.width + c.i + 1 AS BIGINT), 1)) AS b
+      FROM imgs i, range(0, {MAX_H}) r(i), range(0, {MAX_W}) c(i)
+      WHERE r.i < i.height AND c.i < i.width
+    )
+    , blocks AS (
+      SELECT doc_id, (r * 4) // height AS br, (c * 4) // width AS bc,
+             CAST(SUM(b) AS BIGINT) AS bs, COUNT(*) AS bn
+      FROM acells GROUP BY 1, 2, 3
+    )
+    , tot AS (
+      SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS ts,
+             CAST(SUM(bn) AS BIGINT) AS tn
+      FROM blocks GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(SUM(CASE WHEN b.bs * t.tn > t.ts * b.bn
+                         THEN 1 << (b.br * 4 + b.bc) ELSE 0 END)
+             AS BIGINT) AS ahash,
+           CAST(MIN(t.tn) AS BIGINT) AS n_px
+    FROM blocks b JOIN tot t USING (doc_id)
+    GROUP BY 1
+    """.format(MAX_H=synth.MEDIA_MAX_H + 1, MAX_W=synth.MEDIA_MAX_W + 1),
+)
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return MM.image_ahash(spark.table("media"))

@@ -1178,3 +1178,65 @@ def q_national_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bloc_c * 1000000 div total_c").cast("long").alias("share_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# returns_impact: TPC-H Q10's returned-item-reporting shape — revenue
+# lost to returned lineitems ('R') per customer, top 20 by exact
+# cents. The top-k is a TakeOrderedAndProject over the already-
+# customer-contracted relation (never a global sort of fact rows, and
+# never a sort of all customers — the heap keeps 20 per partition);
+# customer and nation dims join back as BROADCASTS after the top-k,
+# so only 20 rows ever touch them. Tie-break pinned by custkey so the
+# cut is deterministic cross-engine.
+
+RETURNS_TOPK = 20
+
+_RETURNS_ORACLE = f"""
+WITH li AS (
+  SELECT l.l_orderkey,
+         ({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000 AS disc_c
+  FROM lineitem l WHERE l.l_returnflag = 'R'
+), bycust AS (
+  SELECT o.o_custkey, CAST(SUM(li.disc_c) AS BIGINT) AS lost_c
+  FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+  GROUP BY 1
+), top AS (
+  SELECT o_custkey, lost_c FROM bycust
+  ORDER BY lost_c DESC, o_custkey LIMIT {RETURNS_TOPK}
+)
+SELECT c.c_custkey, c.c_name, n.n_name, t.lost_c
+FROM top t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@register("returns_impact", _RETURNS_ORACLE)
+def q_returns_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = (
+        spark.table("lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.expr(
+                f"({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000"
+            ).alias("disc_c"),
+        )
+    )
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    top = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("disc_c").cast("long").alias("lost_c"))
+        .orderBy(F.desc("lost_c"), F.asc("o_custkey"))
+        .limit(RETURNS_TOPK)
+    )
+    cust = spark.table("customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = spark.table("nation").select("n_nationkey", "n_name")
+    return (
+        top.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "lost_c")
+    )

@@ -36,6 +36,10 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "media_ahash",
+    "events_seasonality",
+    "events_burstiness",
+    "returns_impact",
     "tile_pca_moments",
     "national_share",
     "events_simpson",

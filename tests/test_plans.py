@@ -1814,3 +1814,48 @@ def test_trimmed_mean_value_grid_window_broadcast_thresholds(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_events_seasonality_grid_broadcast_struct_max(spark):
+    """events_seasonality: the corpus contracts once to the (type, hod)
+    grid; totals re-join as a broadcast; the peak is a struct-max agg,
+    never a Window; no Python."""
+    plan = _plan(Q.QUERIES["events_seasonality"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_events_burstiness_single_exchange(spark):
+    """events_burstiness: the lag window and the per-user agg share ONE
+    user-keyed exchange; no join, no Python."""
+    plan = _plan(Q.QUERIES["events_burstiness"](spark, SF))
+    assert plan.count("Exchange") == 1
+    for marker in (
+        "MapInPandas", "FlatMapGroupsInPandas", "SortMergeJoin",
+        "BroadcastHashJoin",
+    ):
+        assert marker not in plan, marker
+
+
+def test_returns_impact_take_ordered_broadcast_dims(spark):
+    """returns_impact: the top-k is TakeOrderedAndProject over the
+    customer-contracted relation (no global Sort); both dims broadcast
+    after the cut."""
+    plan = _plan(Q.QUERIES["returns_impact"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_media_ahash_single_arrow_pass_no_shuffle(spark):
+    """media_ahash: one Arrow-batched mapInPandas pass over the images
+    — no shuffle, no join, no window (the parallel axis is docs)."""
+    plan = _plan(Q.QUERIES["media_ahash"](spark, SF))
+    assert "MapInPandas" in plan
+    # the media view's round-robin respread is parallelism plumbing;
+    # what must not appear is a KEYED shuffle
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
