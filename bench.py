@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     "events_seasonality",
     "events_burstiness",
     "returns_impact",
+    "host_modularity",
+    "orders_cohort_value",
+    "media_loudness_windows",
 ]
 
 

@@ -430,3 +430,40 @@ def image_ahash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "ahash", "n_px"])
 
     return imgs.mapInPandas(gen, schema)
+
+
+def audio_loudness_windows(media: DataFrame, win: int, msq: int) -> DataFrame:
+    """Audio: fixed-size sample windows (last window partial), each
+    flagged loud when its energy exceeds the mean-square threshold
+    exactly (Σb² > msq · n_window — no float means). Returns per doc
+    the window count, loud count, and max window energy."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_windows", T.LongType()),
+            T.StructField("n_loud", T.LongType()),
+            T.StructField("max_energy", T.LongType()),
+        ]
+    )
+
+    auds = media.where(F.col("kind") == "audio").select("doc_id", "payload")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, np.uint8).astype(np.int64)
+                idx = np.arange(len(b)) // win
+                e = np.bincount(idx, weights=b * b).astype(np.int64)
+                n = np.bincount(idx).astype(np.int64)
+                loud = e > msq * n
+                rows.append(
+                    (doc_id, len(e), int(loud.sum()), int(e.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_windows", "n_loud", "max_energy"]
+            )
+
+    return auds.mapInPandas(gen, schema)

@@ -309,3 +309,42 @@ def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     return MM.image_ahash(spark.table("media"))
+
+
+# Windowed loudness scan: fixed 64-sample windows (last partial), loud
+# when window energy exceeds the mean-square threshold exactly
+# (Σb² > msq·n — no float means; the threshold straddles the synth
+# world's window energies, so both arms are live). One Arrow pass,
+# no keyed shuffle; the oracle enumerates sample positions from the
+# ASCII twin and groups them by p // W.
+LOUD_WIN = 64
+LOUD_MSQ = 10_000
+
+
+@register(
+    "media_loudness_windows",
+    _MEDIA_ORACLE
+    + """
+    , samples AS (
+      SELECT m.doc_id, p.i // {W} AS w,
+             ascii(substr(m.payload_str, CAST(p.i + 1 AS BIGINT), 1)) AS b
+      FROM media_base m, range(0, {MAX_S}) p(i)
+      WHERE m.kind = 'audio' AND p.i < m.n_samples
+    )
+    , wins AS (
+      SELECT doc_id, w, CAST(SUM(b * b) AS BIGINT) AS e, COUNT(*) AS n
+      FROM samples GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN e > {MSQ} * n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_loud,
+           CAST(MAX(e) AS BIGINT) AS max_energy
+    FROM wins GROUP BY 1
+    """.format(W=LOUD_WIN, MAX_S=synth.MEDIA_MAX_SAMPLES + 1, MSQ=LOUD_MSQ),
+)
+def q_media_loudness_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return MM.audio_loudness_windows(
+        spark.table("media"), LOUD_WIN, LOUD_MSQ
+    )

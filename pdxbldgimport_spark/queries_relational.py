@@ -1240,3 +1240,64 @@ def q_returns_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey", "c_name", "n_name", "lost_c")
     )
+
+
+# ----------------------------------------------------------------------
+# orders_cohort_value: the revenue cohort triangle — customers
+# cohorted by the quarter of their FIRST order; each (cohort_quarter,
+# quarter_offset) cell sums the cohort's later order value in exact
+# cents. The monetary sibling of events_retention's count triangle
+# (different fact table, different offset algebra: quarters linearized
+# as year·4 + q, so offsets subtract exactly).
+#
+# Scale shape: one custkey-keyed MIN agg (cohort assignment) + one
+# custkey hash join back onto orders (on a cluster the join reuses the
+# agg's exchange — same discipline as events_retention), then one
+# grid-bounded final agg (cohorts × offsets). The oracle assigns
+# cohorts with MIN() OVER (PARTITION BY custkey) — the window
+# formulation — certifying the agg+join rewrite.
+
+_COHORT_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_part('year', o_orderdate) * 4
+              + (date_part('month', o_orderdate) - 1) // 3 AS BIGINT) AS yq,
+         CAST(FLOOR(o_totalprice * 100e0) AS BIGINT) AS val_c
+  FROM orders
+), c AS (
+  SELECT o_custkey, yq, val_c,
+         MIN(yq) OVER (PARTITION BY o_custkey) AS cohort_q
+  FROM o
+)
+SELECT cohort_q,
+       CAST(yq - cohort_q AS BIGINT) AS offset_q,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(val_c) AS BIGINT) AS value_c
+FROM c GROUP BY 1, 2
+"""
+
+
+@register("orders_cohort_value", _COHORT_ORACLE)
+def q_orders_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 4
+            + F.expr("(month(o_orderdate) - 1) div 3")
+        )
+        .cast("long")
+        .alias("yq"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long")
+        .alias("val_c"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("yq").alias("cohort_q"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_q", (F.col("yq") - F.col("cohort_q")).alias("offset_q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("val_c").cast("long").alias("value_c"),
+        )
+    )

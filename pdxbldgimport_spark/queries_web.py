@@ -1674,7 +1674,10 @@ def q_host_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_oracle_chain() -> str:
+    """The shared oracle prefix: weighted symmetric edges `w`, hosts,
+    and the LPA_ITERS chained rounds ending at r{LPA_ITERS} — reused
+    by label_propagation and host_modularity."""
     sql = (
         synth.oracle_with("pages")
         + f"""
@@ -1705,17 +1708,23 @@ def _lpa_oracle() -> str:
     FROM s{i + 1}
   ) t WHERE rn = 1
 )"""
-    sql += f"""
+    return sql
+
+
+def _lpa_oracle() -> str:
+    return (
+        _lpa_oracle_chain()
+        + f"""
 SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
        CAST(lab AS BIGINT) AS community
 FROM r{LPA_ITERS}
 """
-    return sql
+    )
 
 
-@register("label_propagation", _lpa_oracle())
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir)
+def _lpa_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized weighted parcel-graph edges, staged once per
+    (session, sf) — shared by label_propagation and host_modularity."""
 
     def build_sym_edges() -> DataFrame:
         links = spark.table("pages").select(
@@ -1727,7 +1736,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionAll(links.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         return sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
 
-    ew = stage(spark, (session_token(spark), sf_dir, "lpa_edges"), build_sym_edges)
+    return stage(spark, (session_token(spark), sf_dir, "lpa_edges"), build_sym_edges)
+
+
+def _lpa_labels(ew: DataFrame) -> DataFrame:
+    """LPA_ITERS synchronous rounds over the weighted edges; returns
+    (h, lab). See the label_propagation block comment for the shape."""
     labels = ew.select(F.col("a").alias("h")).distinct().withColumn(
         "lab", F.col("h").cast("long")
     )
@@ -1743,6 +1757,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct(F.col("tw"), (-F.col("lab")).alias("nl"))).alias("m"))
             .select(F.col("a").alias("h"), (-F.col("m.nl")).alias("lab"))
         )
+    return labels
+
+
+@register("label_propagation", _lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    labels = _lpa_labels(_lpa_edges(spark, sf_dir))
     return labels.select(
         F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example.com"))
         .alias("host"),
@@ -2260,5 +2281,85 @@ def q_host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
             .cast("long")
             .alias("sum_d2"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# host_modularity: per-community modularity sufficient statistics of
+# the LPA partition — the exact int64 ingredients (n_hosts, weighted
+# volume, within-community weight) of Newman's Q = Σ_c (w_in_c/2m −
+# (vol_c/2m)²), the standard "are these communities real" audit run
+# right after any community detection. Q itself is a driver-side
+# scalar (sufficient-statistics discipline as host_assortativity);
+# w_in counts the SYMMETRIC edge list, so each undirected edge
+# contributes twice, matching vol's double counting.
+#
+# Scale shape: the LPA rounds are the bounded-shuffle contraction
+# documented at label_propagation (shared staged edges + shared label
+# kernel `_lpa_labels`); the audit itself is the bounded (host, lab)
+# table broadcast onto BOTH endpoints of the edge list + two
+# partial/final aggs. The oracle re-runs the chained-CTE LPA (the
+# ROW_NUMBER formulation) and states the stats independently, so the
+# gate certifies kernel AND audit cross-engine.
+
+_MOD_ORACLE = (
+    _lpa_oracle_chain()
+    + f"""
+, lab AS (SELECT h, lab FROM r{LPA_ITERS})
+, deg AS (
+  SELECT a AS h, CAST(SUM(w.w) AS BIGINT) AS d FROM w GROUP BY 1
+)
+, vols AS (
+  SELECT l.lab, COUNT(*) AS n_hosts, CAST(SUM(deg.d) AS BIGINT) AS vol
+  FROM lab l JOIN deg ON deg.h = l.h GROUP BY 1
+)
+, win AS (
+  SELECT la.lab, CAST(SUM(w.w) AS BIGINT) AS w_in
+  FROM w
+  JOIN lab la ON la.h = w.a
+  JOIN lab lb ON lb.h = w.b
+  WHERE la.lab = lb.lab
+  GROUP BY 1
+)
+SELECT v.lab AS community,
+       CAST(v.n_hosts AS BIGINT) AS n_hosts,
+       v.vol,
+       CAST(COALESCE(wi.w_in, 0) AS BIGINT) AS w_in
+FROM vols v LEFT JOIN win wi ON wi.lab = v.lab
+"""
+)
+
+
+@register("host_modularity", _MOD_ORACLE)
+def q_host_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ew = _lpa_edges(spark, sf_dir)
+    labels = _lpa_labels(ew)
+    deg = ew.groupBy(F.col("a").alias("h")).agg(F.sum("w").alias("d"))
+    la = labels.select(F.col("h").alias("a"), F.col("lab").alias("la"))
+    lb = labels.select(F.col("h").alias("b"), F.col("lab").alias("lb"))
+    win = (
+        ew.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.sum("w").alias("w_in"))
+    )
+    vols = (
+        labels.join(deg, "h")
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).alias("n_hosts"),
+            F.sum("d").alias("vol"),
+        )
+    )
+    return (
+        vols.join(win, "lab", "left")
+        .select(
+            F.col("lab").cast("long").alias("community"),
+            F.col("n_hosts").cast("long").alias("n_hosts"),
+            F.col("vol").cast("long").alias("vol"),
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_in"),
         )
     )

@@ -36,6 +36,9 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "host_modularity",
+    "orders_cohort_value",
+    "media_loudness_windows",
     "media_ahash",
     "events_seasonality",
     "events_burstiness",

@@ -470,6 +470,9 @@ MEDIA_F_BASE, MEDIA_F_MOD = 4, 5    # n_frames = 4 + doc_id % 5
 MEDIA_MAX_W = MEDIA_W_BASE + MEDIA_W_MOD - 1
 MEDIA_MAX_H = MEDIA_H_BASE + MEDIA_H_MOD - 1
 MEDIA_MAX_FRAMES = MEDIA_F_BASE + MEDIA_F_MOD - 1
+# audio: n_samples = 256 + doc_id % 128 (the _MEDIA template below) —
+# keep this bound in lockstep with that formula
+MEDIA_MAX_SAMPLES = 256 + 128 - 1
 _MEDIA = f"""
 SELECT *,
   CASE kind WHEN 'audio' THEN n_samples ELSE width * height END AS frame_len,

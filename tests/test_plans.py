@@ -1859,3 +1859,32 @@ def test_media_ahash_single_arrow_pass_no_shuffle(spark):
     # what must not appear is a KEYED shuffle
     assert "hashpartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_host_modularity_broadcast_labels_no_window(spark):
+    """host_modularity: the bounded label table broadcasts onto both
+    edge endpoints for the audit; the LPA rounds are joins + aggs with
+    struct-max argmax — no Window, no Python anywhere."""
+    plan = _plan(Q.QUERIES["host_modularity"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_orders_cohort_value_agg_join_no_window(spark):
+    """orders_cohort_value: cohort assignment is a custkey MIN agg +
+    hash join back (the oracle's MIN OVER window formulation certifies
+    the rewrite) — the engine plan itself has no Window, no Python."""
+    plan = _plan(Q.QUERIES["orders_cohort_value"](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_media_loudness_single_arrow_pass(spark):
+    """media_loudness_windows: one Arrow mapInPandas pass over audio
+    docs — no keyed shuffle, no join, no window."""
+    plan = _plan(Q.QUERIES["media_loudness_windows"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
