@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "host_modularity",
     "orders_cohort_value",
     "media_loudness_windows",
+    "events_autocorr_lag1",
+    "supplier_cooccurrence",
 ]
 
 

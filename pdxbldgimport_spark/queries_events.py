@@ -1959,3 +1959,91 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_gap2_s"),
     )
+
+
+# ----------------------------------------------------------------------
+# events_autocorr_lag1: per-type lag-1 autocorrelation sufficient
+# statistics of the HOURLY count series — the exact int64 ingredients
+# (n_pairs, Σx, Σy, Σx², Σy², Σxy over consecutive-hour pairs) of the
+# serial-correlation check behind rate-anomaly dashboards; the float
+# Pearson r is a driver-side scalar. The series is ZERO-FILLED over
+# the full global hour span (a sparse join-by-observed-hours would
+# silently skip empty hours and corrupt every lag pair).
+#
+# Scale shape: the corpus contracts ONCE to the (type, hour) grid;
+# the dense grid is a bounded explode (types × sequence(h0, h1))
+# left-joined to the observed counts (broadcast — both sides bounded);
+# the lag pairs are a lead window over the per-type hour series and
+# the stats one final agg, all on grid-sized relations. No corpus
+# window.
+
+_AC1_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+         AS BIGINT) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM g
+), grid AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM g) t
+  CROSS JOIN (
+    SELECT UNNEST(range(h0, h1 + 1)) AS h FROM span
+  ) s
+), serie AS (
+  SELECT grid.event_type, grid.h, COALESCE(g.cnt, 0) AS x
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.h = grid.h
+), pairs AS (
+  SELECT event_type, x,
+         LEAD(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+  FROM serie
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       CAST(SUM(y * y) AS BIGINT) AS sum_y2,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy
+FROM pairs WHERE y IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("events_autocorr_lag1", _AC1_ORACLE)
+def q_events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    g = (
+        spark.table("events")
+        .select("event_type", us.alias("h_us"))
+        .selectExpr("event_type", "h_us div 3600000000 AS h")
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = g.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        g.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    serie = grid.join(F.broadcast(g), ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    w = Wnd.partitionBy("event_type").orderBy("h")
+    pairs = serie.select(
+        "event_type", "x", F.lead("x").over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+    )

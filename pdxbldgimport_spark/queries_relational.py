@@ -1301,3 +1301,66 @@ def q_orders_cohort_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val_c").cast("long").alias("value_c"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# supplier_cooccurrence: market-basket co-occurrence over orders —
+# supplier pairs that ship in the SAME order with ABOVE-AVERAGE
+# affinity (pair count strictly above the mean pair count, compared
+# exactly as n_pair · n_pairs_total > sum_counts — no float mean),
+# the "frequently shipped together" item-pair mining shape. An
+# absolute support threshold cannot bind across scale factors (the
+# synth supplier pool grows with SF, diluting per-pair counts ~16×
+# from sf0.001 to sf0.01), so the mining rule is distribution-
+# relative — and therefore live at every SF, which pytest asserts.
+#
+# The pair blowup is bounded by construction: pairs enumerate within
+# an order only (fan-out per order = C(distinct suppliers, 2), ~7
+# lines/order) — never a global supplier×supplier join; the same
+# per-container discipline as host_neighbor_jaccard's wedge cap.
+#
+# Scale shape: lineitem contracts to DISTINCT (order, supplier) in
+# one partial/final agg; the within-order self-join reuses that
+# orderkey partitioning; the (a, b) pair agg and a 1-row stats
+# broadcast finish it.
+
+_COOC_ORACLE = """
+WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pair AS (
+  SELECT a.l_suppkey AS s_a, b.l_suppkey AS s_b,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM os a JOIN os b
+    ON b.l_orderkey = a.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_a, s_b, n_orders FROM pair
+WHERE n_orders * (SELECT COUNT(*) FROM pair)
+        > (SELECT SUM(n_orders) FROM pair)
+"""
+
+
+@register("supplier_cooccurrence", _COOC_ORACLE)
+def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    os_ = (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    b = os_.select(F.col("l_orderkey"), F.col("l_suppkey").alias("s_b"))
+    pair = (
+        os_.withColumnRenamed("l_suppkey", "s_a")
+        .join(b, "l_orderkey")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    stats = pair.agg(
+        F.count(F.lit(1)).alias("np"), F.sum("n_orders").alias("tot")
+    )
+    return (
+        pair.join(F.broadcast(stats))
+        .where(F.col("n_orders") * F.col("np") > F.col("tot"))
+        .select("s_a", "s_b", "n_orders")
+    )

@@ -36,6 +36,8 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "events_autocorr_lag1",
+    "supplier_cooccurrence",
     "host_modularity",
     "orders_cohort_value",
     "media_loudness_windows",

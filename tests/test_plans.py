@@ -1888,3 +1888,27 @@ def test_media_loudness_single_arrow_pass(spark):
     assert "MapInPandas" in plan
     assert "hashpartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_events_autocorr_grid_window_no_corpus_window(spark):
+    """events_autocorr_lag1: the corpus contracts once (partial+final
+    agg); the lead window runs over the bounded dense grid (an agg
+    appears below it in the plan); grid joins are broadcasts."""
+    plan = _plan(Q.QUERIES["events_autocorr_lag1"](spark, SF))
+    assert "Window" in plan
+    assert "HashAggregate" in plan[plan.index("Window"):]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_supplier_cooccurrence_bounded_pairs_no_cartesian(spark):
+    """supplier_cooccurrence: pairs enumerate within an order via an
+    orderkey equi-join of the contracted distinct relation — never a
+    cartesian supplier×supplier blowup; the 1-row mean stats broadcast."""
+    plan = _plan(Q.QUERIES["supplier_cooccurrence"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
