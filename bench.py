@@ -230,6 +230,17 @@ BENCH_QUERIES = [
     "media_loudness_windows",
     "events_autocorr_lag1",
     "supplier_cooccurrence",
+    "forecast_revenue",
+    "nation_volume",
+    "late_shipments",
+    "large_orders",
+    "discount_revenue",
+    "important_parts",
+    "dominant_suppliers",
+    "hilbert_layout",
+    "host_clustering_coef",
+    "events_histogram",
+    "events_type_correlation",
 ]
 
 

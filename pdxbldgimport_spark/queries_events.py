@@ -2047,3 +2047,165 @@ def q_events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_y2"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
     )
+
+
+# ----------------------------------------------------------------------
+# events_histogram: per-type equi-width 10-bin histogram of the value
+# column, zero-filled — the distribution panel behind every metrics
+# dashboard. Bin edges come from the PER-TYPE min/max (one tiny agg
+# broadcast back onto the stream), the bin index is pure codegen
+# (identical IEEE double expression text in both dialects, so the
+# floor quantization agrees bit-for-bit), and the dense (type × 10)
+# grid is a bounded explode left-joined to the observed counts so
+# empty bins surface as 0 — a sparse GROUP BY would silently drop
+# them.
+#
+# Scale shape: one partial/final agg for the per-type extrema
+# (type-bounded), one partial/final agg for the bin counts; the grid
+# join is broadcast on both sides (types × 10 rows). No window, no
+# Python, no corpus-scale join.
+
+N_BINS = 10
+
+# shared expression text; {div} is the only dialect split (unused here
+# but kept parallel to the other generated-SQL families).
+_BIN_EXPR = (
+    f"CASE WHEN mx = mn THEN 0 ELSE LEAST({N_BINS - 1}, "
+    f"CAST(FLOOR(((value - mn) * {N_BINS}e0) / (mx - mn)) AS BIGINT)) END"
+)
+
+_HIST_ORACLE = f"""
+WITH ext AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY 1
+), binned AS (
+  SELECT e.event_type, {_BIN_EXPR} AS bin
+  FROM events e JOIN ext ON ext.event_type = e.event_type
+), cnt AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, s.bin
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(range(0, {N_BINS})) AS bin) s
+)
+SELECT grid.event_type, CAST(grid.bin AS BIGINT) AS bin,
+       COALESCE(cnt.n, 0) AS n
+FROM grid LEFT JOIN cnt
+  ON cnt.event_type = grid.event_type AND cnt.bin = grid.bin
+"""
+
+
+@register("events_histogram", _HIST_ORACLE)
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ev = spark.table("events")
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    binned = ev.join(F.broadcast(ext), "event_type").select(
+        "event_type", F.expr(_BIN_EXPR).alias("bin")
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(N_BINS).select(F.col("id").cast("long").alias("bin"))
+        )
+    )
+    return grid.join(F.broadcast(cnt), ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+
+
+# ----------------------------------------------------------------------
+# events_type_correlation: pairwise Pearson sufficient statistics
+# between event-type HOURLY count series — "do signups spike when
+# errors spike?" — as exact int64 ingredients (n, Σa, Σb, Σa², Σb²,
+# Σab per unordered type pair); the float r is a driver-side scalar.
+# Series are zero-filled over the global hour span exactly like
+# events_autocorr_lag1 (sparse-join alignment would corrupt every
+# covariance term where either series has an empty hour).
+#
+# Scale shape: the corpus contracts ONCE to the (type, hour) grid;
+# the pair join is grid×grid on the hour key with type_a < type_b —
+# both sides are (types × hours)-bounded, never corpus-scale; one
+# final agg over ~|types|²/2 groups.
+
+_TCORR_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+         AS BIGINT) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM g
+), grid AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM g) t
+  CROSS JOIN (SELECT UNNEST(range(h0, h1 + 1)) AS h FROM span) s
+), serie AS (
+  SELECT grid.event_type, grid.h, COALESCE(g.cnt, 0) AS x
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.h = grid.h
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(a.x) AS BIGINT) AS sum_a,
+       CAST(SUM(b.x) AS BIGINT) AS sum_b,
+       CAST(SUM(a.x * a.x) AS BIGINT) AS sum_a2,
+       CAST(SUM(b.x * b.x) AS BIGINT) AS sum_b2,
+       CAST(SUM(a.x * b.x) AS BIGINT) AS sum_ab
+FROM serie a JOIN serie b
+  ON b.h = a.h AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("events_type_correlation", _TCORR_ORACLE)
+def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    g = (
+        spark.table("events")
+        .select("event_type", us.alias("h_us"))
+        .selectExpr("event_type", "h_us div 3600000000 AS h")
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = g.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        g.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    serie = grid.join(F.broadcast(g), ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    a = serie.select(
+        F.col("event_type").alias("type_a"), "h", F.col("x").alias("xa")
+    )
+    b = serie.select(
+        F.col("event_type").alias("type_b"), "h", F.col("x").alias("xb")
+    )
+    return (
+        a.join(b, "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("xa").cast("long").alias("sum_a"),
+            F.sum("xb").cast("long").alias("sum_b"),
+            F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sum_a2"),
+            F.sum(F.col("xb") * F.col("xb")).cast("long").alias("sum_b2"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sum_ab"),
+        )
+    )

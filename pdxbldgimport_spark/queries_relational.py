@@ -1364,3 +1364,355 @@ def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") * F.col("np") > F.col("tot"))
         .select("s_a", "s_b", "n_orders")
     )
+
+
+# ----------------------------------------------------------------------
+# forecast_revenue (TPC-H Q6 shape): the pure scan-filter-agg — three
+# range predicates ALL pushed to the parquet scan (shipdate year,
+# discount band, quantity cap), zero joins, one partial/final agg to a
+# single row. At 10^12 rows this is the query where pushdown is the
+# whole game: the exchange carries one partial sum per partition.
+# Revenue = price × discount, exact: cents × ppm // 1e6.
+
+_Q6_YEAR = "1997"
+_FORECAST_ORACLE = f"""
+SELECT CAST(SUM(({_CENTS} * {_DISC_PPM}) // 1000000) AS BIGINT)
+         AS revenue_c,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_YEAR}-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{int(_Q6_YEAR) + 1}-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue", _FORECAST_ORACLE)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT CAST(SUM(({_CENTS} * {_DISC_PPM}) div 1000000) AS BIGINT)
+                 AS revenue_c,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q6_YEAR}-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{int(_Q6_YEAR) + 1}-01-01 00:00:00'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """)
+
+
+# ----------------------------------------------------------------------
+# nation_volume (TPC-H Q7 shape): shipping volume between two nations
+# by year — the double-dimension probe (supplier nation via lineitem,
+# customer nation via orders) where BOTH nation filters broadcast onto
+# the fact stream and prune it before the fact⋈fact orderkey join.
+# Pair set chosen by key (all unequal pairs among keys 0-3 — synth
+# nation assignment is sparse at tiny SF, so a single fixed pair can be
+# empty; the small key set keeps the filter selective yet live at
+# every SF). Keys are the stable spelling across SFs.
+
+_Q7_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate,
+         ({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000 AS disc_c
+  FROM lineitem
+)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM li.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(li.disc_c) AS BIGINT) AS revenue_c,
+       COUNT(*) AS n_items
+FROM li
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = li.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_nationkey < 4 AND n2.n_nationkey < 4
+  AND n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+@register("nation_volume", _Q7_ORACLE)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.sql(f"""
+      SELECT l_orderkey, l_suppkey, l_shipdate,
+             ({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000 AS disc_c
+      FROM lineitem
+    """)
+    nat = F.broadcast(spark.table("nation"))
+    supp = (
+        spark.table("supplier")
+        .join(nat.where(F.col("n_nationkey") < 4),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        spark.table("customer")
+        .join(nat.where(F.col("n_nationkey") < 4),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("c_custkey", F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"))
+    )
+    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("sn_key") != F.col("cn_key"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum("disc_c").cast("long").alias("revenue_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ----------------------------------------------------------------------
+# late_shipments (TPC-H Q12 shape, adapted — synth has no shipmode/
+# receiptdate): per order-priority, how many lineitems shipped >60
+# days after the order date vs on time. One orderkey equi-join (the
+# orders side projects two columns), conditional counts in ONE
+# partial/final agg — the CASE-inside-agg shape.
+
+_Q12_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) FILTER (
+         WHERE li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       ) AS BIGINT) AS n_late,
+       CAST(COUNT(*) FILTER (
+         WHERE li.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+       ) AS BIGINT) AS n_ontime
+FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+GROUP BY 1
+"""
+
+
+@register("late_shipments", _Q12_ORACLE)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_shipdate")
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAY"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(late).alias("n_late"),
+            F.count_if(~late).alias("n_ontime"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# large_orders (TPC-H Q18 shape): orders whose total quantity exceeds a
+# threshold — the agg→semi-probe decorrelation. Engine: ONE
+# partial/final agg over l_orderkey (the heavy reduction), the HAVING
+# filter applied BEFORE any dimension join, then the surviving handful
+# of orders probe orders/customer. At 10^12 rows the post-HAVING side
+# is tiny — AQE turns both probes into broadcasts at runtime.
+
+_Q18_QTY = 220  # sum(l_quantity) threshold: 61 orders at sf0.001, 514 at sf0.01
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM({_QTY_C}) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM({_QTY_C}) > {_Q18_QTY} * 100
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(FLOOR(o.o_totalprice * 100e0) AS BIGINT) AS total_c,
+       big.qty_c
+FROM big
+JOIN orders o   ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("large_orders", _Q18_ORACLE)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    big = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.expr(_QTY_C)).cast("long").alias("qty_c"))
+        .where(F.col("qty_c") > _Q18_QTY * 100)
+    )
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long").alias("total_c"),
+    )
+    cust = spark.table("customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "total_c", "qty_c")
+    )
+
+
+# ----------------------------------------------------------------------
+# discount_revenue (TPC-H Q19 shape): revenue under an OR-of-ANDs
+# predicate spanning fact and dimension columns — the disjunctive-
+# pushdown test. The quantity bounds (the fact-only disjunct envelope
+# l_quantity BETWEEN 1 AND 35) prune the scan BEFORE the part join;
+# the brand/size conjuncts prune the broadcast dim; the residual OR
+# evaluates post-join in codegen.
+
+_Q19_PRED_SQL = """
+   (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 1 AND 15)
+OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      AND l_quantity BETWEEN 10 AND 25)
+OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      AND l_quantity BETWEEN 20 AND 35)
+"""
+
+_Q19_ORACLE = f"""
+SELECT CAST(SUM(({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000)
+            AS BIGINT) AS revenue_c,
+       COUNT(*) AS n_items
+FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+WHERE {_Q19_PRED_SQL}
+"""
+
+
+@register("discount_revenue", _Q19_ORACLE)
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = (
+        spark.table("lineitem")
+        # fact-only envelope of the disjunction — prunes the scan
+        .where(F.col("l_quantity").between(1, 35))
+        .select("l_partkey", "l_quantity",
+                F.expr(f"({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000")
+                .alias("disc_c"))
+    )
+    part = F.broadcast(
+        spark.table("part")
+        .where(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(F.expr(_Q19_PRED_SQL))
+        .agg(F.sum("disc_c").cast("long").alias("revenue_c"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# ----------------------------------------------------------------------
+# important_parts (TPC-H Q11 shape, adapted — synth has no partsupp, so
+# "stock value" is shipped discounted value per part): parts whose
+# revenue exceeds the MEAN per-part revenue — the scalar-subquery
+# decorrelation. (TPC-H's absolute 1/1000-of-total cutoff is dead on
+# the synth's uniform part values at every SF, so the cutoff is
+# distribution-relative; same pattern as supplier_cooccurrence.)
+# Engine: ONE agg over partkey; the global total re-aggregates the
+# PER-PART sums (a second tiny agg over the group rows, NOT a second
+# fact scan) and broadcasts as a 1-row join. The mean comparison is
+# exact integer: value_c · n_parts > total_c.
+
+_Q11_ORACLE = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000)
+              AS BIGINT) AS value_c
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, value_c FROM pv
+WHERE value_c * (SELECT COUNT(*) FROM pv) > (SELECT SUM(value_c) FROM pv)
+"""
+
+
+@register("important_parts", _Q11_ORACLE)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    pv = (
+        spark.table("lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(f"({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000")
+            ).cast("long").alias("value_c")
+        )
+    )
+    total = pv.agg(
+        F.sum("value_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("value_c") * F.col("n_parts") > F.col("total_c"))
+        .select("l_partkey", "value_c")
+    )
+
+
+# ----------------------------------------------------------------------
+# dominant_suppliers (TPC-H Q20 shape, adapted — no partsupp availqty,
+# so "excess share" is shipped-quantity share): suppliers that shipped
+# MORE THAN 2× THEIR FAIR SHARE of some part's total quantity
+# (qty · n_suppliers_for_part > 2 · part_total — a strict-majority
+# cutoff is dead on the synth's uniform shares once parts have many
+# suppliers, so the rule is fair-share-relative and live at every SF),
+# with how many parts each dominates. The per-(part, supplier) agg
+# reuses the part partitioning for the part-total re-agg (no second
+# fact scan), the share filter is exact integer, and only the
+# surviving (part, supplier) pairs — a small set — join the supplier
+# dim.
+
+_Q20_ORACLE = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM({_QTY_C}) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS part_qty_c,
+         CAST(COUNT(*) AS BIGINT) AS n_supp
+  FROM ps GROUP BY 1
+), dom AS (
+  SELECT ps.l_suppkey
+  FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+  WHERE ps.qty_c * pt.n_supp > 2 * pt.part_qty_c
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominated
+FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+@register("dominant_suppliers", _Q20_ORACLE)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ps = (
+        spark.table("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.expr(_QTY_C)).cast("long").alias("qty_c"))
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("qty_c").cast("long").alias("part_qty_c"),
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+    )
+    dom = (
+        ps.join(pt, "l_partkey")
+        .where(F.col("qty_c") * F.col("n_supp")
+               > F.lit(2) * F.col("part_qty_c"))
+        .select("l_suppkey")
+    )
+    supp = spark.table("supplier").select("s_suppkey", "s_name")
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominated"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated")
+    )

@@ -1706,3 +1706,131 @@ def q_tile_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dx * dy).cast("long").alias("sxy"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# hilbert_layout: Hilbert-curve data-layout planning — the sibling of
+# zorder_layout for table formats that support OPTIMIZE ... HILBERT
+# (Iceberg's hilbert() transform): unlike Morton order, the Hilbert
+# curve has no "seam jumps", so a bbox query touches strictly fewer
+# files at the same rows-per-file.
+#
+# The two sides deliberately use DIFFERENT formulations of the same
+# textbook xy2d walk (top-down quadrant extraction + rotate/flip;
+# Wikipedia "Hilbert curve" C code), so the gate is algorithm-
+# independent: the ORACLE unrolls the walk into RES_H nested pure-
+# arithmetic SQL levels (bijectivity + curve adjacency of that
+# generated SQL are property-tested against a third, scalar-Python,
+# walk in tests/test_hilbert.py); the ENGINE precomputes the full
+# 2^RES_H × 2^RES_H cell→key table with a VECTORIZED numpy walk at
+# the driver (65k rows, ~ms) and broadcast-joins pages on their grid
+# cell. A per-level expression unroll inside Catalyst is NOT viable —
+# each level references x/y three times, and optimizer inlining makes
+# the expression tree 3^RES_H nodes (measured: analysis alone ran
+# minutes at 8 levels) — and this lookup shape is exactly how
+# production cell indexes do it anyway: S2's cell-id encode walks
+# 4-bit lookup tables carrying an orientation state; deeper
+# resolutions chain per-byte lookups (key = hi-table[state0, hi byte]
+# ++ lo-table[state1, lo byte]) without ever growing the broadcast.
+#
+# Scale shape: one 65k-row broadcast hash join (the lookup), then as
+# zorder_layout — the exact global position from global_rank's
+# bucket-offset decomposition (bucket = top 8 key bits, a monotone
+# coarsening): ONE corpus agg + a 256-row offset window + a broadcast
+# back; no global sort, no Python in the per-row path.
+
+RES_H = 8  # bits per axis → 256×256 grid, keys 0..65535
+HILBERT_ROWS_PER_FILE = 4096
+
+
+def _hilbert_sql(src: str, ix: str, iy: str, bits: int, divop: str) -> str:
+    """Nested-select unroll of xy2d over ``src`` (must expose page_id):
+    per level s = 2^(bits-1)..1, extract the quadrant bits (rx, ry),
+    accumulate d += s²·((3·rx) XOR ry) — spelled arithmetically as
+    CASE rx=1 → 3-ry ELSE ry (rx, ry ∈ {0,1}) so no dialect-specific
+    XOR — then rotate/flip about the FULL grid (n-1 variant)."""
+    n = 1 << bits
+    sql = (f"SELECT page_id, {ix} AS x, {iy} AS y, "
+           f"CAST(0 AS BIGINT) AS d FROM {src}")
+    s = n // 2
+    while s > 0:
+        rxry = (f"SELECT page_id, x, y, d, "
+                f"(x {divop} {s}) % 2 AS rx, (y {divop} {s}) % 2 AS ry "
+                f"FROM ({sql})")
+        sql = (
+            "SELECT page_id, "
+            f"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {n - 1} - y "
+            "ELSE y END ELSE x END AS x, "
+            f"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {n - 1} - x "
+            "ELSE x END ELSE y END AS y, "
+            f"d + {s * s} * (CASE WHEN rx = 1 THEN 3 - ry ELSE ry END) AS d "
+            f"FROM ({rxry})"
+        )
+        s //= 2
+    return f"SELECT page_id, d AS hkey FROM ({sql})"
+
+
+def _hilbert_oracle() -> str:
+    ix = _ix_sql("lon", RES_H)
+    iy = _iy_sql("lat", RES_H)
+    body = _hilbert_sql("pages", ix, iy, RES_H, "//")
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, h AS ({body})
+SELECT page_id, hkey,
+       (ROW_NUMBER() OVER (ORDER BY hkey, page_id) - 1)
+         // {HILBERT_ROWS_PER_FILE} AS file_id
+FROM h
+"""
+    )
+
+
+def _hilbert_lookup_pdf():
+    """Full-grid cell→key mapping via a vectorized numpy xy2d walk."""
+    import numpy as np
+    import pandas as pd
+
+    n = 1 << RES_H
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ix, iy = gx.ravel(), gy.ravel()
+    x, y = ix.copy(), iy.copy()
+    d = np.zeros(n * n, dtype=np.int64)
+    s = n // 2
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        rot = ry == 0
+        flip = rot & (rx == 1)
+        xf = np.where(flip, n - 1 - x, x)
+        yf = np.where(flip, n - 1 - y, y)
+        x = np.where(rot, yf, xf)
+        y = np.where(rot, xf, yf)
+        s //= 2
+    return pd.DataFrame(
+        {"ix": ix.astype("int64"), "iy": iy.astype("int64"), "hkey": d}
+    )
+
+
+@register("hilbert_layout", _hilbert_oracle())
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    lut = F.broadcast(spark.createDataFrame(_hilbert_lookup_pdf()))
+    g = spark.table("pages").select(
+        "page_id",
+        F.expr(_ix_sql("lon", RES_H)).alias("ix"),
+        F.expr(_iy_sql("lat", RES_H)).alias("iy"),
+    )
+    h = g.join(lut, ["ix", "iy"]).select("page_id", "hkey")
+    ranked = global_rank(
+        h,
+        bucket=F.expr("hkey div 256"),
+        order_cols=[F.col("hkey"), F.col("page_id")],
+        rank_col="pos",
+    )
+    return ranked.select(
+        "page_id",
+        "hkey",
+        F.expr(f"pos div {HILBERT_ROWS_PER_FILE}").alias("file_id"),
+    )

@@ -2363,3 +2363,74 @@ def q_host_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_in"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# host_clustering_coef: local clustering coefficient ingredients per
+# host — (degree, triangle count, wedge count) over the undirected
+# host link graph; coefficient = n_tri / n_wedges is a driver-side
+# division. The community-density signal read next to host_triangles
+# and host_modularity: a host with high degree but near-zero closure
+# is a directory/aggregator, dense closure marks an organic cluster.
+# Hosts with degree 1 (zero wedges) are retained with n_tri = 0 — a
+# left join, so the row set is exactly the vertex set.
+#
+# Scale shape: shares the staged distinct edge list (and its stage
+# key) with host_triangles — one corpus-scale parse feeding both; the
+# degree agg is edge-bounded, the triangle side reuses the
+# degree-oriented enumeration (never hub-quadratic), and the final
+# left join runs on the host-bounded relation. The oracle recomputes
+# triangles with the algorithm-independent lexicographic three-way
+# join.
+
+_CC_ORACLE = (
+    synth.oracle_with("pages")
+    + _TRI_EDGE_CTES
+    + """
+, deg AS (
+  SELECT h AS host, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT UNNEST([u, v]) AS h FROM und)
+  GROUP BY 1
+)
+, tri AS (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM und x
+  JOIN und y ON y.u = x.v
+  JOIN und z ON z.u = x.u AND z.v = y.v
+)
+, tric AS (
+  SELECT h AS host, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT UNNEST([a, b, c]) AS h FROM tri)
+  GROUP BY 1
+)
+SELECT deg.host, deg.deg,
+       COALESCE(tric.n_tri, 0) AS n_tri,
+       deg.deg * (deg.deg - 1) // 2 AS n_wedges
+FROM deg LEFT JOIN tric ON tric.host = deg.host
+"""
+)
+
+
+@register("host_clustering_coef", _CC_ORACLE)
+def q_host_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    und = stage(
+        spark,
+        (session_token(spark), sf_dir, "tri_edges"),  # shared w/ host_triangles
+        lambda: _und_host_edges(spark),
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(und).withColumnRenamed("n_tri", "t")
+    return (
+        deg.join(tri, "host", "left")
+        .select(
+            "host",
+            "deg",
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_tri"),
+            F.expr("deg * (deg - 1) div 2").alias("n_wedges"),
+        )
+    )

@@ -36,6 +36,17 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "hilbert_layout",
+    "host_clustering_coef",
+    "events_histogram",
+    "events_type_correlation",
+    "forecast_revenue",
+    "nation_volume",
+    "late_shipments",
+    "large_orders",
+    "discount_revenue",
+    "important_parts",
+    "dominant_suppliers",
     "events_autocorr_lag1",
     "supplier_cooccurrence",
     "host_modularity",
