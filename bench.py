@@ -241,6 +241,16 @@ BENCH_QUERIES = [
     "host_clustering_coef",
     "events_histogram",
     "events_type_correlation",
+    "quadkey_encode",
+    "zrange_bbox_count",
+    "host_ppr",
+    "events_ewma",
+    "orders_rfm",
+    "part_margin",
+    "mktsegment_revenue",
+    "supplier_balance_tiers",
+    "tile_dbscan",
+    "tile_contour_cases",
 ]
 
 

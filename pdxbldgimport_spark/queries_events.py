@@ -2209,3 +2209,80 @@ def q_events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sum_ab"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# events_ewma: exponentially-weighted moving average of the per-type
+# hourly count series — the smoothing pass behind every rate monitor —
+# as EXACT integers: the filter is truncated at EWMA_TAPS terms
+# (finite-impulse approximation of α=1/4 smoothing; the dropped tail
+# weighs (3/4)^8 < 10%) so the weights 3^j·4^(TAPS-1-j) are integers
+# summing to 4^TAPS − 3^TAPS, and the smoothed value is one integer
+# dot product over lagged counts per row — no float pow, no
+# cross-engine libm risk. Series are zero-filled over the global hour
+# span (missing-hour lags must read 0, not skip — the same alignment
+# rule as events_autocorr_lag1).
+#
+# Scale shape: corpus contracts once to the (type, hour) grid; the
+# TAPS lag terms are ONE window pass over the grid-sized series per
+# type (bounded partitions — never a corpus window); everything else
+# is codegen arithmetic.
+
+EWMA_TAPS = 8
+_EWMA_W = [3**j * 4 ** (EWMA_TAPS - 1 - j) for j in range(EWMA_TAPS)]
+
+_EWMA_EXPR = " + ".join(
+    f"{w} * LAG(x, {j}, 0) OVER (PARTITION BY event_type ORDER BY h)"
+    for j, w in enumerate(_EWMA_W)
+)
+
+_EWMA_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+         AS BIGINT) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM g
+), grid AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM g) t
+  CROSS JOIN (SELECT UNNEST(range(h0, h1 + 1)) AS h FROM span) s
+), serie AS (
+  SELECT grid.event_type, grid.h, COALESCE(g.cnt, 0) AS x
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.h = grid.h
+)
+SELECT event_type, h, CAST({_EWMA_EXPR} AS BIGINT) AS ewma_scaled
+FROM serie
+"""
+
+
+@register("events_ewma", _EWMA_ORACLE)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    g = (
+        spark.table("events")
+        .select("event_type", us.alias("h_us"))
+        .selectExpr("event_type", "h_us div 3600000000 AS h")
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = g.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        g.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    serie = grid.join(F.broadcast(g), ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    return serie.select(
+        "event_type",
+        "h",
+        F.expr(_EWMA_EXPR).cast("long").alias("ewma_scaled"),
+    )

@@ -1716,3 +1716,254 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "n_dominated")
     )
+
+
+# ----------------------------------------------------------------------
+# orders_rfm: RFM (recency / frequency / monetary) customer
+# segmentation — the classic CRM cut. Per customer: days since last
+# order (against the global max order date, integer epoch-day
+# arithmetic), order count, and lifetime cents; each metric then gets
+# an exact quintile label and the three digits concatenate into the
+# segment code ("555" = best). Ties are pinned by custkey so the
+# quintile assignment is total-order deterministic in both engines.
+#
+# Scale shape: ONE partial/final agg over custkey builds the metric
+# table; each quintile comes from global_rank's bucket-offset
+# decomposition (a monotone hash-bucket coarsening + a tiny offset
+# window + broadcast back) — NO single-partition NTILE window, which
+# is what the naive spelling would cost at 10^9 customers; the
+# quintile is then (5·rank) div n against a 1-row broadcast count.
+
+from .operators.ranking import global_rank as _global_rank
+
+
+def _rfm_oracle() -> str:
+    return """
+WITH m AS (
+  SELECT o_custkey AS c_custkey,
+         CAST((epoch(MAX(MAX(o_orderdate)) OVER ())
+               - epoch(MAX(o_orderdate))) // 86400 AS BIGINT) AS r_days,
+         CAST(COUNT(*) AS BIGINT) AS f_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100e0) AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM orders GROUP BY o_custkey
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM m)
+, q AS (
+  SELECT m.*,
+    (5 * (ROW_NUMBER() OVER (ORDER BY r_days DESC, c_custkey) - 1))
+      // n.nc AS r_q,
+    (5 * (ROW_NUMBER() OVER (ORDER BY f_orders, c_custkey) - 1))
+      // n.nc AS f_q,
+    (5 * (ROW_NUMBER() OVER (ORDER BY m_cents, c_custkey) - 1))
+      // n.nc AS m_q
+  FROM m, n
+)
+SELECT c_custkey, r_days, f_orders, m_cents,
+       CAST(r_q + 1 AS BIGINT) AS r_q,
+       CAST(f_q + 1 AS BIGINT) AS f_q,
+       CAST(m_q + 1 AS BIGINT) AS m_q,
+       CAST(r_q + 1 AS VARCHAR) || CAST(f_q + 1 AS VARCHAR)
+         || CAST(m_q + 1 AS VARCHAR) AS segment
+FROM q
+"""
+
+
+@register("orders_rfm", _rfm_oracle())
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    o = spark.table("orders")
+    last = o.agg(F.max("o_orderdate").alias("gmax"))
+    m = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("f_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+            ).cast("long").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(last))
+        .select(
+            "c_custkey",
+            # NTZ → timestamp cast is UTC (session.py pins the session
+            # timezone), matching the oracle's naive epoch()
+            F.expr(
+                "(unix_seconds(cast(gmax AS timestamp))"
+                " - unix_seconds(cast(last_order AS timestamp))) div 86400"
+            ).cast("long").alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    m = m.localCheckpoint(eager=False)  # three rank passes read it
+    nc = m.agg(F.count(F.lit(1)).alias("nc"))
+
+    def quint(df, col, desc_first, coarse, name):
+        # bucket = coarse monotone quantization of the leading key
+        # (negated for DESC order), keeping the bucket table bounded
+        ordered = (
+            [F.col(col).desc(), F.col("c_custkey")]
+            if desc_first
+            else [F.col(col), F.col("c_custkey")]
+        )
+        bucket = F.expr(
+            f"-({col} div {coarse})" if desc_first
+            else f"{col} div {coarse}"
+        )
+        ranked = _global_rank(
+            df, bucket=bucket, order_cols=ordered, rank_col="_rk"
+        )
+        return ranked.crossJoin(F.broadcast(nc)).withColumn(
+            name, F.expr("(5 * _rk) div nc + 1").cast("long")
+        ).drop("_rk", "nc")
+
+    m = quint(m, "r_days", True, 32, "r_q")
+    m = quint(m, "f_orders", False, 4, "f_q")
+    m = quint(m, "m_cents", False, 1_000_000, "m_q")
+    return m.select(
+        "c_custkey", "r_days", "f_orders", "m_cents", "r_q", "f_q", "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
+
+
+# ----------------------------------------------------------------------
+# part_margin: realized vs list revenue per brand — the
+# margin-erosion rollup that finally puts p_retailprice (the one
+# driver column no other query touched) under the gate. Exact units:
+# cents × centi-units (retail_c · qty_c vs disc_c · 100), one
+# broadcast dim join, one partial/final agg.
+
+_MARGIN_ORACLE = f"""
+WITH li AS (
+  SELECT l_partkey, {_QTY_C} AS qty_c,
+         ({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000 AS disc_c
+  FROM lineitem
+)
+SELECT p.p_brand,
+       CAST(SUM(CAST(FLOOR(p.p_retailprice * 100e0) AS BIGINT) * li.qty_c)
+            AS BIGINT) AS list_c100,
+       CAST(SUM(li.disc_c * 100) AS BIGINT) AS actual_c100,
+       COUNT(*) AS n_items
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+GROUP BY 1
+"""
+
+
+@register("part_margin", _MARGIN_ORACLE)
+def q_part_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.sql(f"""
+      SELECT l_partkey, {_QTY_C} AS qty_c,
+             ({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000 AS disc_c
+      FROM lineitem
+    """)
+    part = F.broadcast(
+        spark.table("part").select(
+            "p_partkey",
+            "p_brand",
+            F.floor(F.col("p_retailprice") * F.lit(100.0))
+            .cast("long")
+            .alias("retail_c"),
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("retail_c") * F.col("qty_c"))
+            .cast("long")
+            .alias("list_c100"),
+            F.sum(F.col("disc_c") * 100).cast("long").alias("actual_c100"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# mktsegment_revenue: lifetime revenue and customer counts per market
+# segment — the last unexercised customer column (c_mktsegment) under
+# the gate. Fact⋈dim on custkey (customer is fact-sized at warehouse
+# scale — AQE picks the strategy, no forced broadcast), ONE
+# partial/final agg; the distinct-customer count rides the same agg as
+# count(DISTINCT) with Spark's standard two-phase expansion.
+
+_SEGREV_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100e0) AS BIGINT))
+            AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
+@register("mktsegment_revenue", _SEGREV_ORACLE)
+def q_mktsegment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long")
+        .alias("total_c"),
+    )
+    c = spark.table("customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("total_c").cast("long").alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# supplier_balance_tiers: supplier account-balance health per nation —
+# negative / small / large balance tiers (TPC-H acctbals go negative:
+# suppliers in debt), counts and exact summed cents per (nation,
+# tier). Covers s_acctbal, the last unexercised supplier column. The
+# tier is a CASE on exact cents; nation is a broadcast dim; ONE
+# partial/final agg on a (nation × 3)-bounded key space.
+
+_BAL_TIER = """
+CASE WHEN bal_c < 0 THEN 'debt'
+     WHEN bal_c < 500000 THEN 'small'
+     ELSE 'large' END
+"""
+
+_SUPPBAL_ORACLE = f"""
+WITH s AS (
+  SELECT s_nationkey,
+         CAST(FLOOR(s_acctbal * 100e0) AS BIGINT) AS bal_c
+  FROM supplier
+)
+SELECT n.n_name, {_BAL_TIER} AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+FROM s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("supplier_balance_tiers", _SUPPBAL_ORACLE)
+def q_supplier_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    s = spark.table("supplier").select(
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * F.lit(100.0)).cast("long").alias("bal_c"),
+    )
+    nat = F.broadcast(spark.table("nation").select("n_nationkey", "n_name"))
+    return (
+        s.join(nat, s.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.expr(_BAL_TIER).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("bal_c").cast("long").alias("total_bal_c"),
+        )
+    )

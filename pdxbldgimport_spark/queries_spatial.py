@@ -1834,3 +1834,364 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hkey",
         F.expr(f"pos div {HILBERT_ROWS_PER_FILE}").alias("file_id"),
     )
+
+
+# ----------------------------------------------------------------------
+# quadkey_encode: Bing-Maps quadkey (one base-4 digit per zoom level,
+# digit = x_bit + 2·y_bit from the MSB down) for every page at level
+# RES_Z — the third interoperable cell key next to geohash_encode and
+# the internal Morton tile id: quadkeys are what XYZ tile servers and
+# Bing/Azure Maps APIs address tiles by, and a quadkey PREFIX of
+# length k is exactly the level-k ancestor tile, so prefix joins give
+# pyramid rollups with plain string ops.
+#
+# Scale shape: pure per-row integer/string codegen (two
+# quantizations, 8 digit extractions, one concat) — no shuffle, no
+# Python, no window; one generated expression text shared by both
+# dialects (splits: floor-division spelling and the string cast
+# type).
+
+def _quadkey_sql(ix: str, iy: str, bits: int, divop: str,
+                 strtype: str) -> str:
+    digits = []
+    for level in range(1, bits + 1):
+        shift = 1 << (bits - level)
+        digit = (f"(({ix} {divop} {shift}) % 2 + "
+                 f"2 * (({iy} {divop} {shift}) % 2))")
+        digits.append(f"CAST({digit} AS {strtype})")
+    return "CONCAT(" + ", ".join(digits) + ")"
+
+
+def _quadkey_oracle() -> str:
+    ix = _ix_sql("lon", RES_Z)
+    iy = _iy_sql("lat", RES_Z)
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (SELECT page_id, {ix} AS ix, {iy} AS iy FROM pages)
+SELECT page_id, {_quadkey_sql('ix', 'iy', RES_Z, '//', 'VARCHAR')}
+         AS quadkey
+FROM g
+"""
+    )
+
+
+@register("quadkey_encode", _quadkey_oracle())
+def q_quadkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = spark.table("pages").select(
+        "page_id",
+        F.expr(_ix_sql("lon", RES_Z)).alias("ix"),
+        F.expr(_iy_sql("lat", RES_Z)).alias("iy"),
+    )
+    return g.select(
+        "page_id",
+        F.expr(_quadkey_sql("ix", "iy", RES_Z, "div", "STRING"))
+        .alias("quadkey"),
+    )
+
+
+# ----------------------------------------------------------------------
+# zrange_bbox_count: bbox query answered THROUGH the z-order index —
+# the quadtree decomposition of a rectangle into maximal z-aligned
+# squares, capped at ZR_DEPTH levels so the cover stays a handful of
+# contiguous key ranges (26 here, ~1.18× cell overcover), plus the
+# exact residual bbox refine. This is precisely how a lakehouse scan
+# prunes a z-ordered table (Delta/Iceberg file skipping turns the
+# predicate into SFC key ranges; the engine re-checks the residual),
+# and the pattern that makes zorder_layout/hilbert_layout worth their
+# exchange: the range predicate prunes at the SCAN (min/max key stats
+# skip files wholesale), the refine runs in the same codegen stage,
+# and nothing shuffles — the whole query is scan → filter → one
+# partial/final count.
+#
+# The ranges are compile-time constants (driver-side recursion over a
+# 2^ZR_DEPTH-square grid, microseconds), so the filter is a literal
+# OR-chain the optimizer can reason about. The oracle is the
+# algorithm-independent direct quantized-bbox count; equality holds
+# because the capped cover is a SUPERSET of the bbox cells (proven by
+# construction, asserted live in tests/test_zrange.py) and the refine
+# is exact. Pruning liveness (range-only count > refined count >
+# 0) is pytest-asserted so neither leg of the AND can silently go
+# dead.
+
+ZR_X0, ZR_X1, ZR_Y0, ZR_Y1 = 37, 201, 55, 170  # cell coords at RES_Z
+ZR_DEPTH = 4
+
+
+def _morton_int(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= (((x >> b) & 1) << (2 * b + 1)) | (((y >> b) & 1) << (2 * b))
+    return z
+
+
+def _zranges(x0: int, x1: int, y0: int, y1: int, bits: int,
+             maxdepth: int) -> list:
+    """Quadtree cover of the cell-aligned rect as merged (lo, hi)
+    Morton-key ranges; squares still partial at maxdepth are emitted
+    whole (superset cover — the caller must refine)."""
+    out = []
+
+    def rec(level: int, cx: int, cy: int) -> None:
+        size = 1 << (bits - level)
+        lox, loy = cx * size, cy * size
+        hix, hiy = lox + size - 1, loy + size - 1
+        if lox > x1 or hix < x0 or loy > y1 or hiy < y0:
+            return
+        full = lox >= x0 and hix <= x1 and loy >= y0 and hiy <= y1
+        if full or level >= maxdepth:
+            base = _morton_int(lox, loy, bits)
+            out.append((base, base + size * size - 1))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(level + 1, cx * 2 + dx, cy * 2 + dy)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged: list = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+ZR_RANGES = _zranges(ZR_X0, ZR_X1, ZR_Y0, ZR_Y1, RES_Z, ZR_DEPTH)
+
+
+def _zr_oracle() -> str:
+    ix = _ix_sql("lon", RES_Z)
+    iy = _iy_sql("lat", RES_Z)
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (SELECT {ix} AS ix, {iy} AS iy FROM pages)
+SELECT COUNT(*) AS n_pages FROM g
+WHERE ix BETWEEN {ZR_X0} AND {ZR_X1} AND iy BETWEEN {ZR_Y0} AND {ZR_Y1}
+"""
+    )
+
+
+@register("zrange_bbox_count", _zr_oracle())
+def q_zrange_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = spark.table("pages").select(
+        F.expr(_ix_sql("lon", RES_Z)).alias("ix"),
+        F.expr(_iy_sql("lat", RES_Z)).alias("iy"),
+    )
+    z = g.select(
+        "ix", "iy",
+        F.expr(_morton_sql("ix", "iy", RES_Z, "div")).alias("zkey"),
+    )
+    range_pred = " OR ".join(
+        f"(zkey BETWEEN {lo} AND {hi})" for lo, hi in ZR_RANGES
+    )
+    refined = z.where(F.expr(range_pred)).where(
+        F.col("ix").between(ZR_X0, ZR_X1)
+        & F.col("iy").between(ZR_Y0, ZR_Y1)
+    )
+    return refined.agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+
+
+# ----------------------------------------------------------------------
+# tile_dbscan: grid-DBSCAN hotspot clustering — core cells (tile count
+# strictly above the occupied-cell mean, the distribution-relative
+# density threshold that stays live at every SF on the uniform synth)
+# clustered by 8-connectivity into density-connected components; the
+# standard accelerated DBSCAN formulation where the grid IS the
+# ε-neighborhood index. Labels are the component's min tile id, so
+# "one row per hotspot" selection is t = cluster_id.
+#
+# Scale shape: the corpus contracts ONCE to per-tile counts
+# (partial/final agg); the mean threshold is a 1-row broadcast; the
+# adjacency self-join and the alternating large-star/small-star
+# contraction (operators/components.py — O(log n) rounds of two
+# bounded shuffles) run entirely on the CELL-bounded relation. The
+# oracle is the algorithm-independent recursive transitive closure
+# over the same adjacency.
+
+def _dbscan_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        "WITH RECURSIVE pages AS ("
+        + synth.render("pages", "duckdb")
+        + f""")
+, g AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS t
+  FROM pages
+)
+, c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+, s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS ncl FROM c)
+, core AS (
+  SELECT c.t, c.cnt, c.t % {n} AS ix, c.t // {n} AS iy
+  FROM c, s WHERE c.cnt * s.ncl > s.tot
+)
+, e AS (
+  SELECT a.t AS u, b.t AS v
+  FROM core a JOIN core b
+    ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1 AND a.t <> b.t
+)
+, reach(a, b) AS (
+  SELECT t, t FROM core
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b
+)
+SELECT r.a AS t, MIN(r.b) AS cluster_id, MIN(core.cnt) AS n_pages
+FROM reach r JOIN core ON core.t = r.a
+GROUP BY 1
+"""
+    )
+
+
+@register("tile_dbscan", _dbscan_oracle())
+def q_tile_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    from .operators.components import connected_components
+
+    n = 1 << C.RES_TILE
+    g = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t")
+    )
+    counts = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("ncl")
+    )
+    core = (
+        counts.crossJoin(F.broadcast(stats))
+        .where(F.col("cnt") * F.col("ncl") > F.col("tot"))
+        .select(
+            "t", "cnt",
+            (F.col("t") % n).alias("ix"),
+            F.expr(f"t div {n}").alias("iy"),
+        )
+    )
+    core = core.localCheckpoint(eager=False)  # adjacency reads it twice
+    a, b = core.alias("a"), core.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.ix") - F.col("b.ix")) <= 1)
+        & (F.abs(F.col("a.iy") - F.col("b.iy")) <= 1)
+        & (F.col("a.t") != F.col("b.t")),
+    ).select(F.col("a.t").alias("u"), F.col("b.t").alias("v"))
+    comp = connected_components(
+        core.select("t"), edges, id_col="t"
+    ).withColumnRenamed("component_id", "cluster_id")
+    return comp.join(core.select("t", "cnt"), "t").select(
+        "t", "cluster_id", F.col("cnt").alias("n_pages")
+    )
+
+
+# ----------------------------------------------------------------------
+# tile_contour_cases: marching-squares case extraction over the tile
+# count raster — the raster→vector isoline pass (the contour segments
+# a tile server draws around density hotspots). Every interior 2×2
+# block of the DENSE grid gets its 4-bit case id (one bit per corner's
+# above-mean test, the same relative threshold as tile_dbscan), and
+# the result is the 16-bin case histogram — the complete description
+# of the contour's segment population. Empty cells COUNT (as 0): the
+# dense zero-filled grid is load-bearing, exactly like the events
+# series families; a sparse grid would erase every boundary against
+# empty space.
+#
+# Scale shape: corpus → per-tile counts once; the dense grid is a
+# bounded explode left-joined to the counts (broadcast); the three
+# corner shifts are equi-joins on the GRID-bounded relation keyed by
+# tile id (+1 / +n arithmetic, no window); final agg over ≤16 groups.
+
+def _contour_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS t
+  FROM pages
+)
+, c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+, s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c)
+, dense AS (
+  SELECT ix, iy, iy * {n} + ix AS t
+  FROM (SELECT UNNEST(range(0, {n})) AS ix)
+  CROSS JOIN (SELECT UNNEST(range(0, {n})) AS iy)
+)
+, f AS (
+  SELECT d.ix, d.iy,
+         CASE WHEN COALESCE(c.cnt, 0) * {n * n} > s.tot
+              THEN 1 ELSE 0 END AS inside
+  FROM dense d LEFT JOIN c ON c.t = d.t, s
+)
+, blocks AS (
+  SELECT f00.inside + 2 * f10.inside + 4 * f11.inside + 8 * f01.inside
+           AS case_id
+  FROM f f00
+  JOIN f f10 ON f10.ix = f00.ix + 1 AND f10.iy = f00.iy
+  JOIN f f01 ON f01.ix = f00.ix AND f01.iy = f00.iy + 1
+  JOIN f f11 ON f11.ix = f00.ix + 1 AND f11.iy = f00.iy + 1
+)
+SELECT CAST(case_id AS BIGINT) AS case_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks
+FROM blocks GROUP BY 1
+"""
+    )
+
+
+@register("tile_contour_cases", _contour_oracle())
+def q_tile_contour_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    g = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t")
+    )
+    counts = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("tot"))
+    dense = (
+        spark.range(n).select(F.col("id").alias("ix"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("iy")))
+        .select("ix", "iy", (F.col("iy") * n + F.col("ix")).alias("t"))
+    )
+    f = (
+        dense.join(F.broadcast(counts), "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ix", "iy",
+            F.when(
+                F.coalesce("cnt", F.lit(0)) * (n * n) > F.col("tot"), 1
+            ).otherwise(0).alias("inside"),
+        )
+    )
+    f = f.localCheckpoint(eager=False)  # four corner reads
+    f00, f10, f01, f11 = f.alias("f00"), f.alias("f10"), f.alias("f01"), f.alias("f11")
+    blocks = (
+        f00.join(
+            f10,
+            (F.col("f10.ix") == F.col("f00.ix") + 1)
+            & (F.col("f10.iy") == F.col("f00.iy")),
+        )
+        .join(
+            f01,
+            (F.col("f01.ix") == F.col("f00.ix"))
+            & (F.col("f01.iy") == F.col("f00.iy") + 1),
+        )
+        .join(
+            f11,
+            (F.col("f11.ix") == F.col("f00.ix") + 1)
+            & (F.col("f11.iy") == F.col("f00.iy") + 1),
+        )
+        .select(
+            (
+                F.col("f00.inside")
+                + 2 * F.col("f10.inside")
+                + 4 * F.col("f11.inside")
+                + 8 * F.col("f01.inside")
+            ).cast("long").alias("case_id")
+        )
+    )
+    return blocks.groupBy("case_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks")
+    )

@@ -2434,3 +2434,115 @@ def q_host_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("deg * (deg - 1) div 2").alias("n_wedges"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# host_ppr: personalized PageRank over the same weighted host graph as
+# host_pagerank, with teleport mass restricted to a deterministic seed
+# set (hosts ≡ 0 mod 50) — the "related to THESE sites" ranking used
+# for topical crawl frontier expansion and seed-anchored authority,
+# where global PageRank's uniform teleport would wash out the locality.
+# Same exact-integer fixed-K scheme: ranks scaled by PR_SCALE, damping
+# 850/1000, floor division; seeds start at PR_SCALE, everything else
+# at 0, and the (1-d) restart term lands ONLY on seeds each step.
+#
+# Scale shape: identical to host_pagerank — the corpus contracts once
+# to the weighted edge list (staged, shared key with host_pagerank, so
+# a sweep running both pays the rollup once); each of the K iterations
+# is a hash join keyed by src plus a partial/final agg keyed by dst on
+# the HOST-bounded graph; the driver holds no state but the loop
+# counter. The oracle unrolls the same K steps as CTEs — formulation
+# shared, arithmetic exact, so the gate certifies every iteration.
+
+PPR_SEED_MOD = 50
+PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    sql = (
+        synth.oracle_with("pages")
+        + f"""
+, links AS (
+  SELECT pid AS src, (page_id * 13 + 7) % {synth.NP} AS dst FROM pages
+)
+, w AS (SELECT src, dst, COUNT(*) AS w FROM links GROUP BY 1, 2)
+, outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM w GROUP BY 1)
+, hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM w UNION ALL SELECT dst AS h FROM w
+  ) u
+)
+, r0 AS (
+  SELECT h, CAST(CASE WHEN h % {PPR_SEED_MOD} = 0
+                 THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS r
+  FROM hosts
+)"""
+    )
+    for i in range(PPR_ITERS):
+        sql += f"""
+, r{i + 1} AS (
+  SELECT h.h,
+         CAST(CASE WHEN h.h % {PPR_SEED_MOD} = 0 THEN {_PR_BASE}
+              ELSE 0 END + COALESCE(
+           SUM((850 * c.r * c.w) // (1000 * c.ow)), 0) AS BIGINT) AS r
+  FROM hosts h
+  LEFT JOIN (
+    SELECT w.dst AS h, r.r, w.w, o.ow
+    FROM w
+    JOIN outw o ON o.src = w.src
+    JOIN r{i} r ON r.h = w.src
+  ) c ON c.h = h.h
+  GROUP BY h.h
+)"""
+    sql += f"""
+SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+       r AS rank_scaled
+FROM r{PPR_ITERS}
+"""
+    return sql
+
+
+@register("host_ppr", _ppr_oracle())
+def q_host_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+
+    def build_edges() -> DataFrame:
+        links = spark.table("pages").select(
+            F.col("pid").alias("src"),
+            ((F.col("page_id") * 13 + 7) % synth.NP).alias("dst"),
+        )
+        w = links.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+        outw = w.groupBy("src").agg(F.sum("w").alias("ow"))
+        return w.join(outw, "src")
+
+    ew = stage(spark, (session_token(spark), sf_dir, "pr_edges"), build_edges)
+    hosts = (
+        ew.select(F.col("src").alias("h"))
+        .unionAll(ew.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    seed_r = F.when(
+        F.col("h") % PPR_SEED_MOD == 0, F.lit(PR_SCALE)
+    ).otherwise(F.lit(0))
+    seed_base = F.when(
+        F.col("h") % PPR_SEED_MOD == 0, F.lit(_PR_BASE)
+    ).otherwise(F.lit(0))
+    r = hosts.withColumn("r", seed_r.cast("long"))
+    for _ in range(PPR_ITERS):
+        contribs = (
+            ew.join(r.withColumnRenamed("h", "src"), "src")
+            .select(
+                F.col("dst").alias("h"),
+                F.expr("(850 * r * w) div (1000 * ow)").alias("c"),
+            )
+            .groupBy("h")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = hosts.join(contribs, "h", "left").select(
+            "h", (seed_base + F.coalesce("c", F.lit(0))).alias("r")
+        )
+    return r.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example.com"))
+        .alias("host"),
+        F.col("r").cast("long").alias("rank_scaled"),
+    )

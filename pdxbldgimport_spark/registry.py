@@ -36,6 +36,16 @@ _FRONT = [
     "media_wav_decode",
     "media_audio_energy",
     # new this round (newest first)
+    "tile_dbscan",
+    "tile_contour_cases",
+    "mktsegment_revenue",
+    "supplier_balance_tiers",
+    "events_ewma",
+    "orders_rfm",
+    "part_margin",
+    "quadkey_encode",
+    "zrange_bbox_count",
+    "host_ppr",
     "hilbert_layout",
     "host_clustering_coef",
     "events_histogram",
