@@ -251,6 +251,11 @@ BENCH_QUERIES = [
     "supplier_balance_tiers",
     "tile_dbscan",
     "tile_contour_cases",
+    "crawl_schedule",
+    "host_mirror_detect",
+    "customer_order_gaps",
+    "nation_supplier_hhi",
+    "events_activity_runs",
 ]
 
 

@@ -33,7 +33,7 @@ Cross-engine determinism rules (same discipline as queries_web.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as Wnd, functions as F
 
 from . import synth
 from .queries import register, stage, views
@@ -1436,4 +1436,64 @@ def q_ip_lpm_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_hosts"),
             F.sum("n_pages").cast("long").alias("n_pages"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# crawl_schedule: per-host politeness scheduling — every page gets its
+# fetch slot (dense position within its host's queue, ordered by
+# canonical URL then page_id) and absolute fetch epoch at
+# CRAWL_DELAY_S seconds per slot, the reference's own rate limit
+# (scripts/add_addrs.rb:57 sleeps 15 s between changesets — the same
+# one-request-per-interval discipline applied per host). The slot
+# window partitions by HOST — bounded partitions (the biggest host's
+# queue, never the corpus), the legitimate window shape, vs the
+# global-order windows the rank family had to decompose.
+#
+# Scale shape: one exchange keyed by host, per-host sort inside the
+# window task, pure arithmetic after; no Python, no second shuffle.
+
+CRAWL_DELAY_S = 15
+CRAWL_EPOCH0 = 1_600_000_000  # fixed schedule origin (epoch seconds)
+
+
+def _sched_oracle() -> str:
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, c AS (
+  SELECT page_id,
+         lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         url
+  FROM pages
+)
+SELECT page_id, host,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY host ORDER BY url, page_id) - 1 AS BIGINT)
+         AS fetch_slot,
+       CAST({CRAWL_EPOCH0} + (ROW_NUMBER() OVER (
+         PARTITION BY host ORDER BY url, page_id) - 1)
+         * {CRAWL_DELAY_S} AS BIGINT) AS fetch_epoch
+FROM c
+"""
+    )
+
+
+@register("crawl_schedule", _sched_oracle())
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    c = spark.table("pages").select(
+        "page_id",
+        F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"),
+        "url",
+    )
+    w = Wnd.partitionBy("host").orderBy("url", "page_id")
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return c.select(
+        "page_id",
+        "host",
+        slot.alias("fetch_slot"),
+        (F.lit(CRAWL_EPOCH0) + slot * CRAWL_DELAY_S)
+        .cast("long")
+        .alias("fetch_epoch"),
     )

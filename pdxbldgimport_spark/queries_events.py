@@ -2286,3 +2286,66 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.expr(_EWMA_EXPR).cast("long").alias("ewma_scaled"),
     )
+
+
+# ----------------------------------------------------------------------
+# events_activity_runs: gaps-and-islands over the per-type hourly
+# series — maximal runs of consecutive ACTIVE hours (count > 0), per
+# type: how many bursts, the longest/shortest burst, total active
+# hours. The uptime/burst segmentation every ops dashboard derives,
+# and the canonical islands formulation: group key = h − dense
+# position of h among the type's active hours, which is constant
+# exactly within a maximal consecutive run.
+#
+# Scale shape: corpus → (type, hour) grid once; the position window
+# and the island agg run on the ACTIVE-hour subset of the bounded
+# grid, partitioned by type; two tiny aggs (per-island, then
+# per-type). No corpus window, no zero-fill needed — absent hours ARE
+# the gaps.
+
+_RUNS_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+         AS BIGINT) AS h
+  FROM events GROUP BY 1, 2
+), isl AS (
+  SELECT event_type,
+         h - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+           AS grp
+  FROM g
+), runs AS (
+  SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(MIN(run_len) AS BIGINT) AS min_run,
+       CAST(SUM(run_len) AS BIGINT) AS active_hours
+FROM runs GROUP BY 1
+"""
+
+
+@register("events_activity_runs", _RUNS_ORACLE)
+def q_events_activity_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    g = (
+        spark.table("events")
+        .select("event_type", us.alias("h_us"))
+        .selectExpr("event_type", "h_us div 3600000000 AS h")
+        .distinct()
+    )
+    w = Wnd.partitionBy("event_type").orderBy("h")
+    isl = g.select(
+        "event_type", (F.col("h") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.min("run_len").cast("long").alias("min_run"),
+        F.sum("run_len").cast("long").alias("active_hours"),
+    )

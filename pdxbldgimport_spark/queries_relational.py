@@ -16,7 +16,7 @@ every aggregate is an exact int64 in both engines — no double sums
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as Wnd, functions as F
 
 from .queries import register, views
 
@@ -1965,5 +1965,128 @@ def q_supplier_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_suppliers"),
             F.sum("bal_c").cast("long").alias("total_bal_c"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# customer_order_gaps: purchase-cadence sufficient statistics — per
+# customer the exact int64 ingredients (n_gaps, Σgap, Σgap², min, max
+# in days) of inter-order gap analysis; the churn-model feature the
+# RFM recency column summarizes with one number. The lag window
+# partitions by CUSTOMER — bounded partitions, the legitimate window
+# shape. Customers with one order surface with n_gaps = 0 (the agg
+# counts only non-null lags), so the row set is the full customer
+# base, not the repeat buyers.
+#
+# Scale shape: one exchange keyed by custkey feeding both the window
+# and the final agg (same key — no second shuffle), arithmetic in
+# codegen.
+
+_GAPS_ORACLE = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d,
+         LAG(CAST(epoch(o_orderdate) // 86400 AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_d
+  FROM orders
+)
+SELECT o_custkey AS c_custkey,
+       CAST(COUNT(d - prev_d) AS BIGINT) AS n_gaps,
+       CAST(COALESCE(SUM(d - prev_d), 0) AS BIGINT) AS sum_gap,
+       CAST(COALESCE(SUM((d - prev_d) * (d - prev_d)), 0) AS BIGINT)
+         AS sum_gap2,
+       CAST(MIN(d - prev_d) AS BIGINT) AS min_gap,
+       CAST(MAX(d - prev_d) AS BIGINT) AS max_gap
+FROM o GROUP BY 1
+"""
+
+
+@register("customer_order_gaps", _GAPS_ORACLE)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    d = F.expr(
+        "unix_seconds(cast(o_orderdate AS timestamp)) div 86400"
+    ).cast("long")
+    w = Wnd.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = spark.table("orders").select(
+        "o_custkey", d.alias("d"), F.lag(d).over(w).alias("prev_d")
+    )
+    gap = F.col("d") - F.col("prev_d")
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(gap).cast("long").alias("n_gaps"),
+        F.coalesce(F.sum(gap), F.lit(0)).cast("long").alias("sum_gap"),
+        F.coalesce(F.sum(gap * gap), F.lit(0)).cast("long").alias("sum_gap2"),
+        F.min(gap).cast("long").alias("min_gap"),
+        F.max(gap).cast("long").alias("max_gap"),
+    )
+
+
+# ----------------------------------------------------------------------
+# nation_supplier_hhi: supplier-concentration Herfindahl index per
+# nation — Σᵢ shareᵢ² of shipped quantity, the antitrust-style
+# concentration screen (HHI > 2500 ≈ highly concentrated), integer-
+# exact as hhi_ppm = floor(1e6 · Σ qᵢ² / (Σ qᵢ)²). The per-supplier
+# quantities come from ONE fact agg; the nation rollup re-aggregates
+# the supplier rows (agg-of-agg — never a second fact scan); the
+# nation dim broadcasts.
+
+_HHI_ORACLE = f"""
+WITH sq AS (
+  SELECT s.s_nationkey, li.l_suppkey,
+         CAST(SUM({_QTY_C}) AS BIGINT) AS q
+  FROM lineitem li JOIN supplier s ON s.s_suppkey = li.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT n_name, n_suppliers, total_qty_c,
+       CAST(FLOOR(1000000e0 * CAST(sq2 AS DOUBLE)
+                  / (CAST(total_qty_c AS DOUBLE) * total_qty_c))
+            AS BIGINT) AS hhi_ppm
+FROM (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(q) AS BIGINT) AS total_qty_c,
+         CAST(SUM(q * q) AS BIGINT) AS sq2
+  FROM sq JOIN nation n ON n.n_nationkey = sq.s_nationkey
+  GROUP BY 1
+)
+"""
+
+
+@register("nation_supplier_hhi", _HHI_ORACLE)
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        "l_suppkey", F.expr(_QTY_C).alias("qc")
+    )
+    supp = F.broadcast(
+        spark.table("supplier").select("s_suppkey", "s_nationkey")
+    )
+    sq = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("qc").cast("long").alias("q"))
+    )
+    nat = F.broadcast(spark.table("nation").select("n_nationkey", "n_name"))
+    return (
+        sq.join(nat, sq.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("q").cast("long").alias("total_qty_c"),
+            # both sums exact int64; the ONE float op is a scalar
+            # division of exact integers — order-independent, so the
+            # floored ppm matches DuckDB bit-for-bit (a float SUM here
+            # would be partial-order-sensitive and gate-unstable)
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("sq2"),
+        )
+        .select(
+            "n_name", "n_suppliers", "total_qty_c",
+            F.floor(
+                F.lit(1000000.0) * F.col("sq2").cast("double")
+                / (F.col("total_qty_c").cast("double")
+                   * F.col("total_qty_c"))
+            ).cast("long").alias("hhi_ppm"),
         )
     )

@@ -2546,3 +2546,84 @@ def q_host_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("host"),
         F.col("r").cast("long").alias("rank_scaled"),
     )
+
+
+# ----------------------------------------------------------------------
+# host_mirror_detect: shared-content host pairs — hosts serving many
+# of the SAME page contents (CDN aliases, mirrors, scraped copies),
+# the collapse a crawl pipeline runs before per-host quotas. Host
+# pairs are generated ONLY through shared text hashes, with a
+# document-frequency cap (texts on > MIRROR_DF_CAP hosts are
+# boilerplate, not mirror signal — the same rare-content blocking
+# discipline as dedup_ngram_jaccard's rare-gram index), and a pair
+# survives if its shared-content count is strictly above the mean
+# over candidate pairs (distribution-relative, so the rule binds at
+# every SF; exact integer comparison n_shared · n_pairs > Σ shared).
+#
+# Scale shape: corpus → DISTINCT (host, text_md5) partial/final agg;
+# the df cap bounds per-text fan-out at C(MIRROR_DF_CAP, 2); pair
+# counts are one agg over the blocked pair stream; the mean is a
+# 1-row broadcast. Never a host×host join.
+
+MIRROR_DF_CAP = 64
+
+_MIRROR_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, hs AS (
+  SELECT DISTINCT lower(regexp_extract(url, '{RAW_HOST_RE}', 1)) AS host,
+         md5(text) AS tmd5
+  FROM pages
+)
+, rare AS (
+  SELECT tmd5 FROM hs GROUP BY 1
+  HAVING COUNT(*) BETWEEN 2 AND {MIRROR_DF_CAP}
+)
+, hsr AS (SELECT hs.* FROM hs JOIN rare ON rare.tmd5 = hs.tmd5)
+, pair AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM hsr a JOIN hsr b ON b.tmd5 = a.tmd5 AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, n_shared FROM pair
+WHERE n_shared * (SELECT COUNT(*) FROM pair)
+        > (SELECT SUM(n_shared) FROM pair)
+"""
+)
+
+
+@register("host_mirror_detect", _MIRROR_ORACLE)
+def q_host_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    hs = (
+        spark.table("pages")
+        .select(
+            F.lower(F.regexp_extract("url", RAW_HOST_RE, 1)).alias("host"),
+            F.md5(F.col("text")).alias("tmd5"),
+        )
+        .distinct()
+    )
+    rare = (
+        hs.groupBy("tmd5")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, MIRROR_DF_CAP))
+        .select("tmd5")
+    )
+    hsr = hs.join(rare, "tmd5")
+    b = hsr.select(F.col("tmd5"), F.col("host").alias("host_b"))
+    pair = (
+        hsr.withColumnRenamed("host", "host_a")
+        .join(b, "tmd5")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    stats = pair.agg(
+        F.count(F.lit(1)).alias("np"), F.sum("n_shared").alias("tot")
+    )
+    return (
+        pair.join(F.broadcast(stats))
+        .where(F.col("n_shared") * F.col("np") > F.col("tot"))
+        .select("host_a", "host_b", "n_shared")
+    )
