@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     "customer_order_gaps",
     "nation_supplier_hhi",
     "events_activity_runs",
+    "url_param_stats",
+    "html_tag_stats",
+    "events_peaks",
 ]
 
 

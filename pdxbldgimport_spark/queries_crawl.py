@@ -1497,3 +1497,120 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fetch_epoch"),
     )
+
+
+# ----------------------------------------------------------------------
+# url_param_stats: query-string parameter census — per parameter key,
+# how many URLs carry it and how many distinct values it takes; the
+# profile a crawl team reads to decide which params are
+# content-significant vs session noise (the data-driven source of
+# dedup_url_canonical's strip list: high-cardinality tracking params
+# vs low-cardinality content params).
+#
+# Scale shape: pure map-side extract + explode (the query string is
+# bounded), one partial/final agg per key with the distinct count's
+# standard two-phase expansion; key space is tiny. The oracle is an
+# independent formulation (regexp + UNNEST string_split vs the
+# engine's split/explode chain).
+
+_PARAM_ORACLE = (
+    synth.oracle_with("pages")
+    + r"""
+, qs AS (
+  SELECT page_id, regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM pages WHERE url LIKE '%?%'
+)
+, kv AS (
+  SELECT page_id, UNNEST(string_split(q, '&')) AS pair
+  FROM qs WHERE q <> ''
+)
+SELECT string_split(pair, '=')[1] AS param_key,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT CASE WHEN strpos(pair, '=') > 0
+              THEN substr(pair, strpos(pair, '=') + 1) ELSE '' END)
+            AS BIGINT) AS n_values
+FROM kv WHERE pair <> ''
+GROUP BY 1
+"""
+)
+
+
+@register("url_param_stats", _PARAM_ORACLE)
+def q_url_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    qs = (
+        spark.table("pages")
+        .where(F.col("url").contains("?"))
+        .select(
+            "page_id",
+            F.regexp_extract("url", r"\?([^#]*)", 1).alias("q"),
+        )
+        .where(F.col("q") != "")
+    )
+    kv = qs.select(
+        "page_id", F.explode(F.split("q", "&")).alias("pair")
+    ).where(F.col("pair") != "")
+    split_at = F.instr("pair", "=")
+    return (
+        kv.select(
+            F.split("pair", "=").getItem(0).alias("param_key"),
+            F.when(
+                split_at > 0, F.expr("substr(pair, instr(pair, '=') + 1)")
+            ).otherwise(F.lit("")).alias("val"),
+        )
+        .groupBy("param_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("val").cast("long").alias("n_values"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# html_tag_stats: opening-tag census over the raw HTML binary — per
+# tag name, total occurrences and pages containing it; the structural
+# profile (boilerplate density, nav/table-heaviness) a quality
+# pipeline reads before committing to an extraction strategy. Proves
+# the binary html column parses corpus-wide without Python: decode +
+# regexp_extract_all + posexplode all ride whole-stage codegen.
+#
+# Scale shape: map-side extract/explode; ONE partial/final agg keyed
+# by (bounded) tag name — the per-page distinct for n_pages comes
+# from the (tag, page) contraction, also bounded (tags × pages).
+
+_TAG_RE = "<([A-Za-z]+)[ >]"
+
+_TAGSTATS_ORACLE = (
+    synth.oracle_with("pages")
+    + f"""
+, t AS (
+  SELECT page_id,
+         UNNEST(regexp_extract_all(decode(html), '{_TAG_RE}', 1)) AS tag
+  FROM pages
+)
+SELECT lower(tag) AS tag,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT page_id) AS BIGINT) AS n_pages
+FROM t GROUP BY 1
+"""
+)
+
+
+@register("html_tag_stats", _TAGSTATS_ORACLE)
+def q_html_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    t = spark.table("pages").select(
+        "page_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html").cast("string"), F.lit(_TAG_RE), F.lit(1)
+            )
+        ).alias("tag"),
+    )
+    return (
+        t.groupBy(F.lower("tag").alias("tag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("page_id").cast("long").alias("n_pages"),
+        )
+    )

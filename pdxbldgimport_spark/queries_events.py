@@ -2349,3 +2349,96 @@ def q_events_activity_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("run_len").cast("long").alias("min_run"),
         F.sum("run_len").cast("long").alias("active_hours"),
     )
+
+
+# ----------------------------------------------------------------------
+# events_peaks: strict local maxima of the per-type hourly series —
+# interior hours whose count strictly exceeds both neighbors on the
+# zero-filled grid (edges excluded: a boundary hour has only one
+# neighbor and "peak" is undefined there). Per type: peak count, the
+# tallest peak, and its hour (earliest hour on ties, pinned via
+# min(struct(-x, h))). The alert-worthy-spike extraction of a rate
+# monitor, complementing events_cusum (level shifts) and
+# events_mad_outliers (global outliers) with SHAPE-local detection.
+#
+# Scale shape: grid contraction once; lag/lead in one bounded
+# per-type window pass; one final agg per type.
+
+_PEAKS_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) // 3600000000
+         AS BIGINT) AS h, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM g
+), grid AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM g) t
+  CROSS JOIN (SELECT UNNEST(range(h0, h1 + 1)) AS h FROM span) s
+), serie AS (
+  SELECT grid.event_type, grid.h, COALESCE(g.cnt, 0) AS x
+  FROM grid LEFT JOIN g
+    ON g.event_type = grid.event_type AND g.h = grid.h
+), nb AS (
+  SELECT event_type, h, x,
+         LAG(x) OVER (PARTITION BY event_type ORDER BY h) AS xp,
+         LEAD(x) OVER (PARTITION BY event_type ORDER BY h) AS xn
+  FROM serie
+), peaks AS (
+  SELECT event_type, h, x FROM nb
+  WHERE xp IS NOT NULL AND xn IS NOT NULL AND x > xp AND x > xn
+)
+SELECT p.event_type, m.n_peaks, m.max_peak,
+       CAST(MIN(p.h) AS BIGINT) AS max_peak_hour
+FROM peaks p
+JOIN (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_peaks,
+         CAST(MAX(x) AS BIGINT) AS max_peak
+  FROM peaks GROUP BY 1
+) m ON m.event_type = p.event_type AND p.x = m.max_peak
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_peaks", _PEAKS_ORACLE)
+def q_events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    g = (
+        spark.table("events")
+        .select("event_type", us.alias("h_us"))
+        .selectExpr("event_type", "h_us div 3600000000 AS h")
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    span = g.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        g.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    serie = grid.join(F.broadcast(g), ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("x")
+    )
+    w = Wnd.partitionBy("event_type").orderBy("h")
+    nb = serie.select(
+        "event_type", "h", "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    peaks = nb.where(
+        F.col("xp").isNotNull()
+        & F.col("xn").isNotNull()
+        & (F.col("x") > F.col("xp"))
+        & (F.col("x") > F.col("xn"))
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_peaks"),
+        F.max("x").cast("long").alias("max_peak"),
+        F.min(F.struct((-F.col("x")).alias("nx"), F.col("h")))
+        .getField("h").cast("long").alias("max_peak_hour"),
+    )

@@ -1962,6 +1962,40 @@ def _zranges(x0: int, x1: int, y0: int, y1: int, bits: int,
 ZR_RANGES = _zranges(ZR_X0, ZR_X1, ZR_Y0, ZR_Y1, RES_Z, ZR_DEPTH)
 
 
+def _zsquares(x0: int, x1: int, y0: int, y1: int, bits: int,
+              maxdepth: int) -> dict:
+    """The same capped quadtree cover as _zranges but WITHOUT merging:
+    {level: [zkey-prefix, ...]} where a level-L square is exactly the
+    set of keys sharing prefix = base // 4^(bits-L). This spelling
+    lets the runtime predicate reference the Morton expression once
+    per LEVEL (an IN-list on one division) instead of once per range —
+    26 BETWEENs each inlining the 16-term interleave blew whole-stage
+    codegen into interpreted fallback (measured 7.6 s vs sub-second
+    at sf0.1)."""
+    sq: dict = {}
+
+    def rec(level: int, cx: int, cy: int) -> None:
+        size = 1 << (bits - level)
+        lox, loy = cx * size, cy * size
+        hix, hiy = lox + size - 1, loy + size - 1
+        if lox > x1 or hix < x0 or loy > y1 or hiy < y0:
+            return
+        full = lox >= x0 and hix <= x1 and loy >= y0 and hiy <= y1
+        if full or level >= maxdepth:
+            base = _morton_int(lox, loy, bits)
+            sq.setdefault(level, []).append(base // (4 ** (bits - level)))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(level + 1, cx * 2 + dx, cy * 2 + dy)
+
+    rec(0, 0, 0)
+    return sq
+
+
+ZR_SQUARES = _zsquares(ZR_X0, ZR_X1, ZR_Y0, ZR_Y1, RES_Z, ZR_DEPTH)
+
+
 def _zr_oracle() -> str:
     ix = _ix_sql("lon", RES_Z)
     iy = _iy_sql("lat", RES_Z)
@@ -1982,12 +2016,20 @@ def q_zrange_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ix_sql("lon", RES_Z)).alias("ix"),
         F.expr(_iy_sql("lat", RES_Z)).alias("iy"),
     )
+    # lineage cut: the synth pages VIEW derives lon/lat from doc_id, and
+    # CollapseProject would inline that derivation into every one of the
+    # 16 Morton terms × every predicate reference — measured to push the
+    # filter out of whole-stage codegen (7.6 s vs sub-second at sf0.1).
+    # On a real Iceberg table lon/lat (or the stored zkey layout column
+    # zorder_layout emits) are physical columns and this cut is a no-op.
+    g = g.localCheckpoint(eager=False)
     z = g.select(
         "ix", "iy",
         F.expr(_morton_sql("ix", "iy", RES_Z, "div")).alias("zkey"),
     )
     range_pred = " OR ".join(
-        f"(zkey BETWEEN {lo} AND {hi})" for lo, hi in ZR_RANGES
+        f"(zkey div {4 ** (RES_Z - lvl)}) IN ({', '.join(map(str, pre))})"
+        for lvl, pre in sorted(ZR_SQUARES.items())
     )
     refined = z.where(F.expr(range_pred)).where(
         F.col("ix").between(ZR_X0, ZR_X1)
