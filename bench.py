@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "url_param_stats",
     "html_tag_stats",
     "events_peaks",
+    "tile_flow_dir",
 ]
 
 

@@ -2237,3 +2237,102 @@ def q_tile_contour_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.groupBy("case_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_blocks")
     )
+
+
+# ----------------------------------------------------------------------
+# tile_flow_dir: D8 flow direction over the tile count raster — each
+# occupied cell points at its steepest-ascent 8-neighbor (the classic
+# hydrology kernel, aimed uphill here: "which adjacent tile drains
+# this tile's traffic"), with deterministic tie-break (highest count,
+# then smallest direction code 0-7 clockwise from east). Cells whose
+# neighbors are all strictly lower (local summits) get dir = -1. The
+# focal-ARGMAX sibling of tile_focal_stats' focal sums.
+#
+# Scale shape: corpus → per-tile counts once; the 8 neighbor reads
+# are ONE explode (8 offsets/cell) + equi-join on the neighbor tile
+# id, both on the GRID-bounded relation; the argmax is a map-side
+# min(struct) agg keyed by cell. No window, no Python.
+
+_D8 = [(1, 0, 0), (1, 1, 1), (0, 1, 2), (-1, 1, 3),
+       (-1, 0, 4), (-1, -1, 5), (0, -1, 6), (1, -1, 7)]
+
+
+def _flow_oracle() -> str:
+    n = 1 << C.RES_TILE
+    offs = ", ".join(f"({dx}, {dy}, {d})" for dx, dy, d in _D8)
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS t
+  FROM pages
+)
+, c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+, cells AS (SELECT t, cnt, t % {n} AS ix, t // {n} AS iy FROM c)
+, offs(dx, dy, dir) AS (VALUES {offs})
+, nb AS (
+  SELECT a.t, a.cnt, o.dir, b.cnt AS ncnt
+  FROM cells a
+  CROSS JOIN offs o
+  JOIN cells b
+    ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+)
+, best AS (
+  SELECT t, MAX(ncnt) AS best_ncnt FROM nb GROUP BY 1
+)
+, pick AS (
+  SELECT nb.t, MIN(nb.dir) AS dir
+  FROM nb JOIN best ON best.t = nb.t AND nb.ncnt = best.best_ncnt
+  GROUP BY 1
+)
+SELECT c.t, c.cnt,
+       CAST(CASE WHEN b.t IS NULL OR b.best_ncnt <= c.cnt THEN -1
+            ELSE p.dir END AS BIGINT) AS flow_dir
+FROM c LEFT JOIN best b ON b.t = c.t
+       LEFT JOIN pick p ON p.t = c.t
+"""
+    )
+
+
+@register("tile_flow_dir", _flow_oracle())
+def q_tile_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    g = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t")
+    )
+    counts = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = counts.select(
+        "t", "cnt",
+        (F.col("t") % n).alias("ix"), F.expr(f"t div {n}").alias("iy"),
+    ).localCheckpoint(eager=False)  # read as self-join probe + build
+    offs = spark.createDataFrame(_D8, ["dx", "dy", "dir"])
+    nb = (
+        cells.crossJoin(F.broadcast(offs))
+        .select(
+            "t", "cnt", "dir",
+            (F.col("ix") + F.col("dx")).alias("nx"),
+            (F.col("iy") + F.col("dy")).alias("ny"),
+        )
+        .join(
+            cells.select(
+                F.col("ix").alias("nx"), F.col("iy").alias("ny"),
+                F.col("cnt").alias("ncnt"),
+            ),
+            ["nx", "ny"],
+        )
+    )
+    best = nb.groupBy("t").agg(
+        F.min(F.struct((-F.col("ncnt")).alias("neg"), F.col("dir")))
+        .getField("dir").cast("long").alias("pick"),
+        F.max("ncnt").alias("best_ncnt"),
+    )
+    return counts.join(best, "t", "left").select(
+        "t", "cnt",
+        F.when(
+            F.col("best_ncnt").isNull()
+            | (F.col("best_ncnt") <= F.col("cnt")),
+            F.lit(-1),
+        ).otherwise(F.col("pick")).cast("long").alias("flow_dir"),
+    )
