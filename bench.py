@@ -260,6 +260,9 @@ BENCH_QUERIES = [
     "html_tag_stats",
     "events_peaks",
     "tile_flow_dir",
+    "events_markov_pi",
+    "lang_tile_mix",
+    "tile_upsample2x",
 ]
 
 

@@ -2442,3 +2442,107 @@ def q_events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct((-F.col("x")).alias("nx"), F.col("h")))
         .getField("h").cast("long").alias("max_peak_hour"),
     )
+
+
+# ----------------------------------------------------------------------
+# events_markov_pi: stationary-distribution power iteration over the
+# session-scoped transition chain (the same gap-bounded pair rule as
+# events_transitions) — "where does the event stream settle", the
+# next-action-model prior. PI_ITERS fixed iterations, exact integers:
+# mass starts at PI_SCALE per state and each step routes
+# floor(π·n(i→j)/out(i)) along every edge — no float sums cross the
+# gate; floor leakage is deterministic and identical cross-engine.
+#
+# Scale shape: the corpus contracts ONCE through the user-keyed LEAD
+# window to the |types|² transition matrix; every iteration is a hash
+# join + partial/final agg on that TYPE-bounded relation (the
+# host_pagerank discipline at a far smaller key space). States with
+# no outgoing transitions simply leak their mass (no damping — the
+# chain here is the observed one, not a smoothed one).
+
+PI_SCALE = 1_000_000
+PI_ITERS = 4
+
+
+def _markov_oracle() -> str:
+    sql = f"""
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER w AS dst,
+         LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT event_type AS src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq
+  WHERE dst IS NOT NULL AND gap_us <= {SESSION_GAP_S} * 1000000
+  GROUP BY 1, 2
+), outs AS (SELECT src, CAST(SUM(n) AS BIGINT) AS o FROM t GROUP BY 1)
+, states AS (
+  SELECT DISTINCT s FROM (
+    SELECT src AS s FROM t UNION ALL SELECT dst AS s FROM t
+  ) u
+)
+, p0 AS (SELECT s, CAST({PI_SCALE} AS BIGINT) AS p FROM states)"""
+    for i in range(PI_ITERS):
+        sql += f"""
+, p{i + 1} AS (
+  SELECT st.s,
+         CAST(COALESCE(SUM((c.p * c.n) // c.o), 0) AS BIGINT) AS p
+  FROM states st
+  LEFT JOIN (
+    SELECT t.dst AS s, p.p, t.n, o.o
+    FROM t JOIN outs o ON o.src = t.src
+    JOIN p{i} p ON p.s = t.src
+  ) c ON c.s = st.s
+  GROUP BY st.s
+)"""
+    sql += f"""
+SELECT s AS event_type, p AS pi_scaled FROM p{PI_ITERS}
+"""
+    return sql
+
+
+@register("events_markov_pi", _markov_oracle())
+def q_events_markov_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    w = Wnd.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = spark.table("events").select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    )
+    t = (
+        seq.where(
+            F.col("dst").isNotNull()
+            & (F.col("gap_us") <= SESSION_GAP_S * 1_000_000)
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = t.localCheckpoint(eager=False)  # read per iteration
+    outs = t.groupBy("src").agg(F.sum("n").cast("long").alias("o"))
+    states = (
+        t.select(F.col("src").alias("s"))
+        .unionAll(t.select(F.col("dst").alias("s")))
+        .distinct()
+    )
+    p = states.withColumn("p", F.lit(PI_SCALE).cast("long"))
+    for _ in range(PI_ITERS):
+        contrib = (
+            t.join(outs, "src")
+            .join(p.withColumnRenamed("s", "src"), "src")
+            .select(
+                F.col("dst").alias("s"),
+                F.expr("(p * n) div o").alias("c"),
+            )
+            .groupBy("s")
+            .agg(F.sum("c").alias("c"))
+        )
+        p = states.join(contrib, "s", "left").select(
+            "s", F.coalesce("c", F.lit(0)).cast("long").alias("p")
+        )
+    return p.select(
+        F.col("s").alias("event_type"), F.col("p").alias("pi_scaled")
+    )

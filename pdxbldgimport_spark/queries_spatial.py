@@ -2336,3 +2336,161 @@ def q_tile_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).otherwise(F.col("pick")).cast("long").alias("flow_dir"),
     )
+
+
+# ----------------------------------------------------------------------
+# lang_tile_mix: language × tile contingency ingredients — observed
+# counts plus row/column marginals and the grand total, the exact
+# int64 inputs of the chi-square / Cramér's-V "is language
+# geographically segregated" audit (the float statistic is a
+# driver-side fold). The geo×metadata independence test beside
+# host_tile_affinity's PMI surface.
+#
+# Scale shape: the corpus contracts ONCE to the (tile, lang) cell
+# table; both marginals re-aggregate the CELL table (agg-of-agg,
+# never a second corpus scan) and broadcast back onto it.
+
+def _mix_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS t, lang
+  FROM pages
+)
+, obs AS (
+  SELECT t, lang, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM g GROUP BY 1, 2
+)
+, rowt AS (SELECT t, CAST(SUM(observed) AS BIGINT) AS tile_total
+           FROM obs GROUP BY 1)
+, colt AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS lang_total
+           FROM obs GROUP BY 1)
+, grand AS (SELECT CAST(SUM(observed) AS BIGINT) AS grand_total FROM obs)
+SELECT o.t, o.lang, o.observed, r.tile_total, c.lang_total,
+       grand.grand_total
+FROM obs o
+JOIN rowt r ON r.t = o.t
+JOIN colt c ON c.lang = o.lang
+CROSS JOIN grand
+"""
+    )
+
+
+@register("lang_tile_mix", _mix_oracle())
+def q_lang_tile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t"),
+        "lang",
+    )
+    obs = g.groupBy("t", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    obs = obs.localCheckpoint(eager=False)  # three downstream readers
+    rowt = obs.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("tile_total")
+    )
+    colt = obs.groupBy("lang").agg(
+        F.sum("observed").cast("long").alias("lang_total")
+    )
+    grand = obs.agg(F.sum("observed").cast("long").alias("grand_total"))
+    return (
+        obs.join(F.broadcast(rowt), "t")
+        .join(F.broadcast(colt), "lang")
+        .crossJoin(F.broadcast(grand))
+        .select("t", "lang", "observed", "tile_total", "lang_total",
+                "grand_total")
+    )
+
+
+# ----------------------------------------------------------------------
+# tile_upsample2x: bilinear raster upsampling — the tile count grid
+# doubled to 2n×2n with half-pixel-center bilinear weights (9/3/3/1
+# sixteenths; edge-replicated at the borders), emitted as exact
+# sixteenth-units. The zoom-in sibling of tile_pyramid's zoom-out
+# rollup: together they give the tiler's full resampling ladder.
+#
+# Scale shape: corpus → coarse counts once; the fine grid is a
+# bounded explode; the four corner reads are left joins of the
+# GRID-bounded relation against the (broadcast) coarse counts.
+
+def _up_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS t
+  FROM pages
+)
+, c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+, fine AS (
+  SELECT fx, fy,
+         fx // 2 AS cx, fy // 2 AS cy,
+         CASE WHEN fx % 2 = 0
+              THEN GREATEST(fx // 2 - 1, 0)
+              ELSE LEAST(fx // 2 + 1, {n - 1}) END AS ox,
+         CASE WHEN fy % 2 = 0
+              THEN GREATEST(fy // 2 - 1, 0)
+              ELSE LEAST(fy // 2 + 1, {n - 1}) END AS oy
+  FROM (SELECT UNNEST(range(0, {2 * n})) AS fx)
+  CROSS JOIN (SELECT UNNEST(range(0, {2 * n})) AS fy)
+)
+SELECT f.fx, f.fy,
+       CAST(9 * COALESCE(m.cnt, 0) + 3 * COALESCE(h.cnt, 0)
+            + 3 * COALESCE(v.cnt, 0) + COALESCE(d.cnt, 0)
+            AS BIGINT) AS value_16ths
+FROM fine f
+LEFT JOIN c m ON m.t = f.cy * {n} + f.cx
+LEFT JOIN c h ON h.t = f.cy * {n} + f.ox
+LEFT JOIN c v ON v.t = f.oy * {n} + f.cx
+LEFT JOIN c d ON d.t = f.oy * {n} + f.ox
+"""
+    )
+
+
+@register("tile_upsample2x", _up_oracle())
+def q_tile_upsample2x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    g = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t")
+    )
+    counts = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    counts = counts.localCheckpoint(eager=False)  # four corner readers
+    fine = (
+        spark.range(2 * n).select(F.col("id").alias("fx"))
+        .crossJoin(spark.range(2 * n).select(F.col("id").alias("fy")))
+        .selectExpr(
+            "fx", "fy", "fx div 2 AS cx", "fy div 2 AS cy",
+            f"CASE WHEN fx % 2 = 0 THEN GREATEST(fx div 2 - 1, 0) "
+            f"ELSE LEAST(fx div 2 + 1, {n - 1}) END AS ox",
+            f"CASE WHEN fy % 2 = 0 THEN GREATEST(fy div 2 - 1, 0) "
+            f"ELSE LEAST(fy div 2 + 1, {n - 1}) END AS oy",
+        )
+    )
+
+    def corner(cxc, cyc, alias):
+        return counts.select(
+            (F.col("t") % n).alias(cxc),
+            F.expr(f"t div {n}").alias(cyc),
+            F.col("cnt").alias(alias),
+        )
+
+    out = (
+        fine.join(F.broadcast(corner("cx", "cy", "m")), ["cx", "cy"], "left")
+        .join(F.broadcast(corner("ox", "cy", "h")), ["ox", "cy"], "left")
+        .join(F.broadcast(corner("cx", "oy", "v")), ["cx", "oy"], "left")
+        .join(F.broadcast(corner("ox", "oy", "d")), ["ox", "oy"], "left")
+    )
+    return out.select(
+        "fx", "fy",
+        (
+            9 * F.coalesce("m", F.lit(0)) + 3 * F.coalesce("h", F.lit(0))
+            + 3 * F.coalesce("v", F.lit(0)) + F.coalesce("d", F.lit(0))
+        ).cast("long").alias("value_16ths"),
+    )
