@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "events_markov_pi",
     "lang_tile_mix",
     "tile_upsample2x",
+    "tile_majority_lang",
+    "events_user_overlap",
 ]
 
 

@@ -2546,3 +2546,69 @@ def q_events_markov_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("s").alias("event_type"), F.col("p").alias("pi_scaled")
     )
+
+
+# ----------------------------------------------------------------------
+# events_user_overlap: audience overlap between event types — per
+# unordered type pair, the distinct-user intersection, union, and
+# exact integer-ppm Jaccard ("do the users who purchase also search"),
+# the cohort-overlap matrix behind feature-adoption dashboards.
+#
+# Scale shape: the corpus contracts ONCE to DISTINCT (user, type)
+# (partial/final agg); pairs enumerate WITHIN a user only (fan-out
+# ≤ C(|types|, 2) per user — never a type×type join over users); the
+# per-type distinct counts are one agg on the contracted relation and
+# broadcast onto the |types|²-bounded pair table.
+
+_OVL_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ut GROUP BY 1
+),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ta.n_users AS n_a, tb.n_users AS n_b,
+       CAST(p.n_both * 1000000
+            // (ta.n_users + tb.n_users - p.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM pair p
+JOIN tc ta ON ta.event_type = p.type_a
+JOIN tc tb ON tb.event_type = p.type_b
+"""
+
+
+@register("events_user_overlap", _OVL_ORACLE)
+def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    ut = spark.table("events").select("user_id", "event_type").distinct()
+    ut = ut.localCheckpoint(eager=False)  # pair join + counts reader
+    tc = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        ut.withColumnRenamed("event_type", "type_a")
+        .join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = F.broadcast(tc.select(F.col("event_type").alias("type_a"),
+                               F.col("n_users").alias("n_a")))
+    tb = F.broadcast(tc.select(F.col("event_type").alias("type_b"),
+                               F.col("n_users").alias("n_b")))
+    return (
+        pair.join(ta, "type_a").join(tb, "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr("n_both * 1000000 div (n_a + n_b - n_both)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )

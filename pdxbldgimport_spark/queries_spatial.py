@@ -2494,3 +2494,69 @@ def q_tile_upsample2x(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 3 * F.coalesce("v", F.lit(0)) + F.coalesce("d", F.lit(0))
         ).cast("long").alias("value_16ths"),
     )
+
+
+# ----------------------------------------------------------------------
+# tile_majority_lang: per-tile majority language with exact share —
+# the label a multilingual map tiler colors tiles by, and the
+# cell-level argmax companion of lang_tile_mix's contingency table.
+# Ties pin to the lexicographically smallest language; share is exact
+# integer ppm of the tile's pages. The oracle is the join-back argmax
+# (max count per tile, then min lang among rows at that count) — a
+# different formulation from the engine's min(struct) trick.
+#
+# Scale shape: corpus → (tile, lang) cells once; argmax and the tile
+# totals are both agg-of-agg on the cell table; one broadcast join
+# assembles the result.
+
+def _majlang_oracle() -> str:
+    n = 1 << C.RES_TILE
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS t, lang
+  FROM pages
+)
+, obs AS (
+  SELECT t, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g GROUP BY 1, 2
+)
+, tt AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS total FROM obs GROUP BY 1)
+, mx AS (SELECT t, MAX(cnt) AS best FROM obs GROUP BY 1)
+, pick AS (
+  SELECT obs.t, MIN(obs.lang) AS major_lang, MIN(mx.best) AS cnt
+  FROM obs JOIN mx ON mx.t = obs.t AND obs.cnt = mx.best
+  GROUP BY 1
+)
+SELECT p.t, p.major_lang, p.cnt AS n_pages, tt.total AS tile_pages,
+       CAST(p.cnt * 1000000 // tt.total AS BIGINT) AS share_ppm
+FROM pick p JOIN tt ON tt.t = p.t
+"""
+    )
+
+
+@register("tile_majority_lang", _majlang_oracle())
+def q_tile_majority_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    g = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t"),
+        "lang",
+    )
+    obs = g.groupBy("t", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    pick = obs.groupBy("t").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("lang")))
+        .alias("pk"),
+        F.sum("cnt").cast("long").alias("tile_pages"),
+    )
+    return pick.select(
+        "t",
+        F.col("pk.lang").alias("major_lang"),
+        (-F.col("pk.neg")).cast("long").alias("n_pages"),
+        "tile_pages",
+        F.expr("(-pk.neg) * 1000000 div tile_pages")
+        .cast("long").alias("share_ppm"),
+    )
