@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "tile_upsample2x",
     "tile_majority_lang",
     "events_user_overlap",
+    "orders_price_audit",
 ]
 
 

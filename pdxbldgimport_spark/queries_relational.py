@@ -2090,3 +2090,73 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("hhi_ppm"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# orders_price_audit: value-consistency audit between the orders
+# header and its lineitem detail — per order the header total vs the
+# summed detail charge (both exact cents), rolled up into sign
+# buckets (header_high / equal / detail_high, plus detail_missing for
+# headers with no lines) with counts and the summed absolute
+# discrepancy. The data-quality twin of fk_integrity: that one checks
+# KEYS, this checks VALUES — the reconciliation report a warehouse
+# runs after every load. (On the synth world header and detail are
+# generated independently, so the mismatch buckets are live by
+# construction; the gate certifies the exact discrepancy accounting,
+# not a vacuous all-equal.)
+#
+# Scale shape: ONE partial/final agg contracts lineitem to per-order
+# charge; the header join is key-co-partitioned (AQE picks the
+# strategy); the bucket rollup is a second tiny agg. No window.
+
+_AUDIT_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(SUM((({_CENTS} * (1000000 - {_DISC_PPM})) // 1000000)
+              * (1000000 + {_TAX_PPM}) // 1000000) AS BIGINT) AS detail_c
+  FROM lineitem GROUP BY 1
+)
+, j AS (
+  SELECT o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100e0) AS BIGINT) AS header_c,
+         li.detail_c
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT CASE WHEN detail_c IS NULL THEN 'detail_missing'
+            WHEN header_c > detail_c THEN 'header_high'
+            WHEN header_c < detail_c THEN 'detail_high'
+            ELSE 'equal' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(ABS(header_c - detail_c)), 0) AS BIGINT)
+         AS abs_diff_c
+FROM j GROUP BY 1
+"""
+
+
+@register("orders_price_audit", _AUDIT_ORACLE)
+def q_orders_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    li = spark.sql(f"""
+      SELECT l_orderkey,
+             CAST(SUM((({_CENTS} * (1000000 - {_DISC_PPM})) div 1000000)
+                  * (1000000 + {_TAX_PPM}) div 1000000) AS BIGINT)
+               AS detail_c
+      FROM lineitem GROUP BY 1
+    """)
+    o = spark.table("orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long").alias("header_c"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    bucket = (
+        F.when(F.col("detail_c").isNull(), "detail_missing")
+        .when(F.col("header_c") > F.col("detail_c"), "header_high")
+        .when(F.col("header_c") < F.col("detail_c"), "detail_high")
+        .otherwise("equal")
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.coalesce(F.sum(F.abs(F.col("header_c") - F.col("detail_c"))),
+                   F.lit(0)).cast("long").alias("abs_diff_c"),
+    )
