@@ -167,6 +167,38 @@ def main() -> None:
             / sum(pw["sec"] for _, pw in spairs)
         ) / 4
         print(f"shuffle all-legs aggregate {agg:.3f} over {len(spairs)} pairs")
+    # cluster-kind pairs (kind == "cluster_bench"): separate executor
+    # JVMs via spark-submit --py-files on local-cluster — the north
+    # rule's literal N→4N *executor* axis. Same consecutive-pairing rule
+    # on the executor count.
+    cpairs, pending = [], None
+    for r in recs:
+        if r["kind"] != "cluster_bench":
+            continue
+        if (
+            pending is not None
+            and r["executors"] == 4 * pending["executors"]
+            and r.get("rep_mult") == pending.get("rep_mult")
+        ):
+            cpairs.append((pending, r))
+            pending = None
+        else:
+            pending = r
+    if cpairs:
+        print()
+        for pn, pw in cpairs:
+            eff = (pw["docs_per_sec"] / pn["docs_per_sec"]) / 4
+            print(
+                f"cluster {pn['executors']}→{pw['executors']} executors"
+                f" ×{pn.get('cores_per_exec')} cores (rep={pn.get('rep_mult')}):"
+                f" {pn['headline_sec']:.1f}s → {pw['headline_sec']:.1f}s"
+                f"  eff {eff:.2f}"
+            )
+        agg = (
+            sum(pn["headline_sec"] for pn, _ in cpairs)
+            / sum(pw["headline_sec"] for _, pw in cpairs)
+        ) / 4
+        print(f"cluster all-legs aggregate {agg:.3f} over {len(cpairs)} pairs")
     if bwprobes:
         bws = ", ".join(
             f"{c['cpus']}→{c['cpus'] * 4}:{c['ratio']:.2f}" for c in bwprobes
