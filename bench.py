@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "media_bmp_decode",
     "media_wav_decode",
     "snap_to_segment",
+    "segment_crossings",
+    "tile_hillshade",
     "cdc_apply",
     "doc_chunk",
     "bigram_lm_score",

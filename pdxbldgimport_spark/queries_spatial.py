@@ -2560,3 +2560,236 @@ def q_tile_majority_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(-pk.neg) * 1000000 div tile_pages")
         .cast("long").alias("share_ppm"),
     )
+
+
+# ----------------------------------------------------------------------
+# segment_crossings: proper line×line intersection degree per way — the
+# ST_Crosses / ST_Intersects(line,line) member of the PostGIS family
+# (the reference's conflation tests polygon×point and polygon×polygon;
+# a street network's crossing census is the line-layer sibling, the op
+# an intersection-density or turn-restriction pass starts from). Each
+# way contributes two segments — its bbox main diagonal and
+# anti-diagonal — and a crossing is a strict orientation straddle
+# (collinear/touching excluded), counted per way over pairs of
+# DIFFERENT ways.
+#
+# Completeness guarantee: segment extents are (0.12·PW, 0.22·PH) =
+# (0.00768°, 0.0264°); two segments can only intersect if their
+# midpoints differ by at most the sum of half-extents per axis =
+# (0.00768°, 0.0264°), both under one RES_KNN cell edge (0.05°,
+# 0.0375°) — so a 1-ring (9 cells) on the exploded side provably
+# covers every crossing pair. Each unordered pair joins exactly once
+# (ring(a).cell == midcell(b), a.way_id < b.way_id; ring cells are
+# distinct per segment).
+#
+# 100-TB shape: the big side gets ONE arithmetic cell projection and
+# never explodes; the ring explode is 9 × |segments| on the side that
+# is broadcast under the knn gate (shuffle-equi-join above it); the
+# refine is pure codegen arithmetic from ONE SQL template shared
+# verbatim by both engines (identical parse → identical IEEE-754 op
+# order → identical strict-sign decisions); the degree count is a
+# partial+final hash agg. The oracle is the algorithm-independent
+# bbox-prefiltered quadratic join (DuckDB IEJoin) over the same
+# template.
+
+_XO1 = "((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))"
+_XO2 = "((bx - ax) * (dy - ay) - (by - ay) * (dx - ax))"
+_XO3 = "((dx - cx) * (ay - cy) - (dy - cy) * (ax - cx))"
+_XO4 = "((dx - cx) * (by - cy) - (dy - cy) * (bx - cx))"
+_STRADDLE_SQL = (
+    f"(({_XO1} > 0e0 AND {_XO2} < 0e0) OR ({_XO1} < 0e0 AND {_XO2} > 0e0))"
+    f" AND (({_XO3} > 0e0 AND {_XO4} < 0e0)"
+    f" OR ({_XO3} < 0e0 AND {_XO4} > 0e0))"
+)
+
+_SEG_SQL = """
+  SELECT way_id, 0 AS kind,
+         wx0 AS sx0, wy0 AS sy0, wx1 AS sx1, wy1 AS sy1
+  FROM osm_ways_base
+  UNION ALL
+  SELECT way_id, 1, wx0, wy1, wx1, wy0 FROM osm_ways_base
+"""
+
+
+def _crossings_oracle() -> str:
+    return (
+        synth.oracle_with("osm_ways_base")
+        + f"""
+, seg0 AS ({_SEG_SQL})
+, seg AS (
+  -- bounds materialized as plain columns: DuckDB's IEJoin asserts out
+  -- on LEAST/GREATEST expressions computed inline over a UNION ALL CTE
+  -- ("requires a flat vector"), and the engine's cell join never uses
+  -- them anyway — the oracle stays algorithm-independent either way
+  SELECT *, LEAST(sx0, sx1) AS xlo, GREATEST(sx0, sx1) AS xhi,
+            LEAST(sy0, sy1) AS ylo, GREATEST(sy0, sy1) AS yhi
+  FROM seg0
+)
+, pre AS (
+  SELECT a.way_id AS wa, b.way_id AS wb,
+         a.sx0 AS ax, a.sy0 AS ay, a.sx1 AS bx, a.sy1 AS by,
+         b.sx0 AS cx, b.sy0 AS cy, b.sx1 AS dx, b.sy1 AS dy
+  FROM seg a JOIN seg b
+    ON a.way_id < b.way_id
+   AND a.xlo <= b.xhi AND b.xlo <= a.xhi
+   AND a.ylo <= b.yhi AND b.ylo <= a.yhi
+)
+, pr AS (SELECT wa, wb FROM pre WHERE {_STRADDLE_SQL})
+SELECT way_id, CAST(COUNT(*) AS BIGINT) AS n_cross
+FROM (SELECT wa AS way_id FROM pr UNION ALL SELECT wb FROM pr)
+GROUP BY 1
+"""
+    )
+
+
+@register("segment_crossings", _crossings_oracle())
+def q_segment_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    seg = spark.sql(f"SELECT * FROM ({_SEG_SQL})").select(
+        "way_id", "kind", "sx0", "sy0", "sx1", "sy1",
+        ((F.col("sx0") + F.col("sx1")) / 2).alias("mx"),
+        ((F.col("sy0") + F.col("sy1")) / 2).alias("my"),
+    )
+    ring = ring_cells(seg, "mx", "my", res=RES_KNN, k_ring=1).select(
+        F.col("way_id").alias("wa"),
+        F.col("sx0").alias("ax"), F.col("sy0").alias("ay"),
+        F.col("sx1").alias("bx"), F.col("sy1").alias("by"),
+        "cell",
+    )
+    n_segs = seg.count()  # JVM-only count of the small side
+    ring_side = (
+        F.broadcast(ring)
+        if n_segs * 9 <= BROADCAST_MAX_RING_ROWS
+        else ring
+    )
+    pts = seg.select(
+        F.col("way_id").alias("wb"),
+        F.col("sx0").alias("cx"), F.col("sy0").alias("cy"),
+        F.col("sx1").alias("dx"), F.col("sy1").alias("dy"),
+        tile_expr(F.col("mx"), F.col("my"), RES_KNN).alias("cell"),
+    )
+    pr = (
+        pts.join(ring_side, "cell")
+        .where(F.col("wa") < F.col("wb"))
+        .where(F.expr(_STRADDLE_SQL))
+    )
+    return (
+        pr.select(F.explode(F.array("wa", "wb")).alias("way_id"))
+        .groupBy("way_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross"))
+    )
+
+
+# ----------------------------------------------------------------------
+# tile_hillshade: Horn's-method gradient + Lambertian shade numerator
+# over the tile count raster — the classic DEM hillshade kernel
+# (Horn 1981; gdaldem's default) re-expressed trig-free so the gate is
+# bit-exact: the 3×3 Sobel-weighted gradient (gx, gy) is exact int64
+# over the counts (absent neighbors are height 0, exactly Horn's edge
+# rule), the shade is the unnormalized Lambertian dot product L·∇ with
+# the integer NW light vector (-1, +1) — the full cosine only divides
+# by norms, which a renderer does after the reduction — and the
+# aspect is classified into exact sign-test quadrants (flat = -1).
+# The focal-GRADIENT sibling of tile_flow_dir's focal argmax.
+#
+# Scale shape: corpus → per-tile counts once; the 8 weighted neighbor
+# reads are ONE broadcast explode (8 offsets/cell) + equi-join on the
+# GRID-bounded relation; gx/gy are a map-side partial SUM keyed by
+# cell. No window, no Python, no trig.
+
+_HORN = [  # (dx, dy, wx, wy): gx = E-ish minus W-ish, gy = N-ish minus S-ish
+    (1, 1, 1, 1), (1, 0, 2, 0), (1, -1, 1, -1),
+    (0, 1, 0, 2), (0, -1, 0, -2),
+    (-1, 1, -1, 1), (-1, 0, -2, 0), (-1, -1, -1, -1),
+]
+
+_QUAD_SQL = (
+    "CASE WHEN gx = 0 AND gy = 0 THEN -1"
+    " WHEN gx >= 0 AND gy >= 0 THEN 0"
+    " WHEN gx < 0 AND gy >= 0 THEN 1"
+    " WHEN gx < 0 THEN 2 ELSE 3 END"
+)
+
+
+def _hillshade_oracle() -> str:
+    n = 1 << C.RES_TILE
+    offs = ", ".join(f"({dx}, {dy}, {wx}, {wy})" for dx, dy, wx, wy in _HORN)
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, g AS (
+  SELECT {_iy_sql('lat', C.RES_TILE)} * {n} + {_ix_sql('lon', C.RES_TILE)}
+           AS t
+  FROM pages
+)
+, c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+, cells AS (SELECT t, cnt, t % {n} AS ix, t // {n} AS iy FROM c)
+, offs(dx, dy, wx, wy) AS (VALUES {offs})
+, grad AS (
+  SELECT a.t,
+         CAST(SUM(o.wx * b.cnt) AS BIGINT) AS gx,
+         CAST(SUM(o.wy * b.cnt) AS BIGINT) AS gy
+  FROM cells a
+  CROSS JOIN offs o
+  JOIN cells b
+    ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+  GROUP BY 1
+)
+SELECT c.t, c.cnt,
+       COALESCE(g.gx, 0) AS gx, COALESCE(g.gy, 0) AS gy,
+       COALESCE(g.gy, 0) - COALESCE(g.gx, 0) AS shade_nw,
+       CAST((SELECT {_QUAD_SQL} FROM (SELECT COALESCE(g.gx, 0) AS gx,
+             COALESCE(g.gy, 0) AS gy)) AS BIGINT) AS aspect_quad
+FROM c LEFT JOIN grad g ON g.t = c.t
+"""
+    )
+
+
+@register("tile_hillshade", _hillshade_oracle())
+def q_tile_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    n = 1 << C.RES_TILE
+    g = spark.table("pages").select(
+        tile_expr(F.col("lon"), F.col("lat"), C.RES_TILE).alias("t")
+    )
+    counts = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cells = counts.select(
+        "t", "cnt",
+        (F.col("t") % n).alias("ix"), F.expr(f"t div {n}").alias("iy"),
+    ).localCheckpoint(eager=False)  # read as self-join probe + build
+    offs = spark.createDataFrame(_HORN, ["dx", "dy", "wx", "wy"])
+    grad = (
+        cells.crossJoin(F.broadcast(offs))
+        .select(
+            "t", "wx", "wy",
+            (F.col("ix") + F.col("dx")).alias("nx"),
+            (F.col("iy") + F.col("dy")).alias("ny"),
+        )
+        .join(
+            # the build side is the GRID-bounded relation (≤ 4^RES_TILE
+            # occupied tiles) — broadcast by construction; without the
+            # hint the checkpointed relation has no stats and plans SMJ
+            F.broadcast(
+                cells.select(
+                    F.col("ix").alias("nx"), F.col("iy").alias("ny"),
+                    F.col("cnt").alias("ncnt"),
+                )
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("wx") * F.col("ncnt")).cast("long").alias("gx"),
+            F.sum(F.col("wy") * F.col("ncnt")).cast("long").alias("gy"),
+        )
+    )
+    out = counts.join(F.broadcast(grad), "t", "left").select(
+        "t", "cnt",
+        F.coalesce("gx", F.lit(0)).cast("long").alias("gx"),
+        F.coalesce("gy", F.lit(0)).cast("long").alias("gy"),
+    )
+    return out.select(
+        "t", "cnt", "gx", "gy",
+        (F.col("gy") - F.col("gx")).cast("long").alias("shade_nw"),
+        F.expr(_QUAD_SQL).cast("long").alias("aspect_quad"),
+    )

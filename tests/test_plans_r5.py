@@ -83,3 +83,24 @@ def test_tile_contour_cases_grid_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_segment_crossings_broadcast_ring_pure_codegen(spark):
+    plan = _plan(Q.QUERIES["segment_crossings"](spark, SF))
+    # ring side is gate-size → broadcast hash join on cell; the
+    # orientation straddle refine is codegen arithmetic — no nested
+    # loop, no Python, no sort-merge over the pair space
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tile_hillshade_grid_joins_broadcast_no_python(spark):
+    plan = _plan(Q.QUERIES["tile_hillshade"](spark, SF))
+    # neighbor reads join the GRID-bounded relation — broadcast hash
+    # joins; the Horn gradient is a partial+final SUM, pure codegen
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
