@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "snap_to_segment",
     "segment_crossings",
     "tile_hillshade",
+    "hexbin_counts",
     "cdc_apply",
     "doc_chunk",
     "bigram_lm_score",

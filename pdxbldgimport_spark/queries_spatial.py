@@ -2793,3 +2793,81 @@ def q_tile_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gy") - F.col("gx")).cast("long").alias("shade_nw"),
         F.expr(_QUAD_SQL).cast("long").alias("aspect_quad"),
     )
+
+
+# ----------------------------------------------------------------------
+# hexbin_counts: true hexagonal binning (pointy-top axial grid + exact
+# cube rounding — the actual cell shape of H3, vs the square Z-grid
+# the engine tiles with elsewhere): per-hex page counts keyed by
+# axial (q, r). Hexagons are the density-map binning cartographers
+# prefer (equidistant neighbors, no corner-adjacency artifacts), and
+# the axial→cube→round pipeline is the standard exact algorithm
+# (Amit Patel's hex-grid formulation). All arithmetic — sqrt(3) scale,
+# the three FLOOR(v+0.5) roundings, the largest-residual fixups — is
+# rendered from ONE set of shared SQL templates so both engines parse
+# identical expression trees (sqrt is IEEE-correctly-rounded, so every
+# double agrees bit-for-bit; FLOOR(v+0.5e0) sidesteps the engines'
+# differing ROUND tie rules).
+#
+# Scale shape: pure per-row codegen arithmetic (no join, no window,
+# no Python) into one partial+final hash agg — embarrassingly
+# parallel, identical to page_tile_counts' cost model.
+
+_HEX_SIZE = 0.02  # hex circumradius in degrees (~2.2 km N-S)
+
+_HEX_FQ = (
+    f"((SQRT(3e0) / 3e0) * (lon - ({synth.W!r}e0))"
+    f" - (lat - ({synth.S!r}e0)) / 3e0) / {_HEX_SIZE!r}e0"
+)
+_HEX_FR = f"((2e0 / 3e0) * (lat - ({synth.S!r}e0))) / {_HEX_SIZE!r}e0"
+# cube rounding on (fq, fr, fs = -fq-fr): round each, then repair the
+# axis with the largest residual so q + r + s = 0 stays exact
+_HEX_ROUND = {
+    "rq": "FLOOR(fq + 0.5e0)", "rr": "FLOOR(fr + 0.5e0)",
+    "rs": "FLOOR(fs + 0.5e0)",
+    "dq": "ABS(FLOOR(fq + 0.5e0) - fq)",
+    "dr": "ABS(FLOOR(fr + 0.5e0) - fr)",
+    "ds": "ABS(FLOOR(fs + 0.5e0) - fs)",
+}
+_HEX_Q = "CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END"
+_HEX_R = (
+    "CASE WHEN dq > dr AND dq > ds THEN rr"
+    " WHEN dr > ds THEN -rq - rs ELSE rr END"
+)
+
+
+def _hexbin_oracle() -> str:
+    rnd = ", ".join(f"{v} AS {k}" for k, v in _HEX_ROUND.items())
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, h0 AS (
+  SELECT {_HEX_FQ} AS fq, {_HEX_FR} AS fr FROM pages
+)
+, h1 AS (SELECT fq, fr, -fq - fr AS fs FROM h0)
+, h2 AS (SELECT {rnd} FROM h1)
+SELECT CAST({_HEX_Q} AS BIGINT) AS q, CAST({_HEX_R} AS BIGINT) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM h2 GROUP BY 1, 2
+"""
+    )
+
+
+@register("hexbin_counts", _hexbin_oracle())
+def q_hexbin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir)
+    h0 = spark.table("pages").selectExpr(
+        f"{_HEX_FQ} AS fq", f"{_HEX_FR} AS fr"
+    )
+    h1 = h0.selectExpr("fq", "fr", "-fq - fr AS fs")
+    h2 = h1.selectExpr(
+        *(f"{v} AS {k}" for k, v in _HEX_ROUND.items())
+    )
+    return (
+        h2.selectExpr(
+            f"CAST({_HEX_Q} AS BIGINT) AS q",
+            f"CAST({_HEX_R} AS BIGINT) AS r",
+        )
+        .groupBy("q", "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )

@@ -104,3 +104,13 @@ def test_tile_hillshade_grid_joins_broadcast_no_python(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hexbin_counts_pure_codegen_single_agg(spark):
+    plan = _plan(Q.QUERIES["hexbin_counts"](spark, SF))
+    # per-row axial/cube-round arithmetic + one partial/final hash agg:
+    # no join, no window, no Python anywhere
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
