@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "segment_crossings",
     "tile_hillshade",
     "hexbin_counts",
+    "hex_smooth",
     "cdc_apply",
     "doc_chunk",
     "bigram_lm_score",

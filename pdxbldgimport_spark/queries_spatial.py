@@ -2871,3 +2871,93 @@ def q_hexbin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q", "r")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
     )
+
+
+# ----------------------------------------------------------------------
+# hex_smooth: 6-neighbor focal smoothing over the hexbin raster — the
+# hex-grid sibling of tile_focal_stats (a hexagon has exactly six
+# equidistant neighbors, so the focal kernel has no corner/edge weight
+# asymmetry — the reason hex grids are preferred for density
+# smoothing). Emits exact integers: own count, neighbor sum, occupied
+# neighbor count, and the smoothed numerator own + nbr_sum (the focal
+# mean is that over 1 + n_nbrs — a renderer's division).
+#
+# Scale shape: reuses hexbin_counts' per-row codegen contraction; the
+# six neighbor reads are ONE broadcast explode (6 axial offsets) +
+# equi-join on (q, r) over the HEX-bounded relation; the sums are a
+# map-side partial agg. No window, no Python.
+
+_HEX_NBRS = [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+
+
+def _hex_smooth_oracle() -> str:
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in _HEX_NBRS)
+    rnd = ", ".join(f"{v} AS {k}" for k, v in _HEX_ROUND.items())
+    return (
+        synth.oracle_with("pages")
+        + f"""
+, h0 AS (
+  SELECT {_HEX_FQ} AS fq, {_HEX_FR} AS fr FROM pages
+)
+, h1 AS (SELECT fq, fr, -fq - fr AS fs FROM h0)
+, h2 AS (SELECT {rnd} FROM h1)
+, hx AS (
+  SELECT CAST({_HEX_Q} AS BIGINT) AS q, CAST({_HEX_R} AS BIGINT) AS r,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM h2 GROUP BY 1, 2
+)
+, offs(dq, dr) AS (VALUES {offs})
+, nb AS (
+  SELECT a.q, a.r,
+         CAST(SUM(b.cnt) AS BIGINT) AS nbr_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_nbrs
+  FROM hx a CROSS JOIN offs o
+  JOIN hx b ON b.q = a.q + o.dq AND b.r = a.r + o.dr
+  GROUP BY 1, 2
+)
+SELECT hx.q, hx.r, hx.cnt,
+       COALESCE(nb.nbr_sum, 0) AS nbr_sum,
+       COALESCE(nb.n_nbrs, 0) AS n_nbrs,
+       hx.cnt + COALESCE(nb.nbr_sum, 0) AS smooth_num
+FROM hx LEFT JOIN nb ON nb.q = hx.q AND nb.r = hx.r
+"""
+    )
+
+
+@register("hex_smooth", _hex_smooth_oracle())
+def q_hex_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hx = q_hexbin_counts(spark, sf_dir).withColumnRenamed(
+        "n_pages", "cnt"
+    ).localCheckpoint(eager=False)  # read as probe + both join sides
+    offs = spark.createDataFrame(_HEX_NBRS, ["dq", "dr"])
+    nb = (
+        hx.crossJoin(F.broadcast(offs))
+        .select(
+            "q", "r",
+            (F.col("q") + F.col("dq")).alias("nq"),
+            (F.col("r") + F.col("dr")).alias("nr"),
+        )
+        .join(
+            # HEX-bounded build side (occupied hexes only) — broadcast
+            # by construction; the checkpointed relation has no stats
+            F.broadcast(
+                hx.select(
+                    F.col("q").alias("nq"), F.col("r").alias("nr"),
+                    F.col("cnt").alias("ncnt"),
+                )
+            ),
+            ["nq", "nr"],
+        )
+        .groupBy("q", "r")
+        .agg(
+            F.sum("ncnt").cast("long").alias("nbr_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+        )
+    )
+    return hx.join(F.broadcast(nb), ["q", "r"], "left").select(
+        "q", "r", "cnt",
+        F.coalesce("nbr_sum", F.lit(0)).cast("long").alias("nbr_sum"),
+        F.coalesce("n_nbrs", F.lit(0)).cast("long").alias("n_nbrs"),
+        (F.col("cnt") + F.coalesce("nbr_sum", F.lit(0)))
+        .cast("long").alias("smooth_num"),
+    )

@@ -114,3 +114,12 @@ def test_hexbin_counts_pure_codegen_single_agg(spark):
     assert "Window" not in plan
     assert "HashAggregate" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hex_smooth_broadcast_joins_no_python(spark):
+    plan = _plan(Q.QUERIES["hex_smooth"](spark, SF))
+    # neighbor reads and the assembly join the HEX-bounded relation —
+    # broadcast hash joins only, no sort-merge, no Python
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
