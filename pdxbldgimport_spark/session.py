@@ -86,7 +86,11 @@ def get_spark(
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else os.cpu_count() or 4
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # override knob for topology experiments (e.g. local-cluster
+        # legs want more, smaller reduce tasks than cores — on a real
+        # cluster this would be ~2-3× total cores; AQE coalesces down)
+        envp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(envp) if envp else max(cores, 8)
 
     builder = SparkSession.builder
     # Respect an externally-configured master (spark-submit --master /

@@ -120,12 +120,34 @@ def bench(n_exec: int) -> None:
     print(json.dumps(rec))
 
 
+def shuffle(n_exec: int) -> None:
+    """Inter-JVM exchange leg: run scaling_pair.py's shuffle benchmark
+    (full-width groupBy on the ~unique url) under spark-submit on the
+    local-cluster master, so the measured exchange crosses REAL
+    executor-process boundaries (shuffle files written and fetched
+    between JVMs) rather than threads in one heap. Logged with
+    tag="cluster" to keep the record distinguishable from thread legs.
+    """
+    out = _submit(
+        n_exec, os.path.join(REPO, "tools", "scaling_pair.py"),
+        ["shuffle", str(n_exec * CORES_PER_EXEC)],
+        {"PAIR_TAG": "cluster",
+         "PAIR_SHUFFLE_REP": os.environ.get("PAIR_SHUFFLE_REP", "512")},
+    )
+    sys.stdout.write(out.stdout[-500:])
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"cluster shuffle leg failed (rc={out.returncode})")
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "pair"
     if mode == "check":
         check(sys.argv[2:])
     elif mode == "bench":
         bench(int(sys.argv[2]))
+    elif mode == "shuffle":
+        shuffle(int(sys.argv[2]))
     elif mode == "pair":
         bench(2)
         bench(8)

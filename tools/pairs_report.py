@@ -140,7 +140,9 @@ def main() -> None:
     # complement of the map-heavy headline legs — same pairing rule.
     spairs, pending = [], None
     for r in recs:
-        if r["kind"] != "shuffle":
+        if r["kind"] != "shuffle" or r.get("tag") == "cluster":
+            # cluster-tagged shuffle legs (spark-submit / local-cluster)
+            # are a different topology — reported separately below
             continue
         if (
             pending is not None
@@ -167,6 +169,18 @@ def main() -> None:
             / sum(pw["sec"] for _, pw in spairs)
         ) / 4
         print(f"shuffle all-legs aggregate {agg:.3f} over {len(spairs)} pairs")
+    # cluster-TAGGED shuffle legs: the same full-width exchange run
+    # under spark-submit on local-cluster (inter-JVM shuffle fetch on
+    # one box) — listed raw, no pairing (the topology does not scale
+    # the exchange on a single host; see BENCH/BASELINE.md)
+    cshuf = [r for r in recs
+             if r["kind"] == "shuffle" and r.get("tag") == "cluster"]
+    if cshuf:
+        print()
+        for r in cshuf:
+            print(f"cluster-shuffle cores={r['cpus']}"
+                  f" (rep={r.get('rep_mult')}): {r['sec']:.1f}s"
+                  f"  {r['groups_per_sec'] / 1e6:.2f}M groups/s")
     # cluster-kind pairs (kind == "cluster_bench"): separate executor
     # JVMs via spark-submit --py-files on local-cluster — the north
     # rule's literal N→4N *executor* axis. Same consecutive-pairing rule

@@ -37,6 +37,10 @@ PROBE_ROWS_PER_CPU = 250_000_000
 
 def log_line(rec: dict) -> None:
     rec["t_wall"] = round(time.time(), 1)
+    # optional provenance tag (e.g. "cluster" when a leg runs under
+    # spark-submit on a local-cluster master via tools/cluster_pair.py)
+    if os.environ.get("PAIR_TAG"):
+        rec["tag"] = os.environ["PAIR_TAG"]
     os.makedirs(os.path.dirname(LOG), exist_ok=True)
     with open(LOG, "a") as f:
         f.write(json.dumps(rec) + "\n")
