@@ -52,6 +52,18 @@ def _submit(n_exec: int, script: str, argv: list[str], env_extra: dict,
         "--driver-memory", driver_mem,
         "--conf", f"spark.executor.memory={WORKER_MEM_MB - 512}m",
         "--conf", "spark.ui.enabled=false",
+        # optional netty IO-pool cap experiment (measured: capping to
+        # the per-executor core count made the 8-JVM shuffle WORSE —
+        # 262 s vs 118-158 s — fetch parallelism starves before
+        # scheduler thrash matters; keep default pools unless testing)
+        *(
+            c for n in [os.environ.get("CLUSTER_IO_THREADS")] if n
+            for c in (
+                "--conf", f"spark.shuffle.io.serverThreads={n}",
+                "--conf", f"spark.shuffle.io.clientThreads={n}",
+                "--conf", f"spark.rpc.io.threads={n}",
+            )
+        ),
         "--py-files", package_zip(),
         script, *argv,
     ]
