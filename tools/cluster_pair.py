@@ -52,6 +52,18 @@ def _submit(n_exec: int, script: str, argv: list[str], env_extra: dict,
         "--driver-memory", driver_mem,
         "--conf", f"spark.executor.memory={WORKER_MEM_MB - 512}m",
         "--conf", "spark.ui.enabled=false",
+        # JVM ergonomics see MACHINE cores, so each of N co-located
+        # executor JVMs defaults to ~5/8·32 G1 GC threads — N×23 GC
+        # threads thrashing 32 cores during the shuffle's allocation
+        # storm. Capping GC threads to the executor's core budget
+        # measured 95.1 s vs a 132.7 s same-window default control
+        # (8-JVM shuffle) — this is exactly what container CPU limits
+        # give executors on a real cluster, where ergonomics see the
+        # cgroup, not the host. (-XX:ActiveProcessorCount=4 over-caps:
+        # 179 s — it starves netty/JIT too, like the IO experiment.)
+        "--conf",
+        "spark.executor.extraJavaOptions="
+        f"-XX:ParallelGCThreads={CORES_PER_EXEC} -XX:ConcGCThreads=2",
         # optional netty IO-pool cap experiment (measured: capping to
         # the per-executor core count made the 8-JVM shuffle WORSE —
         # 262 s vs 118-158 s — fetch parallelism starves before
