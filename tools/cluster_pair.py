@@ -96,6 +96,11 @@ CHECK_DEFAULT = [
 
 
 def check(names: list[str]) -> None:
+    if names == ["all"]:
+        sys.path.insert(0, REPO)
+        from pdxbldgimport_spark import registry as Q
+
+        names = list(Q.QUERIES)
     names = names or CHECK_DEFAULT
     out = _submit(
         2, os.path.join(REPO, "tools", "oracle_check.py"),
