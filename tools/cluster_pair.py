@@ -102,9 +102,10 @@ def check(names: list[str]) -> None:
 
         names = list(Q.QUERIES)
     names = names or CHECK_DEFAULT
+    sf = os.environ.get("CLUSTER_CHECK_SF", "/root/testdata/sf0.001")
     out = _submit(
         2, os.path.join(REPO, "tools", "oracle_check.py"),
-        ["/root/testdata/sf0.001", *names], {},
+        [sf, *names], {},
     )
     tail = "\n".join(out.stdout.strip().splitlines()[-len(names) - 4:])
     print(tail)
@@ -112,8 +113,8 @@ def check(names: list[str]) -> None:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit(f"cluster check failed (rc={out.returncode})")
     log_line({"kind": "cluster_check", "executors": 2,
-              "cores_per_exec": CORES_PER_EXEC, "n_queries": len(names),
-              "fails": 0, "queries": names})
+              "cores_per_exec": CORES_PER_EXEC, "sf": sf,
+              "n_queries": len(names), "fails": 0, "queries": names})
 
 
 def bench(n_exec: int) -> None:
