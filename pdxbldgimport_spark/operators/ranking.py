@@ -38,6 +38,7 @@ def global_rank(
     order_cols: list[Column],
     rank_col: str = "rank",
     partition_cols: list[str] | None = None,
+    max_rank: int | None = None,
 ) -> DataFrame:
     """Append 0-based exact rank of each row under ``ORDER BY
     order_cols`` (per ``partition_cols`` group if given, else globally).
@@ -48,6 +49,19 @@ def global_rank(
     the leading sort key). Ties across the full ``order_cols`` list must
     be impossible (pin with a unique id column last) or ranks are
     nondeterministic.
+
+    ``max_rank`` (r6): when the caller only consumes rows with
+    ``rank < max_rank`` (top-K per group), pass it so the second pass
+    prunes before the window instead of ranking the whole input: buckets
+    whose offset ≥ max_rank cannot contain a qualifying row (rank ≥
+    offset) and are dropped from the broadcast, which drops their rows
+    at the broadcast hash join — map-side, before the window exchange;
+    and the within-bucket ``row_number() ≤ max_rank`` filter compiles to
+    WindowGroupLimit (rank = off + rn − 1 < max_rank ⇒ rn ≤ max_rank),
+    so each map task forwards at most max_rank rows per bucket. Rows
+    with rank ≥ max_rank may still appear (when offset > 0); the
+    caller's own rank filter remains responsible for the exact cut —
+    output below max_rank is COMPLETE, above it only partial.
 
     Scale shape: one corpus aggregation (bucket counts), one window over
     the bounded bucket table, one broadcast join back, one window
@@ -69,12 +83,18 @@ def global_rank(
             "__off"
         ),
     )
+    if max_rank is not None:
+        offsets = offsets.where(F.col("__off") < max_rank)
     rn_w = Wnd.partitionBy(*parts, "__bkt").orderBy(*order_cols)
+    ranked = work.join(F.broadcast(offsets), parts + ["__bkt"]).withColumn(
+        "__rn", F.row_number().over(rn_w)
+    )
+    if max_rank is not None:
+        ranked = ranked.where(F.col("__rn") <= max_rank)
     return (
-        work.join(F.broadcast(offsets), parts + ["__bkt"])
-        .withColumn(
+        ranked.withColumn(
             rank_col,
-            (F.col("__off") + F.row_number().over(rn_w) - F.lit(1)).cast("long"),
+            (F.col("__off") + F.col("__rn") - F.lit(1)).cast("long"),
         )
-        .drop("__bkt", "__off")
+        .drop("__bkt", "__off", "__rn")
     )

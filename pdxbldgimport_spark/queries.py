@@ -66,6 +66,19 @@ def stage(spark: SparkSession, key: tuple, df_fn) -> DataFrame:
     return df
 
 
+def cut(df: DataFrame) -> DataFrame:
+    """Materialize a subtree ONCE within the current query build (eager
+    DISK_ONLY localCheckpoint) — the intra-query twin of ``stage()``:
+    nothing is memoized across calls, so every bench run pays the
+    materialization inside its timed region. Use where one subtree
+    feeds several consumers and ReuseExchange cannot be relied on to
+    dedupe (self-joins on derived tables, aggregate referenced by its
+    own statistics) — guide §5 ``localCheckpoint`` lineage cut."""
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def prepared_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pdx_bldgs_orig after one-pass ingest enrichment + geometry repair
     (drops bowties — the repairs-to-MultiPolygon rule,

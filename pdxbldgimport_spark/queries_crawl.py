@@ -100,9 +100,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def n_matches(pat: str) -> F.Column:
-        return F.size(
-            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
-        ).cast("long")
+        # r6: regexp_count scans without materializing the match array
+        # (size(regexp_extract_all) allocated every matched substring
+        # just to count them) — same non-overlapping match count.
+        return F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
 
     return t.select(
         "page_id",
@@ -822,6 +823,9 @@ def q_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.col("h"), F.col("page_id")],
         rank_col="wave",
         partition_cols=["host"],
+        # only waves < FRONTIER_WAVES survive: prune non-head buckets
+        # map-side + WindowGroupLimit instead of ranking the corpus (r6)
+        max_rank=FRONTIER_WAVES,
     )
     delay = F.lit(1) + F.regexp_extract("host", "[0-9]+", 0).cast("long") % 5
     return ranked.where(F.col("wave") < FRONTIER_WAVES).select(

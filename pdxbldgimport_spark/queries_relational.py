@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as Wnd, functions as F
 
-from .queries import register, views
+from .queries import cut, register, views
 
 CUTOFF = "1998-06-01 00:00:00"
 
@@ -927,7 +927,10 @@ GROUP BY 1, 2
 @register("part_share_suppliers", _PSHARE_ORACLE)
 def q_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    ps = (
+    # r6: ps feeds both the per-part total and the share join — cut()
+    # so the lineitem agg runs once per invocation, and AQE can see
+    # tot's true (tiny) size and broadcast it.
+    ps = cut(
         spark.table("lineitem")
         .select(
             "l_partkey",
@@ -1226,10 +1229,15 @@ def q_returns_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    # r6: contract returned lineitems to per-ORDER sums before the
+    # orderkey join (guide §2.3 aggregate-before-shuffle) — integer sums
+    # regroup exactly; the join then carries one row per returned order
+    # instead of one per returned lineitem.
+    li_o = li.groupBy("l_orderkey").agg(F.sum("disc_c").alias("o_disc_c"))
     top = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        li_o.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.sum("disc_c").cast("long").alias("lost_c"))
+        .agg(F.sum("o_disc_c").cast("long").alias("lost_c"))
         .orderBy(F.desc("lost_c"), F.asc("o_custkey"))
         .limit(RETURNS_TOPK)
     )
@@ -1343,18 +1351,30 @@ WHERE n_orders * (SELECT COUNT(*) FROM pair)
 @register("supplier_cooccurrence", _COOC_ORACLE)
 def q_supplier_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    os_ = (
+    # r6 reshape (same as host_mirror_detect): ONE orderkey agg
+    # (collect_set fuses the distinct), i<j supplier pairs generated
+    # MAP-SIDE from each order's sorted supplier array instead of a
+    # second shuffle through an orderkey self-join. Unlike the mirror
+    # query the pair table here is NOT tiny (10.7M distinct pairs at
+    # sf1.0), so a cut() would write ~250 MB per run — measured slower
+    # than recomputing the chain for the mean statistic; leave lazy.
+    ospp = (
         spark.table("lineitem")
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("sl"))
+        .where(F.size("sl") >= 2)
     )
-    b = os_.select(F.col("l_orderkey"), F.col("l_suppkey").alias("s_b"))
-    pair = (
-        os_.withColumnRenamed("l_suppkey", "s_a")
-        .join(b, "l_orderkey")
-        .where(F.col("s_a") < F.col("s_b"))
-        .groupBy("s_a", "s_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pr = ospp.select(
+        F.posexplode("sl").alias("i", "s_a"), "sl"
+    ).select(
+        "s_a",
+        F.explode(
+            F.slice("sl", F.col("i") + F.lit(2), F.size("sl"))
+        ).alias("s_b"),
+    )
+    pair = pr.groupBy("s_a", "s_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
     )
     stats = pair.agg(
         F.count(F.lit(1)).alias("np"), F.sum("n_orders").alias("tot")
@@ -1457,11 +1477,19 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("n_nationkey").alias("cn_key"),
                 F.col("n_name").alias("cust_nation"))
     )
-    orders = spark.table("orders").select("o_orderkey", "o_custkey")
+    # r6: attach the customer-nation broadcast to ORDERS before the
+    # orderkey fact⋈fact join — the cn<4 filter prunes orders ~6× on
+    # the broadcast (map-side), so the orderkey exchange carries only
+    # qualifying orders (AQE then often broadcasts the shrunken side).
+    orders = (
+        spark.table("orders")
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("o_orderkey", "cn_key", "cust_nation")
+    )
     j = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .where(F.col("sn_key") != F.col("cn_key"))
     )
     return j.groupBy(
@@ -1694,7 +1722,10 @@ GROUP BY 1, 2
 @register("dominant_suppliers", _Q20_ORACLE)
 def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
-    ps = (
+    # r6: ps feeds both the per-part rollup and the dominance join —
+    # cut() so the lineitem agg runs once per invocation, and AQE can
+    # see pt's true (tiny) size and broadcast it.
+    ps = cut(
         spark.table("lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.expr(_QTY_C)).cast("long").alias("qty_c"))
@@ -1817,8 +1848,11 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             name, F.expr("(5 * _rk) div nc + 1").cast("long")
         ).drop("_rk", "nc")
 
-    m = quint(m, "r_days", True, 32, "r_q")
-    m = quint(m, "f_orders", False, 4, "f_q")
+    # r6: each quint consumes its input twice (bucket counts + rank
+    # join), so chaining three without cuts recompiles the previous
+    # quintile's window up to 4× — lazy cut between passes.
+    m = quint(m, "r_days", True, 32, "r_q").localCheckpoint(eager=False)
+    m = quint(m, "f_orders", False, 4, "f_q").localCheckpoint(eager=False)
     m = quint(m, "m_cents", False, 1_000_000, "m_q")
     return m.select(
         "c_custkey", "r_days", "f_orders", "m_cents", "r_q", "f_q", "m_q",

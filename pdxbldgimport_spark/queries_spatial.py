@@ -38,6 +38,7 @@ from .operators.ranking import global_rank
 from .queries import (
     _ix_sql,
     _iy_sql,
+    cut,
     prepared_footprints,
     register,
     stage,
@@ -745,6 +746,9 @@ def q_tile_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.col("h"), F.col("page_id")],
         rank_col="rnk",
         partition_cols=["tile_id"],
+        # only rnk < TILE_QUOTA survives: prune non-head buckets
+        # map-side + WindowGroupLimit instead of ranking the corpus (r6)
+        max_rank=TILE_QUOTA,
     )
     return ranked.where(F.col("rnk") < TILE_QUOTA).select(
         "tile_id", "page_id", "rnk"
@@ -950,8 +954,14 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ix_sql("lon", RES_Z)).alias("ix"),
         F.expr(_iy_sql("lat", RES_Z)).alias("iy"),
     )
-    z = g.select(
-        "page_id", F.expr(_morton_sql("ix", "iy", RES_Z, "div")).alias("zkey")
+    # r6: global_rank consumes its input twice (bucket counts + the
+    # rank join) — cut() so the 30-term Morton interleave runs over the
+    # corpus once per invocation instead of twice.
+    z = cut(
+        g.select(
+            "page_id",
+            F.expr(_morton_sql("ix", "iy", RES_Z, "div")).alias("zkey"),
+        )
     )
     ranked = global_rank(
         z,
@@ -1517,35 +1527,80 @@ FROM (
     )
 
 
+# r6: the segment cover is the cells overlapped by each segment's
+# SNAP_DEG-expanded bbox at SNAP_RES (finer than the r5 midpoint
+# 2-ring at RES_KNN). Completeness is now immediate: a page within
+# SNAP_DEG (Euclidean) of any segment point is within SNAP_DEG per
+# axis of it, hence inside the expanded bbox, hence its (clipped) cell
+# index lies in the covered floor-range — no midpoint/extent lemma
+# needed. Measured sf1.0: candidate pairs 1.74B → 378M (the r5 ring
+# put every page against ~540 segments; the bbox cover ~120), with a
+# bbox prefilter cutting the t/d2 refine to the 177M true-radius
+# candidates; 12.2 s → 9.6 s warm (the residual floor is the exact
+# min(struct) agg, which plans as SortAggregate — struct buffers are
+# not hash-aggregable — and must stay exact: segments sharing an
+# endpoint produce bit-equal d2 ties that need the way_id tie-break,
+# so min_by/quantized packings are not equivalent).
+SNAP_RES = 6
+SNAP_COVER_CELLS_MAX = 48  # bbox ≤ (0.068° × 0.086°) → ≤ 5×7 cells + slack
+
+
 @register("snap_to_segment", _snap_oracle())
 def q_snap_to_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
+    n = 1 << SNAP_RES
+
+    def gidx(col: F.Column, lo: float, span: float) -> F.Column:
+        return (
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n - 1),
+                    F.floor((col - F.lit(lo)) / F.lit(span) * F.lit(float(n))),
+                ),
+            ).cast("long")
+        )
+
     segs = spark.table("osm_ways_base").select(
         "way_id",
         F.col("wx0").alias("ax"),
         F.col("wy0").alias("ay"),
         F.col("wx1").alias("qx"),
         F.col("wy1").alias("qy"),
-        ((F.col("wx0") + F.col("wx1")) / 2).alias("mx"),
-        ((F.col("wy0") + F.col("wy1")) / 2).alias("my"),
     )
-    ring = ring_cells(segs, "mx", "my", res=RES_KNN, k_ring=2).drop(
-        "mx", "my"
+    cover = (
+        segs
+        .withColumn("__x0", gidx(F.col("ax") - SNAP_DEG, C.LON_W, C.SPAN_X))
+        .withColumn("__x1", gidx(F.col("qx") + SNAP_DEG, C.LON_W, C.SPAN_X))
+        .withColumn("__y0", gidx(F.col("ay") - SNAP_DEG, C.LAT_S, C.SPAN_Y))
+        .withColumn("__y1", gidx(F.col("qy") + SNAP_DEG, C.LAT_S, C.SPAN_Y))
+        .withColumn("__ix", F.explode(F.sequence("__x0", "__x1")))
+        .withColumn("__iy", F.explode(F.sequence("__y0", "__y1")))
+        .withColumn("cell", F.col("__iy") * n + F.col("__ix"))
+        .select("cell", "way_id", "ax", "ay", "qx", "qy")
     )
     n_segs = segs.count()  # JVM-only count of the SMALL side
-    ring_side = (
-        F.broadcast(ring)
-        if n_segs * 25 <= BROADCAST_MAX_RING_ROWS
-        else ring
+    cover_side = (
+        F.broadcast(cover)
+        if n_segs * SNAP_COVER_CELLS_MAX <= BROADCAST_MAX_RING_ROWS
+        else cover
     )
     pts = spark.table("pages").select(
         "page_id",
         "lon",
         "lat",
-        tile_expr(F.col("lon"), F.col("lat"), RES_KNN).alias("cell"),
+        tile_expr(F.col("lon"), F.col("lat"), SNAP_RES).alias("cell"),
     )
     ref = (
-        pts.join(ring_side, "cell")
+        pts.join(cover_side, "cell")
+        # cheap 4-compare bbox prune before the projection math (the
+        # oracle's own candidate predicate) — drops ~40% of pairs
+        .where(
+            (F.col("lon") >= F.col("ax") - SNAP_DEG)
+            & (F.col("lon") <= F.col("qx") + SNAP_DEG)
+            & (F.col("lat") >= F.col("ay") - SNAP_DEG)
+            & (F.col("lat") <= F.col("qy") + SNAP_DEG)
+        )
         .withColumn(
             "t",
             F.expr(f"LEAST(GREATEST({_SNAP_TR_SQL}, 0e0), 1e0)"),
@@ -1822,7 +1877,9 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ix_sql("lon", RES_H)).alias("ix"),
         F.expr(_iy_sql("lat", RES_H)).alias("iy"),
     )
-    h = g.join(lut, ["ix", "iy"]).select("page_id", "hkey")
+    # r6: same double-consumption cut as zorder_layout — one LUT join
+    # pass per invocation instead of two.
+    h = cut(g.join(lut, ["ix", "iy"]).select("page_id", "hkey"))
     ranked = global_rank(
         h,
         bucket=F.expr("hkey div 256"),

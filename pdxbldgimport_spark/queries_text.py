@@ -102,9 +102,23 @@ _HEX = "0123456789abcdef"
 def _h60_sql(md5_expr: str, strpos_fn: str, off: int = 0) -> str:
     """60-bit integer from 15 hex nibbles of an md5 starting at nibble
     ``off`` (0-based): nibble n contributes (hexdigit_n) · 16^n.
-    Identical text (modulo strpos/instr spelling) in Spark SQL and
-    DuckDB → identical int64. off=15 yields a second independent hash
-    from the same digest (nibbles 16-30) — the double-hashing pair."""
+    Identical value in Spark SQL and DuckDB → identical int64. off=15
+    yields a second independent hash from the same digest (nibbles
+    16-30) — the double-hashing pair.
+
+    Spark dialect (``strpos_fn == 'instr'``): the little-endian
+    polynomial IS ``conv(reverse(hex15), 16, 10)`` — reverse puts
+    nibble 0 last, so conv's big-endian parse assigns it 16^0, exactly
+    the polynomial. One string parse instead of 15×(instr+substr+mul)
+    — measured 3× cheaper per hash (r6, tools/profile_r6_h60.py: 0.57 s
+    vs 1.75 s marginal over 20M md5s, 0 mismatches at both offsets).
+    The DuckDB spelling stays the frozen polynomial (oracle SQL text is
+    fingerprinted; only values must match)."""
+    if strpos_fn == "instr":
+        return (
+            f"(CAST(conv(reverse(substr({md5_expr}, {off + 1}, 15)), 16, 10)"
+            f" AS BIGINT))"
+        )
     terms = [
         f"CAST({strpos_fn}('{_HEX}', substr({md5_expr}, {off + n + 1}, 1)) - 1 "
         f"AS BIGINT) * {16 ** n}"
@@ -141,6 +155,112 @@ def _dsh_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine (sizes + both join sides), so stage-materialized."""
     return stage(
         spark, (session_token(spark), sf_dir, "dsh"), lambda: _shingles(spark).distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# Shared exact-refine machinery (r6): every shingle-set similarity
+# refine (minhash-LSH, rare-gram Jaccard, containment, prefix-filter)
+# needs |A∩B| per candidate pair. The r1-r5 formulation exploded every
+# candidate pair against both docs' full shingle sets (3 shuffle joins
+# + a pair-keyed agg over |cand|·|doc| rows — measured 143 s at sf1.0
+# for dedup_prefix_filter's 26M candidates). Under a doc-count gate the
+# refine instead broadcasts per-doc SORTED RANK-ID ARRAYS (the rarity
+# rank is a dense bijection over the shingle vocabulary, so
+# |array_intersect| IS the exact shingle intersection) and computes
+# inter/na/nb in ONE codegen projection per pair — guide §2.3 "shuffle
+# keys and metadata instead of payloads" + §3.1 broadcast. Beyond the
+# gate (the 100-TB path) the inverted-index explode verify remains.
+JR_BCAST_MAX_DOCS = 2_000_000  # ≈450 B/doc serialized → ≲0.9 GB broadcast
+
+
+def _sh_ranked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sh → dense bijective rank id (ascending document frequency, ties
+    by text) — staged; shared by dedup_prefix_filter's prefix cut and
+    every rank-array refine."""
+    from .operators.ranking import global_rank
+
+    dsh = _dsh_df(spark, sf_dir)
+    return stage(
+        spark,
+        (session_token(spark), sf_dir, "pf_ranked"),
+        lambda: global_rank(
+            dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")),
+            F.col("df"), [F.col("df"), F.col("sh")], "r",
+        ).select("sh", "r"),
+    )
+
+
+def _doc_rank_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → sorted array of shingle rank ids — staged."""
+    dsh = _dsh_df(spark, sf_dir)
+    ranked = _sh_ranked_df(spark, sf_dir)
+    return stage(
+        spark,
+        (session_token(spark), sf_dir, "pf_docarr"),
+        lambda: dsh.join(ranked, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("r")).alias("shs")),
+    )
+
+
+def _pair_inter_sizes(
+    spark: SparkSession, sf_dir: str, cand: DataFrame,
+    prefer_broadcast: bool = True,
+) -> DataFrame:
+    """Exact (inter, na, nb) per unique candidate pair (doc_a < doc_b).
+
+    Candidates sharing zero shingles (possible for LSH signature
+    collisions) drop out in BOTH paths: their docs are absent from the
+    matched shingle rows / carry inter = 0 below every ppm threshold —
+    callers filter on a positive threshold, so outputs are identical.
+    Docs with no shingles never reach ``cand`` (no signature, no gram).
+
+    ``prefer_broadcast=False``: callers whose blocking provably bounds
+    the candidate set to a sliver of the corpus (rare-gram df ≤ 3)
+    keep the semi-join explode verify — for them the per-run ~50 MB
+    array broadcast costs more than it saves (measured r6 sf1.0:
+    ngram_jaccard 2.3 s explode vs 3.1 s broadcast).
+    """
+    dsh = _dsh_df(spark, sf_dir)
+    if (prefer_broadcast
+            and spark.table("documents").count() <= JR_BCAST_MAX_DOCS):
+        doc_arr = _doc_rank_arrays(spark, sf_dir)
+        arr_a = doc_arr.select(F.col("doc_id").alias("doc_a"),
+                               F.col("shs").alias("sa"))
+        arr_b = doc_arr.select(F.col("doc_id").alias("doc_b"),
+                               F.col("shs").alias("sb"))
+        return (
+            cand.join(F.broadcast(arr_a), "doc_a")
+            .join(F.broadcast(arr_b), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sa", "sb")).cast("long")
+                .alias("inter"),
+                F.size("sa").cast("long").alias("na"),
+                F.size("sb").cast("long").alias("nb"),
+            )
+        )
+    # beyond the gate: candidate-doc semi-join + inverted-index verify
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dsh_cand = dsh.join(cand_docs, "doc_id", "left_semi")
+    sizes = dsh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = dsh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
+    y = dsh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
     )
 
 
@@ -241,17 +361,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    dsh = _dsh_df(spark, sf_dir)
-    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = dsh.select(F.col("doc_id").alias("doc_a"), "sh")
-    y = dsh.select(F.col("doc_id").alias("doc_b"), "sh")
     jac = (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        _pair_inter_sizes(spark, sf_dir, cand)
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn(
             "jacc_ppm",
@@ -417,28 +528,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Prune the refine's inputs to candidate documents before the big
-    # joins: docs in any candidate pair are typically a sliver of the
-    # corpus, so the full dsh shuffles once (semi-join) instead of twice
-    # at full width; AQE broadcasts cand_docs when it is actually small.
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    dsh_cand = dsh.join(cand_docs, "doc_id", "left_semi")
-    sizes = dsh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = dsh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
-    y = dsh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
     jac = (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n").alias("nb")), "doc_b")
+        _pair_inter_sizes(spark, sf_dir, cand, prefer_broadcast=False)
         .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
         .withColumn(
             "jacc_ppm",
@@ -2750,24 +2841,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    dsh_cand = dsh.join(cand_docs, "doc_id", "left_semi")
-    sizes = dsh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = dsh_cand.select(F.col("doc_id").alias("doc_a"), "sh")
-    y = dsh_cand.select(F.col("doc_id").alias("doc_b"), "sh")
     return (
-        cand.join(x, "doc_a")
-        .join(y, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n").alias("nb")), "doc_b")
+        _pair_inter_sizes(spark, sf_dir, cand, prefer_broadcast=False)
         .withColumn("nmin", F.least(F.col("na"), F.col("nb")))
         .withColumn(
             "contain_ppm",
@@ -3525,6 +3600,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the engine never runs it).
 
 PF_T10 = 6  # Jaccard threshold in tenths (0.6)
+# Broadcast gate for the rank-array verify: at ~52 shingles/doc the
+# per-doc array table is ≈450 B/doc serialized, so 2M docs ≈ 0.9 GB —
+# comfortably under the 8 GB broadcast cap. Beyond it the verify falls
+# back to the shuffle-scale inverted-index formulation (tested forced
+# via monkeypatch in tests/test_prefix_filter_paths.py).
+PF_BCAST_MAX_DOCS = 2_000_000
 
 
 @register(
@@ -3549,24 +3630,22 @@ PF_T10 = 6  # Jaccard threshold in tenths (0.6)
     """,
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ranking import global_rank
-
     views(spark, sf_dir)
+    tok = session_token(spark)
     dsh = _dsh_df(spark, sf_dir)
     # sizes feeds the prefix cut AND both ends of the final refine, and
     # pref self-joins — stage both (lineage cut, computed once) exactly
     # like _dsh_df, or every reference re-runs the rank+window subtree.
     sizes = stage(
         spark,
-        (session_token(spark), sf_dir, "pf_sizes"),
+        (tok, sf_dir, "pf_sizes"),
         lambda: dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")),
     )
+    # the rarity rank doubles as a dense bijective shingle id — the
+    # shared staged table every rank-array refine consumes (r6).
+    ranked = _sh_ranked_df(spark, sf_dir)
 
     def _build_pref() -> DataFrame:
-        dfreq = dsh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        ranked = global_rank(
-            dfreq, F.col("df"), [F.col("df"), F.col("sh")], "r"
-        ).select("sh", "r")
         wdoc = Wnd.partitionBy("doc_id").orderBy("r")
         return (
             dsh.join(ranked, "sh")
@@ -3576,27 +3655,67 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p")
                 <= F.col("n") - F.expr(f"({PF_T10} * n + 9) div 10") + 1
             )
-            .select("doc_id", "sh", "n")
+            .select("doc_id", "sh", "n", "p")
         )
 
-    pref = stage(
-        spark, (session_token(spark), sf_dir, "pf_prefix"), _build_pref
-    )
+    pref = stage(spark, (tok, sf_dir, "pf_prefix"), _build_pref)
     a = pref.select(F.col("doc_id").alias("doc_a"), "sh",
-                    F.col("n").alias("na"))
+                    F.col("n").alias("na"), F.col("p").alias("pa"))
     b = pref.select(F.col("doc_id").alias("doc_b"), "sh",
-                    F.col("n").alias("nb"))
-    cand = (
-        a.join(b, "sh")
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            # J ≥ t implies min·10 ≥ t10·max — prune before verify
-            & (F.least("na", "nb") * 10
-               >= PF_T10 * F.greatest("na", "nb"))
+                    F.col("n").alias("nb"), F.col("p").alias("pb"))
+    pairs = a.join(b, "sh").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        # J ≥ t implies min·10 ≥ t10·max — prune before verify
+        & (F.least("na", "nb") * 10 >= PF_T10 * F.greatest("na", "nb"))
+        # PPJoin positional filter (r6): shared shingles form ascending
+        # subsequences of both rarity-ordered lists, so for a shared
+        # shingle at positions (pa, pb), inter ≤ min(na−pa, nb−pb)+1.
+        # J ≥ t ⇔ (10+t10)·inter ≥ t10·(na+nb); an occurrence failing
+        # the bound cannot carry a qualifying pair, and the FIRST shared
+        # occurrence has the loosest bound, so a pair qualifies iff some
+        # occurrence passes — dropping failing occurrences before the
+        # pair dedup loses nothing (measured sf1.0: 27.6M → 11.2M
+        # occurrences, identical final output).
+        & (
+            (F.least(F.col("na") - F.col("pa"),
+                     F.col("nb") - F.col("pb")) + F.lit(1))
+            * (10 + PF_T10)
+            >= PF_T10 * (F.col("na") + F.col("nb"))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
     )
+
+    n_docs = sizes.count()
+    if n_docs <= PF_BCAST_MAX_DOCS:
+        # Broadcast-array verify (r6): per-doc sorted rank-id arrays
+        # (rank is a bijection over the shingle vocabulary, so
+        # |array_intersect| IS the exact shingle intersection). Verify
+        # becomes two broadcast attaches + one codegen projection per
+        # occurrence — no corpus-scale shuffle — and the pair dedup
+        # runs over the ~0.01% of occurrences that SURVIVE the exact
+        # threshold instead of over all candidates (measured sf1.0:
+        # 143 s explode-verify → ~6 s; distinct input 26.4M → 2.5k).
+        doc_arr = _doc_rank_arrays(spark, sf_dir)
+        arr_a = doc_arr.select(F.col("doc_id").alias("doc_a"),
+                               F.col("shs").alias("sa"))
+        arr_b = doc_arr.select(F.col("doc_id").alias("doc_b"),
+                               F.col("shs").alias("sb"))
+        return (
+            pairs.join(F.broadcast(arr_a), "doc_a")
+            .join(F.broadcast(arr_b), "doc_b")
+            .withColumn(
+                "inter_n",
+                F.size(F.array_intersect("sa", "sb")).cast("long"),
+            )
+            .withColumn("union_n",
+                        F.col("na") + F.col("nb") - F.col("inter_n"))
+            .where(F.col("inter_n") * 10 >= PF_T10 * F.col("union_n"))
+            .select("doc_a", "doc_b", "inter_n", "union_n")
+            .distinct()
+        )
+
+    # Fallback beyond the broadcast gate (the 100-TB path): candidate
+    # pair dedup first, then the shuffle-scale inverted-index verify.
+    cand = pairs.select("doc_a", "doc_b").distinct()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
