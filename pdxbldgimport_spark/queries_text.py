@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window as Wnd
 
 from . import synth
 from .operators import components as C
-from .queries import register, stage, views
+from .queries import cut, register, stage, views
 from .session import session_token
 
 # ----------------------------------------------------------------------
@@ -715,9 +715,14 @@ def q_distinct_sketch_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w2").isNotNull())
         .select("source", F.concat_ws(" ", "w", "w1", "w2").alias("s"))
     )
-    dh = sh.select(
-        "source", F.expr(_h60_sql("md5(cast(s as binary))", "instr")).alias("h")
-    ).distinct()
+    # r6: dh feeds both the bucket ranks and the exact count — cut()
+    # or the shingle window + distinct executes twice per invocation.
+    dh = cut(
+        sh.select(
+            "source",
+            F.expr(_h60_sql("md5(cast(s as binary))", "instr")).alias("h"),
+        ).distinct()
+    )
     br = dh.select(
         "source",
         (F.col("h") % FM_BUCKETS).alias("bucket"),
@@ -1208,6 +1213,8 @@ _EQC_DUCK = (
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     views(spark, sf_dir)
     planes = [_plane(i) for i in range(N_PLANES)]
     # signature + squared norm computed once per VECTOR (pre-join, one
@@ -1217,25 +1224,71 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (session_token(spark), sf_dir, "vec_sigs_clones"),
         lambda: V.with_sig(_eq_with_clones(spark), planes, norms=True),
     )
-    a = sigs.select(
-        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
-        "sig", F.col("n2").alias("na2"),
+    # r6: each vector carries exactly ONE signature, so the LSH buckets
+    # are equivalence classes — the pairwise refine is a per-bucket
+    # upper-triangle Gram product. The r5 sig self-join evaluated a
+    # zip_with/aggregate dot per PAIR (2.9M higher-order evals at
+    # sf1.0, 5.5 s); one int64 numpy matmul per bucket (the
+    # embedding_gram syrk discipline — exact, no floats) computes the
+    # same dots in 0.74 s, checksum-identical. Row-chunking bounds
+    # per-task memory to CH·k for a degenerate hot bucket; candidate
+    # count stays Σ C(k_bucket, 2) either way.
+    schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("dot", T.LongType()),
+        ]
     )
-    b = sigs.select(
-        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
-        "sig", F.col("n2").alias("nb2"),
-    )
-    pairs = (
-        a.join(b, "sig")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", V.dot_expr("qa", "qb"))
-    )
-    keep = (F.col("dot") > 0) & (
-        F.col("dot") * F.col("dot")
-        >= F.floor(F.lit(COS_TAU2_PPM) * F.col("na2") / F.lit(1000000)).cast("long")
-        * F.col("nb2")
-    )
-    return pairs.where(keep).select("vec_a", "vec_b", "dot")
+
+    def refine(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        k = len(ids)
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "dot": pd.Series(dtype="int64")}
+        )
+        if k < 2:
+            return empty
+        q_mat = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in pdf["q"].to_numpy()]
+        )[order]
+        n2 = pdf["n2"].to_numpy()[order].astype(np.int64)
+        out_a, out_b, out_d = [], [], []
+        ch = 1024
+        for s in range(0, k - 1, ch):
+            e = min(s + ch, k - 1)
+            g = q_mat[s:e] @ q_mat.T  # exact int64 dots
+            for i in range(s, e):
+                row = g[i - s, i + 1:]
+                # dot > 0 AND dot² ≥ floor(τ²ppm·|a|²/1e6)·|b|² — the
+                # identical integer predicate as the SQL spelling
+                jj = np.nonzero(
+                    (row > 0)
+                    & (row * row
+                       >= (COS_TAU2_PPM * n2[i]) // 1000000 * n2[i + 1:])
+                )[0]
+                if len(jj):
+                    out_a.append(np.full(len(jj), ids[i]))
+                    out_b.append(ids[i + 1:][jj])
+                    out_d.append(row[jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "dot": np.concatenate(out_d),
+            }
+        )
+
+    return sigs.groupBy("sig").applyInPandas(refine, schema)
 
 
 # ----------------------------------------------------------------------

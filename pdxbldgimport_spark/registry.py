@@ -17,62 +17,14 @@ from . import queries_relational  # noqa: F401
 # run FIRST; the long-certified core follows. Every name here must
 # exist in QUERIES — guarded below so a rename can't silently demote a
 # query to the truncatable tail.
+# r6 rotation (VERDICT-r5 item #1): the driver CORRECTNESS record caps
+# at ~50 names per round and the r1-r5 union covers only 100 of 246 —
+# _FRONT is now exactly the 146 names that have NEVER appeared in any
+# driver-produced CORRECTNESS_r*.json (derived by diffing the registry
+# against the union of CORRECTNESS_r01-r05), in registry order, so the
+# r6 record certifies the next 50 of them. The long-certified core
+# follows. Pure ordering — no query or oracle changes.
 _FRONT = [
-    # HIGHEST PRIORITY: never appeared in any driver record through r4
-    # (VERDICT-r4 item #1) — these must survive even a severely
-    # budget-truncated sweep, so they run before everything else.
-    "events_asof_join",
-    "events_range_join",
-    "events_hourly_streamed",
-    "events_sessions_streamed",
-    # green in r3 but cut from the r4 record (registry-tail truncation)
-    "events_hourly",
-    "events_sessions",
-    "events_props",
-    "media_features",
-    "media_frame_sample",
-    "media_resize",
-    "media_bmp_decode",
-    "media_wav_decode",
-    "media_audio_energy",
-    # new this round (newest first)
-    "segment_crossings",
-    "tile_hillshade",
-    "hexbin_counts",
-    "hex_smooth",
-    "orders_price_audit",
-    "tile_majority_lang",
-    "events_user_overlap",
-    "events_markov_pi",
-    "lang_tile_mix",
-    "tile_upsample2x",
-    "tile_flow_dir",
-    "url_param_stats",
-    "html_tag_stats",
-    "events_peaks",
-    "customer_order_gaps",
-    "nation_supplier_hhi",
-    "events_activity_runs",
-    "crawl_schedule",
-    "host_mirror_detect",
-    "tile_dbscan",
-    "tile_contour_cases",
-    "mktsegment_revenue",
-    "supplier_balance_tiers",
-    "events_ewma",
-    "orders_rfm",
-    "part_margin",
-    "quadkey_encode",
-    "zrange_bbox_count",
-    "host_ppr",
-    "hilbert_layout",
-    "host_clustering_coef",
-    "events_histogram",
-    "events_type_correlation",
-    "forecast_revenue",
-    "nation_volume",
-    "late_shipments",
-    "large_orders",
     "discount_revenue",
     "important_parts",
     "dominant_suppliers",

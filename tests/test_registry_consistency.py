@@ -44,8 +44,14 @@ def test_entry_surface_exports_all_queries():
     import importlib.util
     import sys
 
+    import os
+
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
     spec = importlib.util.spec_from_file_location(
-        "spark_entry_check", "/root/repo/__spark_entry__.py"
+        "spark_entry_check", entry_path
     )
     mod = importlib.util.module_from_spec(spec)
     sys.modules["spark_entry_check"] = mod
