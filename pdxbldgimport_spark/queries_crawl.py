@@ -85,31 +85,48 @@ FROM scrubbed
 )
 
 
+# r6: each PII pattern REQUIRES a literal character — email '@', phone
+# '(', ip '.' — so a page whose raw text lacks that character cannot
+# match, and an instr() guard (a memchr, ~100× cheaper than the regex
+# scan) skips the regex entirely on the non-matching majority (~91% /
+# 92% / 86% of pages at every SF). The guards are sound on the ORIGINAL
+# text for all three scrub layers because the replacement tokens
+# '<EMAIL>'/'<PHONE>' introduce no '(' or '.' (a char in layer-N input
+# was either in the raw text or came from an earlier replacement).
+# Measured 8.43 s → 2.60 s at sf1.0 volume, checksum-identical
+# (tools/profile_r6b.py).
+def _pii_guarded_scrub() -> F.Column:
+    def layer(inner: F.Column, guard: str, pat: str, repl: str) -> F.Column:
+        return F.when(F.instr("text", guard) == 0, inner).otherwise(
+            F.regexp_replace(inner, pat, repl)
+        )
+
+    s = layer(F.col("text"), "@", PII_EMAIL, "<EMAIL>")
+    s = layer(s, "(", PII_PHONE, "<PHONE>")
+    return layer(s, ".", PII_IP, "<IP>")
+
+
 @register("pii_scrub", _PII_ORACLE)
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir)
     t = spark.table("pages_pii")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_PHONE,
-            "<PHONE>",
-        ),
-        PII_IP,
-        "<IP>",
-    )
+    scrubbed = _pii_guarded_scrub()
 
-    def n_matches(pat: str) -> F.Column:
-        # r6: regexp_count scans without materializing the match array
-        # (size(regexp_extract_all) allocated every matched substring
-        # just to count them) — same non-overlapping match count.
-        return F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+    def n_matches(pat: str, guard: str) -> F.Column:
+        # regexp_count scans without materializing the match array; the
+        # instr guard (see _pii_guarded_scrub) skips the scan wholesale
+        # on pages that cannot contain the pattern's required literal.
+        return (
+            F.when(F.instr("text", guard) == 0, F.lit(0))
+            .otherwise(F.regexp_count(F.col("text"), F.lit(pat)))
+            .cast("long")
+        )
 
     return t.select(
         "page_id",
-        n_matches(PII_EMAIL).alias("n_email"),
-        n_matches(PII_PHONE).alias("n_phone"),
-        n_matches(PII_IP).alias("n_ip"),
+        n_matches(PII_EMAIL, "@").alias("n_email"),
+        n_matches(PII_PHONE, "(").alias("n_phone"),
+        n_matches(PII_IP, ".").alias("n_ip"),
         F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
         F.length(scrubbed).cast("long").alias("scrub_len"),
     )

@@ -2073,6 +2073,20 @@ def q_zrange_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ix_sql("lon", RES_Z)).alias("ix"),
         F.expr(_iy_sql("lat", RES_Z)).alias("iy"),
     )
+    # r6 conjunct ordering (§2.5): the exact bbox test is 4 integer
+    # compares referencing ix/iy once each, so it fuses into the scan;
+    # running it FIRST shrinks the lineage cut + 16-term Morton + IN-list
+    # machinery to the bbox survivors (~25% of pages here). Measured
+    # 2.69 s → 0.56 s at sf1.0 volume, identical count
+    # (tools/profile_r6b.py). On a real zkey-laid-out table the order
+    # inverts back for free: the z-ranges become pushed scan filters on
+    # the layout column (what zorder_layout emits) and prune row groups
+    # before any exact test runs — this per-row spelling is only the
+    # layoutless-synth stand-in.
+    g = g.where(
+        F.col("ix").between(ZR_X0, ZR_X1)
+        & F.col("iy").between(ZR_Y0, ZR_Y1)
+    )
     # lineage cut: the synth pages VIEW derives lon/lat from doc_id, and
     # CollapseProject would inline that derivation into every one of the
     # 16 Morton terms × every predicate reference — measured to push the
@@ -2088,10 +2102,7 @@ def q_zrange_bbox_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(zkey div {4 ** (RES_Z - lvl)}) IN ({', '.join(map(str, pre))})"
         for lvl, pre in sorted(ZR_SQUARES.items())
     )
-    refined = z.where(F.expr(range_pred)).where(
-        F.col("ix").between(ZR_X0, ZR_X1)
-        & F.col("iy").between(ZR_Y0, ZR_Y1)
-    )
+    refined = z.where(F.expr(range_pred))
     return refined.agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
 
 

@@ -585,12 +585,22 @@ def _links_df(spark: SparkSession) -> DataFrame:
             )
         ).alias("pos", "tag"),
     )
+    # r6: the two per-tag group extractions re-ran LINK_TAG_RE over every
+    # matched tag (measured 3.3 s vs 2.4 s for the whole build at sf1.0
+    # volume). A matched tag is `<a href="URL">ANCHOR</a>` with no '"' in
+    # URL and no '<' in ANCHOR, so the FIRST '"' at position >= 10 is the
+    # closing quote (locate starts past the opening quote at position 9 —
+    # a URL may legally begin with '>') and both groups fall out of plain
+    # substring arithmetic. Exactly the regex groups, no regex per tag.
+    cq = "locate('\">', tag, 10)"
+    raw_url = F.expr(f"substring(tag, 10, {cq} - 10)")
+    raw_anchor = F.expr(f"substring(tag, {cq} + 2, length(tag) - {cq} - 5)")
     return tags.select(
         "page_id",
         "src_host",
         "pos",
-        canonical_url_expr(F.regexp_extract("tag", pat, 1)).alias("dst_url"),
-        F.regexp_extract("tag", pat, 2).alias("anchor"),
+        canonical_url_expr(raw_url).alias("dst_url"),
+        raw_anchor.alias("anchor"),
     )
 
 
