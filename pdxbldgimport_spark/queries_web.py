@@ -108,20 +108,44 @@ GROUP BY 1
 def canonical_url_expr(url_col) -> F.Column:
     """The canonical-URL rewrite as one stateless Column expression
     (shared by the batch dedup and the streaming ingest-dedup gate —
-    canonicalization happens map-side BEFORE any aggregation in both)."""
+    canonicalization happens map-side BEFORE any aggregation in both).
+
+    r6: the five fixed-string regex passes of the original spelling
+    (':(443|80)$', '#.*', '\\?.*', '/$', '^&+') are replaced by their
+    exact string-op equivalents (endswith + substr, substring_index,
+    startswith-guarded strip) and the one genuinely-regex pass (the
+    utm_ parameter strip) is instr-guarded — it cannot match a query
+    string that lacks the literal 'utm_'. Exactness caveat, recorded:
+    '#.*' / '\\?.*' stop at a newline while substring_index does not;
+    URLs here never contain newlines (synth invariant, and the DuckDB
+    oracle CTEs — which keep the regex spelling — gate equality on the
+    actual data). Measured on 6M extracted hrefs: 1.71 → 1.28 s warm,
+    checksum-identical (tools/profile_r6e.py); old-vs-new equality on
+    adversarial URLs pinned by tests/test_r6_guards.py."""
     url = F.col(url_col) if isinstance(url_col, str) else url_col
     auth_raw = F.regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0)
-    rest = url.substr(F.length(auth_raw) + F.lit(1), F.length(url))
-    auth = F.lower(F.regexp_replace(auth_raw, ":(443|80)$", ""))
-    rest = F.regexp_replace(rest, "#.*", "")
-    path = F.regexp_replace(F.regexp_replace(rest, r"\?.*", ""), "/$", "")
-    q = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_extract(rest, r"\?(.*)", 1), "(^|&)utm_[^&]*", ""
-        ),
-        "^&+",
-        "",
+    rest0 = url.substr(F.length(auth_raw) + F.lit(1), F.length(url))
+    auth0 = F.lower(auth_raw)
+    auth = (
+        F.when(auth0.endswith(":443"),
+               auth0.substr(F.lit(1), F.length(auth0) - 4))
+        .when(auth0.endswith(":80"),
+              auth0.substr(F.lit(1), F.length(auth0) - 3))
+        .otherwise(auth0)
     )
+    rest = F.substring_index(rest0, "#", 1)
+    path0 = F.substring_index(rest, "?", 1)
+    path = F.when(
+        path0.endswith("/"),
+        path0.substr(F.lit(1), F.length(path0) - 1)
+    ).otherwise(path0)
+    qpos = F.instr(rest, "?")
+    q0 = F.when(qpos == 0, F.lit("")).otherwise(
+        rest.substr(qpos + F.lit(1), F.length(rest)))
+    q1 = F.when(F.instr(q0, "utm_") == 0, q0).otherwise(
+        F.regexp_replace(q0, "(^|&)utm_[^&]*", ""))
+    q = F.when(q1.startswith("&"),
+               F.regexp_replace(q1, "^&+", "")).otherwise(q1)
     return F.concat(
         auth, path, F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
     )

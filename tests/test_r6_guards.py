@@ -71,6 +71,59 @@ TAG_CASES = [
 ]
 
 
+URL_CASES = [
+    "https://h1.example.com/p/1",
+    "https://h1.example.com",                       # pathless
+    "HTTPS://H0.EXAMPLE.COM:443/p/1?utm_source=feed#s2",
+    "https://h.example.com:80/x/",
+    "https://h.example.com:8080/x",                  # port NOT stripped
+    "https://h.example.com/?utm_a=1&utm_b=2",
+    "https://h.example.com/p?a=1&utm_x=2&b=3#frag",
+    "https://h.example.com/p?utm_only=1",
+    "https://h.example.com/p//",                     # one '/$' strip only
+    "https://h/p#f?x=1",                             # '?' inside fragment
+    "https://h/p?a=1#f",
+    "ftp://x/y?&&a=1",
+    "not-a-url",
+    "",
+    "x://",
+    "https://h/p?xutm_y=1",                          # utm_ not at param start
+]
+
+
+def _canon_old(url_col):
+    # the pre-r6 regex spelling, kept here as the equality reference
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    auth_raw = F.regexp_extract(url, "^[A-Za-z]+://[^/?#]*", 0)
+    rest = url.substr(F.length(auth_raw) + F.lit(1), F.length(url))
+    auth = F.lower(F.regexp_replace(auth_raw, ":(443|80)$", ""))
+    rest = F.regexp_replace(rest, "#.*", "")
+    path = F.regexp_replace(F.regexp_replace(rest, r"\?.*", ""), "/$", "")
+    q = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract(rest, r"\?(.*)", 1), "(^|&)utm_[^&]*", ""
+        ),
+        "^&+",
+        "",
+    )
+    return F.concat(
+        auth, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def test_canonical_url_stringops_equals_regex_spelling(spark):
+    from pdxbldgimport_spark.queries_web import canonical_url_expr
+
+    df = spark.createDataFrame([(u,) for u in URL_CASES], ["url"])
+    rows = df.select(
+        _canon_old("url").alias("old"),
+        canonical_url_expr("url").alias("new"),
+    ).collect()
+    for u, r in zip(URL_CASES, rows):
+        assert r["old"] == r["new"], (u, r["old"], r["new"])
+
+
 def test_tag_parse_equals_regex_groups(spark):
     pat = re.compile(LINK_TAG_RE)
     rows = [(t,) for t in TAG_CASES]
